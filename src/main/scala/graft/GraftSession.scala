@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Designed for cluster scale even though tests run `local[N]`:
+  *   - AQE on (runtime shuffle coalescing + skew-join splitting — the
+  *     scale answer to the reference's fixed worker-pool sizing,
+  *     reference cmd/worker/worker.go:29-42).
+  *   - shuffle.partitions=32 matches local cores; on a real cluster this
+  *     is overridden per-deploy (AQE coalesces the excess anyway).
+  *   - Session TZ pinned UTC (reference stores UTC wall-clock,
+  *     cmd/server/httphandlers.go:144).
+  */
+object GraftSession {
+  def local(
+      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // testdata events.ts is parquet TIMESTAMP(NANOS); Spark's
+      // TimestampType is microseconds. Reading nanos as LongType keeps
+      // full precision and lets queries compare exactly against
+      // DuckDB's epoch_ns().
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    b.getOrCreate()
+  }
+
+  /** Apply graft defaults to an externally-built session (driver's
+    * Verify/Bench mains create their own). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

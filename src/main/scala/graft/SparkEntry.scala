@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one operator from SURVEY.md §2 expressed
+  * over the testdata corpus; `oracleSql` carries the equivalent DuckDB
+  * SQL for the driver's hash compare. Column names/aliases match
+  * between the two by construction (the compare sorts columns by name).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[QueryModule] = Seq(
+    QueryModule(Relational.queries, Relational.oracles),
+    QueryModule(Aggregates.queries, Aggregates.oracles))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_.queries).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    modules.map(_.oracles).reduce(_ ++ _)
 }
+
+final case class QueryModule(
+    queries: Map[String, (SparkSession, String) => DataFrame],
+    oracles: Map[String, String])

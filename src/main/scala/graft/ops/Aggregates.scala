@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TrimmedAggs
+
+/** Aggregation operators (SURVEY.md §2.6) — the reference's bench
+  * statistics generalized to grouped form, plus the grouping-set
+  * family Spark exposes for free.
+  *
+  * Scale notes:
+  *   - percentile/trimmed-* are exact (collect-per-group) to satisfy
+  *     the oracle; the 100 TB path swaps `percentile` →
+  *     `percentile_approx` and trimmed mean → two-pass (percentile
+  *     bounds, then filtered avg) with identical plans otherwise.
+  *   - counts/sums/avgs are partially aggregated map-side before the
+  *     shuffle (HashAggregate partial → final in .explain).
+  */
+object Aggregates {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** A2 — exact percentiles with linear interpolation, grouped.
+    * Spark's `percentile` uses k=(p/100)(n-1) interpolation — the same
+    * formula as the reference (e2e_bench.go:292-305) and DuckDB's
+    * quantile_cont. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  val percentilesSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** A3 — trimmed mean via the custom Aggregator (trim 1%, reference
+    * default, e2e_bench.go:47). */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(TrimmedAggs.trimmed_mean(col("value"), 1.0), 6).as("trimmed_mean"))
+      .orderBy(col("event_type"))
+
+  // Oracle mirrors the Go semantics: trim = trunc(n/100), capped at n/2,
+  // drop `trim` rows from each end of the sort, average the rest.
+  val trimmedMeanSql: String =
+    """WITH s AS (
+      |  SELECT event_type, value AS v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |k AS (SELECT *, CASE WHEN 2 * CAST(trunc(n * 1.0 / 100) AS BIGINT) >= n
+      |  THEN n // 2 ELSE CAST(trunc(n * 1.0 / 100) AS BIGINT) END AS tr FROM s)
+      |SELECT event_type, round(avg(v), 6) AS trimmed_mean
+      |FROM k WHERE rn > tr AND rn <= n - tr
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** A4 — trimmed percentile (trim 1%, then p50/p99). */
+  def trimmedPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(TrimmedAggs.trimmed_percentile(col("value"), 50.0, 1.0), 6).as("tp50"),
+        round(TrimmedAggs.trimmed_percentile(col("value"), 99.0, 1.0), 6).as("tp99"))
+      .orderBy(col("event_type"))
+
+  val trimmedPercentileSql: String =
+    """WITH s AS (
+      |  SELECT event_type, value AS v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |k AS (SELECT *, CASE WHEN 2 * CAST(trunc(n * 1.0 / 100) AS BIGINT) >= n
+      |  THEN n // 2 ELSE CAST(trunc(n * 1.0 / 100) AS BIGINT) END AS tr FROM s)
+      |SELECT event_type,
+      |  round(quantile_cont(v, 0.5), 6) AS tp50,
+      |  round(quantile_cont(v, 0.99), 6) AS tp99
+      |FROM k WHERE rn > tr AND rn <= n - tr
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** A6 — throughput: events per hour bucket (reference msgs/sec,
+    * kafka_producer.go:116-120, generalized to event-time buckets).
+    * Bucket emitted as epoch nanos so the compare is integer-exact. */
+  def throughput(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts_utc")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        (col("bucket").cast("long") * lit(1000000000L)).as("bucket_ns"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("bucket_ns"))
+
+  val throughputSql: String =
+    """SELECT epoch_ns(date_trunc('hour', ts)) AS bucket_ns,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A1 + A8 — CASE-WHEN classification with grouped counters
+    * (reference status-class counters http_load.go:115-130 and
+    * deadline classification e2e_bench.go:222-244). */
+  def classify(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("value_class",
+        when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high"))
+      .groupBy(col("event_type"), col("value_class"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("user_id") % 2 === 0, 1).otherwise(0)).as("n_even_users"))
+      .orderBy(col("event_type"), col("value_class"))
+
+  val classifySql: String =
+    """SELECT event_type,
+      |  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_class,
+      |  count(*) AS n,
+      |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_even_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Rollup over the region→nation hierarchy (grouping-set family,
+    * SURVEY §2.6 closing note). */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("n_name").asc_nulls_first)
+
+  val rollupRevenueSql: String =
+    """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name) ORDER BY n_name NULLS FIRST""".stripMargin
+
+  /** SC2 — JSON field extraction from the event props envelope
+    * (reference worker JSON decode, cmd/worker/worker.go:122-126).
+    * Spark side uses get_json_object (real JSON path); oracle uses a
+    * regexp so it runs without DuckDB's json extension. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") < lit(10L))
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |FROM events WHERE user_id < 10 ORDER BY event_id""".stripMargin
+
+  /** Distinct-count family: exact + approx (approx not oracle-gated;
+    * here only exact forms). */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_percentiles" -> percentiles,
+    "q14_trimmed_mean" -> trimmedMean,
+    "q15_trimmed_percentile" -> trimmedPercentile,
+    "q16_throughput" -> throughput,
+    "q17_classify" -> classify,
+    "q18_rollup_revenue" -> rollupRevenue,
+    "q19_json_extract" -> jsonExtract,
+    "q20_distinct_users" -> distinctUsers)
+
+  def oracles: Map[String, String] = Map(
+    "q13_percentiles" -> percentilesSql,
+    "q14_trimmed_mean" -> trimmedMeanSql,
+    "q15_trimmed_percentile" -> trimmedPercentileSql,
+    "q16_throughput" -> throughputSql,
+    "q17_classify" -> classifySql,
+    "q18_rollup_revenue" -> rollupRevenueSql,
+    "q19_json_extract" -> jsonExtractSql,
+    "q20_distinct_users" -> distinctUsersSql)
+}
