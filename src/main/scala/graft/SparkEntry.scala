@@ -17,7 +17,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     QueryModule(Relational.queries, Relational.oracles),
-    QueryModule(Aggregates.queries, Aggregates.oracles))
+    QueryModule(Aggregates.queries, Aggregates.oracles),
+    QueryModule(FeedShapes.queries, FeedShapes.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)
