@@ -18,7 +18,10 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     QueryModule(Relational.queries, Relational.oracles),
     QueryModule(Aggregates.queries, Aggregates.oracles),
-    QueryModule(FeedShapes.queries, FeedShapes.oracles))
+    QueryModule(FeedShapes.queries, FeedShapes.oracles),
+    QueryModule(TextAnalysis.queries, TextAnalysis.oracles),
+    QueryModule(DedupShapes.queries, DedupShapes.oracles),
+    QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

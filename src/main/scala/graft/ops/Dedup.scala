@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection for the training-data pipeline (north
+  * star): n-gram Jaccard, MinHash+LSH, SimHash. All constructions are
+  * portable (md5-string hashing) so each is DuckDB-oracle-gated — the
+  * LSH banding itself is certified, not just its effect.
+  *
+  * Scale design:
+  *   - Shingling is a map-only explode (no shuffle until the
+  *     aggregation).
+  *   - The exact-Jaccard self-join is quadratic in docs sharing a
+  *     shingle — usable for verification of candidates, never as the
+  *     100 TB path.
+  *   - MinHash+LSH is the scale path: signatures are one shuffle
+  *     (groupBy doc), band keys one more, and the candidate join only
+  *     touches docs sharing a band bucket — the classic
+  *     shingle→minhash→band→bucket-join pipeline. Verification then
+  *     runs exact Jaccard on the (tiny) candidate set only.
+  */
+object Dedup {
+
+  /** Distinct word-bigram shingles per document: 1-indexed
+    * element_at matches the oracle's `ts[i] || ' ' || ts[i+1]`. */
+  def wordBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
+        .as("sh"))
+
+  /** Exact pairwise Jaccard over docs sharing ≥1 shingle. */
+  def jaccardPairs(shingleSets: DataFrame, minJaccard: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sizes = shingleSets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val joined = shingleSets.as("a").join(shingleSets.as("b"),
+      col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+    val withCand = candidates match {
+      case Some(c) => joined.join(broadcast(c),
+        col("a.id") === c("id_a") && col("b.id") === c("id_b"))
+      case None => joined
+    }
+    withCand
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes md5-string minima per doc.
+    * (Portable stand-in for the usual (a·x+b) mod p permutations —
+    * identical uniformity argument, and string-comparable across
+    * engines.) */
+  def minhashSignatures(shingleSets: DataFrame, numHashes: Int): DataFrame = {
+    val hs = shingleSets.sparkSession.range(numHashes).select(col("id").cast("int").as("i"))
+    shingleSets.crossJoin(broadcast(hs))
+      .groupBy(col("id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("sig"))
+  }
+
+  /** LSH band keys: md5 of the band's signatures concatenated in
+    * hash order. */
+  def lshBands(signatures: DataFrame, bandSize: Int): DataFrame =
+    signatures
+      .withColumn("b", expr(s"CAST(i DIV $bandSize AS INT)"))
+      .groupBy(col("id"), col("b"))
+      .agg(collect_list(struct(col("i"), col("sig"))).as("ss"))
+      .select(col("id"), col("b"),
+        md5(expr("array_join(transform(array_sort(ss), x -> x.sig), '')")).as("key"))
+
+  /** Candidate pairs: docs sharing any band bucket. */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+  /** Full MinHash+LSH near-dup pipeline with exact verification of
+    * the candidate set. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val sh = wordBigrams(docs, idCol, textCol)
+    val cand = lshCandidates(lshBands(minhashSignatures(sh, numHashes), bandSize))
+    jaccardPairs(sh, minJaccard, Some(cand))
+  }
+
+  /** 16-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
+    * votes +1 for bit j else −1 per token occurrence; bit = vote>0. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("th", md5(col("tok")))
+    val votes = (0 until 16).map(j =>
+      sum(TextFunctions.tokenBitVote(col("th"), j)).as(s"v$j"))
+    toks.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        concat((0 until 16).map(j => when(col(s"v$j") > 0, "1").otherwise("0")): _*)
+          .as("simhash"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Oracle-gated entries for the Dedup operators (full `documents`
+  * corpus — the planted near-dups sit at Jaccard ≥ 0.9). */
+object DedupShapes {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val shingleSql =
+    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '${"\\s+"}') AS ts FROM documents),
+       |pos AS (SELECT id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks WHERE len(ts) >= 2),
+       |sh AS (SELECT DISTINCT id, ts[i] || ' ' || ts[i+1] AS sh FROM pos),
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (word bigrams, J ≥ 0.5). */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Dedup.wordBigrams(docs(s, dir), "doc_id", "text"), 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val jaccardPairsSql: String =
+    s"""WITH $shingleSql,
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+       |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH candidates verified by exact Jaccard — the certified
+    * shingle→minhash→band→bucket-join pipeline (8 hashes, 4 bands). */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(docs(s, dir), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  val minhashLshSql: String =
+    s"""WITH $shingleSql,
+       |sig AS (SELECT id, h.i AS i, min(md5(CAST(h.i AS VARCHAR) || '|' || sh)) AS sig
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) h GROUP BY id, h.i),
+       |band AS (SELECT id, i // 2 AS b, md5(string_agg(sig, '' ORDER BY i)) AS key
+       |  FROM sig GROUP BY id, i // 2),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+       |inter AS (SELECT s1.id AS id_a, s2.id AS id_b, count(*) AS inter
+       |  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.id < s2.id
+       |  JOIN cand c ON c.id_a = s1.id AND c.id_b = s2.id GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+       |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 ORDER BY i.id_a, i.id_b""".stripMargin
+
+  /** SimHash fingerprints, aggregated into bucket counts (bucket size
+    * > 1 ⇒ near-dup cluster candidate). */
+  def simhashBuckets(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(docs(s, dir), "doc_id", "text")
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc"))
+      .orderBy(col("simhash"))
+
+  val simhashBucketsSql: String = {
+    val highDigits = "('8','9','a','b','c','d','e','f')"
+    val votes = (0 until 16).map(j =>
+      s"sum(CASE WHEN substr(th, ${j + 1}, 1) IN $highDigits THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+    val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH t AS (SELECT doc_id AS id,
+       |    md5(unnest(string_split_regex(trim(text), '${"\\s+"}'))) AS th
+       |  FROM documents),
+       |v AS (SELECT id, $votes FROM t GROUP BY id),
+       |sh AS (SELECT id, $bits AS simhash FROM v)
+       |SELECT simhash, count(*) AS n_docs, min(id) AS min_doc
+       |FROM sh GROUP BY simhash ORDER BY simhash""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_jaccard_pairs" -> jaccardPairs,
+    "q31_minhash_lsh" -> minhashLsh,
+    "q32_simhash_buckets" -> simhashBuckets)
+
+  def oracles: Map[String, String] = Map(
+    "q30_jaccard_pairs" -> jaccardPairsSql,
+    "q31_minhash_lsh" -> minhashLshSql,
+    "q32_simhash_buckets" -> simhashBucketsSql)
+}

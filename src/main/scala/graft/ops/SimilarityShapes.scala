@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-gated similarity-search entries over `embeddings`. */
+object SimilarityShapes {
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 5. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
+        col("vec_id") < 5, k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+
+  // Oracle computes cosine explicitly in DOUBLE (per-position sums) —
+  // DuckDB's list_cosine_similarity accumulates in float32, which can
+  // round differently at the 4th decimal.
+  val cosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |p AS (SELECT q_id, e.vec_id AS n_id, qe, e.embedding AS ce
+      |      FROM q JOIN embeddings e ON e.vec_id <> q_id),
+      |x AS (SELECT q_id, n_id, qe, ce, unnest(generate_series(1, len(qe))) AS i FROM p),
+      |d AS (SELECT q_id, n_id,
+      |        sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq2,
+      |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+      |      FROM x GROUP BY q_id, n_id),
+      |s AS (SELECT q_id, n_id, dot / (sqrt(nq2) * sqrt(nc2)) AS sim FROM d),
+      |r AS (SELECT q_id, n_id, sim,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+      |      FROM s)
+      |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM r
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** Embedding cosine near-dup pairs (threshold on the full corpus). */
+  def cosineDupPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(emb(s, dir), "vec_id", "embedding", 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val cosineDupPairsSql: String =
+    """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        a.embedding AS ae, b.embedding AS be
+      |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |x AS (SELECT id_a, id_b, ae, be, unnest(generate_series(1, len(ae))) AS i FROM p),
+      |d AS (SELECT id_a, id_b,
+      |        sum(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na2,
+      |        sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS nb2
+      |      FROM x GROUP BY id_a, id_b),
+      |s AS (SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim FROM d)
+      |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
+      |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** IVF approximate top-k (scale path) — rows-only gate (the recall
+    * contract vs brute force is asserted in SimilaritySpec). */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 4)
+      .orderBy(col("q_id"), col("rnk"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_cosine_topk" -> cosineTopK,
+    "q34_cosine_dup_pairs" -> cosineDupPairs,
+    "q35_ann_ivf" -> ivfTopK)
+
+  def oracles: Map[String, String] = Map(
+    "q33_cosine_topk" -> cosineTopKSql,
+    "q34_cosine_dup_pairs" -> cosineDupPairsSql)
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity operator contracts on sf0.001 testdata and
+  * hand-built fixtures. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.load(spark, dir, "documents")
+  private def emb = graft.Tables.load(spark, dir, "embeddings")
+
+  test("wordBigrams: 1-indexed adjacent pairs, distinct, short docs dropped") {
+    val d = Seq((1L, "a b c a b"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val sh = Dedup.wordBigrams(d, "doc_id", "text")
+      .groupBy("id").agg(sort_array(collect_list("sh")).as("shs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b", "b c", "c a")) // "a b" deduped
+    assert(!sh.contains(2L) && !sh.contains(3L))
+  }
+
+  test("jaccardPairs: identical docs → 1.0, disjoint docs absent") {
+    val d = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "p q r s")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.wordBigrams(d, "doc_id", "text"), 0.01)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact jaccard at 0.5 (corpus)") {
+    val exact = DedupShapes.jaccardPairs(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupShapes.minhashLsh(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH-verified pairs must be a subset of exact pairs")
+    // At J≥0.9 (the planted dups), band-collision probability ≈ 1.
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash: identical docs same hash; hash is 16 bits") {
+    val d = Seq((1L, "one two three"), (2L, "one two three"), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash16(d, "doc_id", "text").as[(Long, String)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L).length == 16 && h(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("brute-force cosine: self-similarity excluded, ranks descending, k respected") {
+    val r = SimilarityShapes.cosineTopK(spark, dir)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(r.length == 25)
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq) // descending
+      assert(!rows.exists(x => x._3 == x._1)) // no self
+    }
+  }
+
+  test("IVF recall@5 vs brute force ≥ 0.6 with 4 probes") {
+    val exact = SimilarityShapes.cosineTopK(spark, dir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityShapes.ivfTopK(spark, dir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    val d = Seq(
+      (1L, "the cat and the dog is in to"),
+      (2L, "el perro de la casa que los una"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+
+  test("redact masks emails, tokens, user ids") {
+    val got = Seq("mail bob@x.co tok eyJabc.def user_id=42 end").toDF("s")
+      .select(graft.functions.TextFunctions.redact(col("s"))).as[String].head()
+    assert(got == "mail [email] tok [token] user_id=[id] end")
+  }
+
+  test("token counts: blank → 0, whitespace runs collapse") {
+    val d = Seq((1L, "  a  b\tc "), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 0, 3L -> 0))
+  }
+}
