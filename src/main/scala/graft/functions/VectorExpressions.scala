@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over array<float>/array<double> columns.
+  *
+  * The built-in route (`aggregate(zip_with(...))`) evaluates an
+  * interpreted lambda per element per row — the dominant cost of the
+  * N²-pair similarity kernels. This expression compiles to a tight
+  * primitive loop inside WholeStageCodegen instead (preference order
+  * (b) of the build rules: custom Expression before mapPartitions).
+  *
+  * Accumulation is double of per-element double-cast products in
+  * ascending index order — bit-identical to the DuckDB oracle's
+  * `sum(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE))` per-position
+  * formulation (modulo the oracle's group-sum order, which is
+  * insignificant at 4-decimal rounding).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += $lGet * $rGet;
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column form: `dot(a, b)` → double. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm of a vector column. */
+  def l2norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** Cosine similarity given precomputed norms. */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+}

