@@ -21,7 +21,8 @@ object SparkEntry {
     QueryModule(FeedShapes.queries, FeedShapes.oracles),
     QueryModule(TextAnalysis.queries, TextAnalysis.oracles),
     QueryModule(DedupShapes.queries, DedupShapes.oracles),
-    QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles))
+    QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles),
+    QueryModule(MiscShapes.queries, MiscShapes.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

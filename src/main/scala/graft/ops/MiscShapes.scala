@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Remaining scalar-function surface as gated queries: binary-column
+  * plumbing (multimodal base layer) and JWT claim extraction (SC10,
+  * reference internal/middleware/auth.go:32-53). */
+object MiscShapes {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Binary payload plumbing: utf-8 encode, byte length, hex slice —
+    * the opaque-binary base layer under ops.Multimodal. */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("hex_prefix"))
+      .orderBy(col("doc_id"))
+
+  val binaryMetaSql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  hex(encode(substring(text, 1, 4))) AS hex_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** SC10 — JWT-shaped claim extraction: build header.payload.sig
+    * from corpus rows, then decode the payload back out (base64 →
+    * JSON → claim). Crypto verification stays API-side (not an engine
+    * op), exactly as in the reference split. */
+  def jwtClaims(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(lit("{\"user_id\":"), col("doc_id"),
+      lit(",\"lang\":\""), col("lang"), lit("\"}"))
+    val token = concat(
+      base64(encode(lit("{\"alg\":\"HS256\"}"), "UTF-8")), lit("."),
+      base64(encode(payload, "UTF-8")), lit(".sig"))
+    docs(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), token.as("token"))
+      .select(
+        col("doc_id"),
+        regexp_extract(
+          unbase64(element_at(split(col("token"), "\\."), 2)).cast("string"),
+          "\"user_id\":([0-9]+)", 1).cast("long").as("claim_user_id"),
+        regexp_extract(
+          unbase64(element_at(split(col("token"), "\\."), 2)).cast("string"),
+          "\"lang\":\"([a-z]+)\"", 1).as("claim_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val jwtClaimsSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    to_base64(encode('{"alg":"HS256"}')) || '.' ||
+      |    to_base64(encode('{"user_id":' || CAST(doc_id AS VARCHAR) ||
+      |      ',"lang":"' || lang || '"}')) || '.sig' AS token
+      |  FROM documents WHERE doc_id < 100),
+      |d AS (SELECT doc_id,
+      |    decode(from_base64(string_split(token, '.')[2])) AS payload FROM t)
+      |SELECT doc_id,
+      |  CAST(regexp_extract(payload, '"user_id":([0-9]+)', 1) AS BIGINT) AS claim_user_id,
+      |  regexp_extract(payload, '"lang":"([a-z]+)"', 1) AS claim_lang
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Multimodal decode pipeline (rows-only gate; semantics covered by
+    * MultimodalSpec — the decode itself is the documented stub). */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.synthesize(docs(s, dir))
+    Multimodal.decodeStub(media).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_width"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("kind"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_binary_meta" -> binaryMeta,
+    "q37_jwt_claims" -> jwtClaims,
+    "q38_media_decode" -> mediaDecode)
+
+  def oracles: Map[String, String] = Map(
+    "q36_binary_meta" -> binaryMetaSql,
+    "q37_jwt_claims" -> jwtClaimsSql)
+}

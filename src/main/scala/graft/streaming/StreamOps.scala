@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time stream analytics (ST8/ST9 — absent in the reference,
+  * exposed per the north star: the reference's `created_at` is
+  * producer wall-clock with no event-time aggregation, SURVEY §2.4).
+  *
+  * All transforms work identically on batch and streaming DataFrames
+  * (same Catalyst plans); the specs drive them through MemoryStream
+  * with controlled watermarks.
+  */
+object StreamOps {
+
+  /** Tumbling-window throughput (A6 generalized to event time):
+    * counts + sums per window, emitted once the watermark passes the
+    * window end (append mode). */
+  def windowedThroughput(events: DataFrame, tsCol: String,
+      watermarkDelay: String, windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingThroughput(events: DataFrame, tsCol: String,
+      watermarkDelay: String, windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** Session windows: activity grouped by gaps ≥ `gap` per user. */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+      watermarkDelay: String, gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Cross-batch dedup with bounded state (ST2 at stream level):
+    * drops re-deliveries of the same key until the watermark passes —
+    * state is evicted, unlike an unbounded dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermarkDelay: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Custom keyed state via mapGroupsWithState (ST9): running per-key
+    * aggregate (count + running max of a value) maintained across
+    * micro-batches — the shape used for CAS emulation and per-entity
+    * counters. Update output mode. */
+  case class KeyedEvent(key: String, value: Double)
+  case class KeyedTotals(key: String, n: Long, maxValue: Double)
+
+  def runningTotals(events: Dataset[KeyedEvent])(
+      implicit e1: Encoder[KeyedTotals],
+      e2: Encoder[String]): Dataset[KeyedTotals] =
+    events.groupByKey(_.key)
+      .mapGroupsWithState[KeyedTotals, KeyedTotals](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[KeyedTotals]) =>
+          val prev = state.getOption.getOrElse(KeyedTotals(key, 0L, Double.MinValue))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            KeyedTotals(key, acc.n + 1, math.max(acc.maxValue, r.value))
+          }
+          state.update(next)
+          next
+      }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Binary-column pipeline: synthesize → decode (stub) → features →
+  * similarity reuse; frame sampling; CSV sink round-trip. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("synthesize + decodeStub: header metadata round-trips, body length preserved") {
+    val media = Multimodal.synthesize(docs.limit(20))
+    val meta = Multimodal.decodeStub(media).collect()
+    assert(meta.length == 20)
+    meta.foreach { m =>
+      assert(m.width == (m.media_id % 640 + 16).toInt)
+      assert(m.height == (m.media_id % 480 + 16).toInt)
+      assert(m.format == "grft" && m.n_bytes > 8)
+    }
+  }
+
+  test("byteHistogram features are L1-normalized and feed Similarity unchanged") {
+    val feats = Multimodal.byteHistogram(Multimodal.synthesize(docs.limit(50))).toDF()
+    val sums = feats.select(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
+      .as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-5, s"histogram not normalized: $s"))
+    val topk = Similarity.bruteForceTopK(feats, "media_id", "features",
+      col("media_id") < 2, k = 3).collect()
+    assert(topk.length == 6) // 2 queries × 3 neighbors
+  }
+
+  test("resizeStub rewrites dims, preserves magic") {
+    val resized = Multimodal.resizeStub(Multimodal.synthesize(docs.limit(5)), 32, 24)
+    val meta = Multimodal.decodeStub(resized).collect()
+    meta.foreach(m => assert(m.width == 32 && m.height == 24))
+  }
+
+  test("sampleFrames: every k-th 16-byte chunk, explode shape") {
+    val frames = Multimodal.sampleFrames(Multimodal.synthesize(docs.limit(3)), everyK = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_no % 2 == 0))
+    assert(frames.forall(_.bytes.length <= 16))
+  }
+
+  test("CSV export/source round-trip (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    graft.sources.Connectors.csvExport(df, dir)
+    val back = graft.sources.Connectors.csvSource(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("GraftConfig env parsing with defaults (S9)") {
+    val c = graft.sources.GraftConfig.fromEnv(Map("GRAFT_PARTITION" -> "3"))
+    assert(c.partition == 3 && c.topic == "feed-topic" && c.shufflePartitions == 32)
+    assert(graft.sources.GraftConfig.fromEnv(Map("GRAFT_PARTITION" -> "x")).partition == 0)
+  }
+}
