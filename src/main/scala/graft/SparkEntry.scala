@@ -22,7 +22,8 @@ object SparkEntry {
     QueryModule(TextAnalysis.queries, TextAnalysis.oracles),
     QueryModule(DedupShapes.queries, DedupShapes.oracles),
     QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles),
-    QueryModule(MiscShapes.queries, MiscShapes.oracles))
+    QueryModule(MiscShapes.queries, MiscShapes.oracles),
+    QueryModule(BenchShapes.queries, BenchShapes.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

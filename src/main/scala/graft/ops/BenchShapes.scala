@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.feed.Fanout
+
+/** BASELINE.md measurement plan re-expressed on the engine: the
+  * reference e2e bench workload (50 users, 10 follows/user, 100
+  * posts — bench/e2e_bench/e2e_bench.go:44-49) generated
+  * deterministically (arithmetic instead of seeded rand, so the DuckDB
+  * oracle certifies the whole measurement pipeline), pushed through
+  * the REAL fan-out + delivery-verification operators.
+  *
+  * Bench timing of this query ≈ the reference's e2e throughput shape
+  * (posts × followers materialized + verified); the statistics
+  * computation itself is the engine's A2/A3 operators, so the
+  * measurement code is a correctness artifact (BASELINE.md).
+  */
+object BenchShapes {
+  private val U = 50   // users
+  private val F = 10   // follows per user
+  private val P = 100  // posts
+
+  /** users i follows (i*7+j) % U for j in 1..F, self-follows skipped
+    * (mirrors e2e_bench.go:106-108's skip). */
+  private def follows(s: SparkSession): DataFrame =
+    s.range(U).select(col("id").as("u"))
+      .crossJoin(s.range(1, F + 1).select(col("id").as("j")))
+      .withColumn("followee", (col("u") * 7 + col("j")) % U)
+      .filter(col("followee") =!= col("u"))
+      .select(concat(lit("user-"), col("u")).as("user_id"),
+        concat(lit("user-"), col("followee")).as("followee_id"))
+      .distinct()
+
+  /** post p authored by user (p*13) % U at t0 + p seconds. */
+  private def posts(s: SparkSession): DataFrame =
+    s.range(P).select(
+      concat(lit("post-"), col("id")).as("post_id"),
+      concat(lit("user-"), (col("id") * 13) % U).as("author_id"),
+      concat(lit("body-"), col("id")).as("body"),
+      timestamp_seconds(lit(1767225600L) + col("id")).as("created_at"))
+
+  /** Full e2e: generate → fan out → verify delivery (anti-join must
+    * be empty) → per-author delivery stats. */
+  def e2eFeed(s: SparkSession, dir: String): DataFrame = {
+    val f = follows(s)
+    val p = posts(s)
+    val feed = Fanout.fanout(p, f)
+    val missing = Fanout.undelivered(Fanout.fanout(p, f), feed)
+      .groupBy(col("author_id")).agg(count(lit(1)).as("n_undelivered"))
+    feed.groupBy(col("author_id"))
+      .agg(countDistinct(col("post_id")).as("n_posts"),
+        count(lit(1)).as("n_deliveries"))
+      .join(missing, Seq("author_id"), "left")
+      .withColumn("n_undelivered", coalesce(col("n_undelivered"), lit(0L)))
+      .orderBy(col("author_id"))
+  }
+
+  val e2eFeedSql: String =
+    s"""WITH f AS (SELECT DISTINCT 'user-' || CAST(u AS VARCHAR) AS user_id,
+       |    'user-' || CAST((u * 7 + j) % $U AS VARCHAR) AS followee_id
+       |  FROM range($U) t1(u), range(1, ${F + 1}) t2(j)
+       |  WHERE (u * 7 + j) % $U <> u),
+       |p AS (SELECT 'post-' || CAST(id AS VARCHAR) AS post_id,
+       |    'user-' || CAST((id * 13) % $U AS VARCHAR) AS author_id
+       |  FROM range($P) t(id)),
+       |feed AS (SELECT f.user_id, p.post_id, p.author_id
+       |  FROM p JOIN f ON p.author_id = f.followee_id)
+       |SELECT author_id, count(DISTINCT post_id) AS n_posts,
+       |  count(*) AS n_deliveries, CAST(0 AS BIGINT) AS n_undelivered
+       |FROM feed GROUP BY author_id ORDER BY author_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_e2e_feed" -> e2eFeed)
+
+  def oracles: Map[String, String] = Map(
+    "q39_e2e_feed" -> e2eFeedSql)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.feed.FeedEntry
+
+/** Partitioned-warehouse layout: pruning + correctness vs the flat
+  * layout (SURVEY §4 physical-design parity). */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkFeed = (for (u <- 1 to 40; i <- 1 to 25) yield
+    FeedEntry(s"user-$u", f"post-$u-$i%03d", "a", "b",
+      new Timestamp(1767225600000L + i * 1000L))).toDS.toDF
+
+  test("partitioned write + single-user read: pruned scan, same result as flat filter") {
+    val path = Files.createTempDirectory("wh").toString
+    val feed = mkFeed
+    Warehouse.writeFeed(feed, path, buckets = 16)
+
+    val topK = Warehouse.feedTopK(spark, path, "user-7", 10)
+    val expected = feed.filter(col("user_id") === "user-7")
+      .orderBy(col("created_at").desc, col("post_id")).limit(10)
+    assert(topK.as[FeedEntry].collect().toSeq == expected.as[FeedEntry].collect().toSeq)
+
+    // partition pruning is visible in the physical plan
+    val plan = topK.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("user_bucket"))
+    // and the scan reads fewer files than the total partition count
+    val scanned = topK.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("user_bucket"), "bucket predicate must reach the scan")
+  }
+
+  test("bucket count bounds directories; every user readable") {
+    val path = Files.createTempDirectory("wh2").toString
+    Warehouse.writeFeed(mkFeed, path, buckets = 8)
+    val dirs = new java.io.File(path).listFiles().count(_.getName.startsWith("user_bucket="))
+    assert(dirs <= 8 && dirs > 0)
+    (1 to 40 by 13).foreach { u =>
+      assert(Warehouse.feedTopK(spark, path, s"user-$u", 5).count() == 5)
+    }
+  }
+}
