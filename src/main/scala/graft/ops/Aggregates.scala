@@ -171,7 +171,40 @@ object Aggregates {
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Cube over two dims (the full grouping-set lattice). */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val cubeRevenueSql: String =
+    """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (n_name, o_orderpriority)
+      |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Approximate aggregates — the 100 TB substitutes for exact
+    * percentile/countDistinct. Sketch internals differ per engine, so
+    * this is a rows-only gate entry; ApproxSpec bounds the error vs
+    * the exact operators instead. */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(expr("percentile_approx(value, 0.5, 1000)"), 4).as("approx_p50"),
+        round(expr("percentile_approx(value, 0.99, 1000)"), 4).as("approx_p99"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cube_revenue" -> cubeRevenue,
+    "q41_approx_stats" -> approxStats,
     "q13_percentiles" -> percentiles,
     "q14_trimmed_mean" -> trimmedMean,
     "q15_trimmed_percentile" -> trimmedPercentile,
@@ -182,6 +215,7 @@ object Aggregates {
     "q20_distinct_users" -> distinctUsers)
 
   def oracles: Map[String, String] = Map(
+    "q40_cube_revenue" -> cubeRevenueSql,
     "q13_percentiles" -> percentilesSql,
     "q14_trimmed_mean" -> trimmedMeanSql,
     "q15_trimmed_percentile" -> trimmedPercentileSql,

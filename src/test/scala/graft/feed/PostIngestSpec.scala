@@ -1,0 +1,63 @@
+package graft.feed
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Write-path lifecycle (§3.1): dual-sink publication, envelope
+  * round-trip through the worker's parser. */
+class PostIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  test("one post stream lands in both sinks exactly once, envelope decodes back") {
+    val topicDir = tmp("topic"); val postsTable = tmp("posts")
+    val in = memStream[Post]
+    val q = PostIngest.start(spark, in.toDF(), topicDir, postsTable, tmp("ck"))
+    try {
+      in.addData(Post("p-1", "u-nur", "Hello!", t0))
+      q.processAllAvailable()
+      in.addData(Post("p-1", "u-nur", "Hello!", t0)) // duplicate publish
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val posts = spark.read.parquet(postsTable)
+    assert(posts.count() == 1) // table sink deduped
+
+    val env = spark.read.parquet(topicDir)
+    assert(env.count() == 1) // topic sink deduped
+    val (key, value) = env.select(col("key"), col("value")).as[(String, String)].head()
+    assert(key == "post_created")
+    // the envelope is exactly what FeedStream.parse consumes
+    val parsed = FeedStream.parse(Seq(value).toDF("value"))
+    val row = parsed.filter(col("_valid"))
+      .select("post_id", "author_id", "body", "created_at")
+      .as[(String, String, String, Timestamp)].head()
+    assert(row == (("p-1", "u-nur", "Hello!", t0)))
+  }
+
+  test("full loop: ingest -> topic -> feed pipeline -> follower feed") {
+    val topicDir = tmp("topic2"); val postsTable = tmp("posts2")
+    val feedPath = tmp("feed2")
+    val in = memStream[Post]
+    val q1 = PostIngest.start(spark, in.toDF(), topicDir, postsTable, tmp("ck1"))
+    try {
+      in.addData(Post("p-9", "u-nur", "loop", t0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // worker side: consume the topic (file analog), fan out
+    val raw = spark.read.parquet(topicDir).select("value")
+    val follows = Seq(Follow("u-almaz", "u-nur")).toDS.toDF
+    val valid = FeedStream.parse(raw).filter(col("_valid"))
+      .select("post_id", "author_id", "body", "created_at")
+    IdempotentSink.appendDedup(spark,
+      Fanout.fanout(valid, follows), feedPath, Schemas.feedKey)
+    val feed = spark.read.parquet(feedPath)
+    assert(FeedQueries.feedTopK(feed, "u-almaz").count() == 1)
+    assert(FeedQueries.feedTopK(feed, "u-nur").isEmpty)
+  }
+}

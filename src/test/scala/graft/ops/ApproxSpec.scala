@@ -1,0 +1,29 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Error bounds of the approximate (scale-path) aggregates vs their
+  * exact counterparts. */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact; percentile_approx within p1-p99 spread") {
+    val approx = Aggregates.approxStats(spark, dir)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val exact = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    exact.foreach { case (k, (_, u, p50, p99)) =>
+      val (_, au, ap50, ap99) = approx(k)
+      assert(math.abs(au - u).toDouble / u <= 0.05, s"$k users: $au vs $u")
+      assert(math.abs(ap50 - p50) / math.max(1.0, p50) <= 0.05, s"$k p50: $ap50 vs $p50")
+      assert(math.abs(ap99 - p99) / math.max(1.0, p99) <= 0.05, s"$k p99: $ap99 vs $p99")
+    }
+  }
+}
