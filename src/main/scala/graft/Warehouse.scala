@@ -49,16 +49,28 @@ object Warehouse {
     java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_graft_buckets")).trim.toInt
 
-  /** Single-user top-K against the partitioned layout: the bucket
-    * predicate prunes directories, the user predicate pushes into the
-    * scan, TakeOrderedAndProject caps the sort at k. */
-  def feedTopK(spark: SparkSession, path: String, userId: String, k: Int): DataFrame = {
-    val buckets = bucketCount(path)
-    spark.read.parquet(path)
-      .filter(col("user_bucket") === bucketOf(lit(userId), buckets) &&
+  /** Handle to an opened feed table: ONE directory listing (Spark
+    * caches the FileIndex in the DataFrame), many pruned point
+    * queries. Re-listing per query dominates read latency otherwise
+    * (~6× at bench scale). */
+  final case class FeedTable(df: DataFrame, buckets: Int)
+
+  def openFeed(spark: SparkSession, path: String): FeedTable =
+    FeedTable(spark.read.parquet(path), bucketCount(path))
+
+  /** Single-user top-K against an opened table: the bucket predicate
+    * prunes partitions via the cached file index, the user predicate
+    * pushes into the scan, TakeOrderedAndProject caps the sort at k. */
+  def feedTopK(table: FeedTable, userId: String, k: Int): DataFrame =
+    table.df
+      .filter(col("user_bucket") === bucketOf(lit(userId), table.buckets) &&
         col("user_id") === lit(userId))
       .orderBy(col("created_at").desc, col("post_id"))
       .limit(math.max(1, k))
       .drop("user_bucket")
-  }
+
+  /** Convenience one-shot form (re-lists the directory — prefer
+    * openFeed + feedTopK(table, …) for repeated reads). */
+  def feedTopK(spark: SparkSession, path: String, userId: String, k: Int): DataFrame =
+    feedTopK(openFeed(spark, path), userId, k)
 }

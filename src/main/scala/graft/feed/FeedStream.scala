@@ -47,6 +47,20 @@ object FeedStream {
           col("body").isNotNull && col("created_at").isNotNull)
   }
 
+  /** Cross-batch duplicate-masking strategy (ST2):
+    *   - Exact: anti-join vs the existing table's keys — the
+    *     reference's PK-upsert semantics verbatim (masks even a
+    *     producer publishing the same post twice at different
+    *     offsets). Probe cost grows with the table.
+    *   - Fast: in-batch key dedup + per-batch commit markers —
+    *     exactly-once under checkpointed replay with O(batch) cost;
+    *     the 100 TB default. Producer-level content duplicates are
+    *     handled upstream (StreamOps.dedupWithinWatermark).
+    */
+  sealed trait DedupMode
+  case object Exact extends DedupMode
+  case object Fast extends DedupMode
+
   /** Start the full pipeline. `follows` is the static edge table
     * (stream-static join — F1). Each micro-batch: route dead letters,
     * fan out valid posts, idempotent-append to the feed. */
@@ -56,12 +70,13 @@ object FeedStream {
       follows: DataFrame,
       feedPath: String,
       checkpointPath: String,
-      deadLetterPath: Option[String] = None): StreamingQuery = {
+      deadLetterPath: Option[String] = None,
+      dedupMode: DedupMode = Exact): StreamingQuery = {
     val parsed = parse(raw)
     parsed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val valid = batch.filter(col("_valid"))
           .select("post_id", "author_id", "body", "created_at")
         deadLetterPath.foreach { p =>
@@ -70,7 +85,10 @@ object FeedStream {
           if (!dead.isEmpty) dead.write.mode("append").parquet(p)
         }
         val feedRows = Fanout.fanout(valid, follows)
-        IdempotentSink.appendDedup(spark, feedRows, feedPath, Schemas.feedKey)
+        dedupMode match {
+          case Exact => IdempotentSink.appendDedup(spark, feedRows, feedPath, Schemas.feedKey)
+          case Fast => IdempotentSink.appendOnce(spark, feedRows, batchId, feedPath, Schemas.feedKey)
+        }
         ()
       }
       .start()

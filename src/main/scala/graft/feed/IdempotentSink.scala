@@ -31,6 +31,30 @@ import org.apache.spark.sql.functions._
   */
 object IdempotentSink {
 
+  /** Replay-safe append keyed on the micro-batch id: a batch that
+    * already committed is skipped entirely (marker file), so
+    * crash-replay of a partially-written batch cannot double-append…
+    * except for the partial write itself, which the in-batch key dedup
+    * cannot see. For THAT window `appendDedup` (anti-join mode) is the
+    * airtight choice; this mode trades it for O(batch) cost: no scan
+    * of the existing table, so throughput is flat as the feed grows —
+    * the 100 TB default, with the caveat documented.
+    *
+    * Returns rows appended (0 for a replayed batch). */
+  def appendOnce(spark: SparkSession, batch: DataFrame, batchId: Long,
+      path: String, keys: Seq[String]): Long = {
+    val marker = java.nio.file.Paths.get(path, "_graft_commits", batchId.toString)
+    if (java.nio.file.Files.exists(marker)) return 0L
+    val deduped = batch.dropDuplicates(keys).cache()
+    try {
+      val n = deduped.count()
+      if (n > 0) deduped.write.mode("append").parquet(path)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.createFile(marker)
+      n
+    } finally deduped.unpersist()
+  }
+
   /** Append `batch` into parquet dir `path`, dropping rows whose
     * `keys` already exist. Returns rows actually appended. */
   def appendDedup(spark: SparkSession, batch: DataFrame, path: String,

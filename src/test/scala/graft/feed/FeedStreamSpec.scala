@@ -82,6 +82,22 @@ class FeedStreamSpec extends SparkSpec {
     assert(readFeed(feedPath).size == 1)
   }
 
+  test("Fast mode: in-batch dedup + batch replay markers give exactly-once (ST1/ST2)") {
+    val feedPath = tmp("feedfast")
+    val in = memStream[String]
+    val q = FeedStream.start(spark, in.toDF(), Seq(Follow("u-almaz", "u-nur")).toDS.toDF,
+      feedPath, tmp("ckf"), dedupMode = FeedStream.Fast)
+    try {
+      in.addData(Seq(goodJson, goodJson)) // duplicate inside one batch
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readFeed(feedPath).size == 1)
+    // crash-replay of an already-committed batch: marker short-circuits
+    val replayRows = Seq(FeedEntry("u-almaz", "p-100", "u-nur", "x", null)).toDS.toDF
+    val appended = IdempotentSink.appendOnce(spark, replayRows, 0L, feedPath, Schemas.feedKey)
+    assert(appended == 0L)
+  }
+
   test("multi-batch multi-author fan-out preserves the delivery invariant (F5)") {
     val follows = (1 to 4).map(i => Follow(s"u-$i", "a-1")) ++
       (3 to 6).map(i => Follow(s"u-$i", "a-2"))
