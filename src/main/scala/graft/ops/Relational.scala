@@ -230,7 +230,66 @@ object Relational {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
 
+  /** Window frames: running sum + moving average over an ordered
+    * frame (rowsBetween — the frame family SURVEY §2.6 exposes via
+    * Spark). */
+  def runningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .withColumn("running_sum",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("moving_avg3",
+        round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4))
+      .select(col("user_id"), col("event_id"), col("running_sum"), col("moving_avg3"))
+  }
+
+  val runningSumSql: String =
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER w, 2) AS running_sum,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Correlated scalar subquery — customers whose average order value
+    * exceeds their segment's average (Catalyst decorrelates to a
+    * join, SURVEY §4). */
+  def aboveSegmentAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val perCust = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"),
+        sum(col("o_totalprice")).as("cust_total"), count(lit(1)).as("n_orders"))
+    val perSeg = perCust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(avg(col("cust_avg")).as("seg_avg"))
+    perCust.join(broadcast(perSeg), col("c_mktsegment") === col("seg"))
+      .filter(col("cust_avg") > col("seg_avg"))
+      // output the SUM, not the avg: averages of 2-decimal money values
+      // sit exactly on rounding boundaries, so cross-engine 1-ulp sum
+      // differences flip round(avg, 2); the sum's true value is on the
+      // 2-decimal grid, making the round boundary-free.
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("cust_total"), 2).as("cust_total"), col("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val aboveSegmentAvgSql: String =
+    """WITH pc AS (SELECT c_custkey, c_mktsegment, avg(o_totalprice) AS cust_avg,
+      |    sum(o_totalprice) AS cust_total, count(*) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_mktsegment)
+      |SELECT c_custkey, c_mktsegment, round(cust_total, 2) AS cust_total, n_orders
+      |FROM pc p
+      |WHERE cust_avg > (SELECT avg(cust_avg) FROM pc
+      |  WHERE c_mktsegment = p.c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_running_sum" -> runningSum,
+    "q43_above_segment_avg" -> aboveSegmentAvg,
     "q01_pricing_summary" -> pricingSummary,
     "q02_point_lookup" -> pointLookup,
     "q03_filter_scan" -> filterScan,
@@ -245,6 +304,8 @@ object Relational {
     "q12_set_ops" -> setOps)
 
   def oracles: Map[String, String] = Map(
+    "q42_running_sum" -> runningSumSql,
+    "q43_above_segment_avg" -> aboveSegmentAvgSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_point_lookup" -> pointLookupSql,
     "q03_filter_scan" -> filterScanSql,

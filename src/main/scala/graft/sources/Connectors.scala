@@ -50,6 +50,20 @@ object Connectors {
       .option("kafka.linger.ms", "5")
       .option("checkpointLocation", checkpoint)
 
+  /** Deployment path for a live Cassandra feed table (BASELINE.json
+    * `spark_approach`): the spark-cassandra-connector sink. The
+    * connector jar isn't in this offline build, so the writer is
+    * config-only here (format resolution happens at start); the
+    * Parquet-backed tables used everywhere else have identical key
+    * semantics (SURVEY §2.1 S4/S5). */
+  def cassandraFeedSink(df: DataFrame, keyspace: String, table: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("org.apache.spark.sql.cassandra")
+      .option("keyspace", keyspace)
+      .option("table", table)
+      .option("spark.cassandra.output.consistency.level", "QUORUM") // cassandra.go:58
+      .option("checkpointLocation", checkpoint)
+
   /** S8 — CSV export (reference latency-vector dumps,
     * bench/e2e_bench/e2e_bench.go:246-255). */
   def csvExport(df: DataFrame, path: String, header: Boolean = true): Unit =
