@@ -45,8 +45,11 @@ object Similarity {
   }
 
   /** IVF index: deterministic seed centroids (every `seedStep`-th
-    * vector), each vector assigned to its max-cosine centroid. */
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, seedStep: Int): DataFrame = {
+    * vector), each vector assigned to its `nAssign` max-cosine
+    * centroids (multi-assignment trades nAssign× index size for
+    * recall on boundary vectors — nAssign=1 is the classic index). */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, seedStep: Int,
+      nAssign: Int = 1): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
     val cents = n.filter(col(idCol) % seedStep === 0)
       .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
@@ -54,7 +57,7 @@ object Similarity {
     n.join(broadcast(cents))
       .withColumn("csim", cosine(col(vecCol), col("cv"), col("norm"), col("cn")))
       .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
+      .filter(col("r") <= nAssign)
       .select(col(idCol), col("c_id").as("cluster_id"), col(vecCol), col("norm"))
   }
 
@@ -84,8 +87,8 @@ object Similarity {
 
   /** Embedding near-dup pairs: all pairs with cosine ≥ threshold
     * (the embedding-space analogue of Dedup.jaccardPairs). Quadratic
-    * by construction — the exact baseline; the scale path buckets by
-    * IVF cluster first (near-dups share a cluster overwhelmingly). */
+    * by construction — the exact baseline; the scale path is
+    * `cosineDupPairsIVF`. */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minSim: Double): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
@@ -95,5 +98,25 @@ object Similarity {
       .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Scale path for embedding near-dup: pair only vectors sharing an
+    * IVF cluster — the pair join becomes an equi-join on cluster_id
+    * (shuffle-partitioned, quadratic only within a cluster). High-
+    * similarity pairs co-cluster overwhelmingly; recall vs the exact
+    * baseline is asserted in DedupSimilaritySpec. */
+  def cosineDupPairsIVF(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, seedStep: Int, nAssign: Int = 2): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, seedStep, nAssign)
+    val a = assigned.select(col("cluster_id"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cluster_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .distinct()
   }
 }

@@ -59,6 +59,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-bucketed near-dup pairs find the exact pairs (sf0.01 planted dup)") {
+    val dir01 = "/root/testdata/sf0.01"
+    val e = graft.Tables.load(spark, dir01, "embeddings")
+    val exact = Similarity.cosineDupPairs(e, "vec_id", "embedding", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosineDupPairsIVF(e, "vec_id", "embedding", 0.5, seedStep = 37)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+    assert(exact.nonEmpty && bucketed == exact,
+      s"IVF bucketing missed pairs: ${exact -- bucketed}")
+  }
+
   test("IVF recall@5 vs brute force ≥ 0.6 with 4 probes") {
     val exact = SimilarityShapes.cosineTopK(spark, dir)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
