@@ -109,18 +109,50 @@ object Dedup {
     jaccardPairs(sh, minJaccard, Some(lshCandidates(bands)))
   }
 
-  /** 16-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
-    * votes +1 for bit j else −1 per token occurrence; bit = vote>0. */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** N-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
+    * votes +1 for bit j else −1 per token occurrence; bit = vote>0.
+    * bits ≤ 32 (one md5 hex digit per bit). */
+  def simhashBits(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
     val toks = docs
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("th", md5(col("tok")))
-    val votes = (0 until 16).map(j =>
+    val votes = (0 until bits).map(j =>
       sum(TextFunctions.tokenBitVote(col("th"), j)).as(s"v$j"))
     toks.groupBy(col("id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("id"),
-        concat((0 until 16).map(j => when(col(s"v$j") > 0, "1").otherwise("0")): _*)
+        concat((0 until bits).map(j => when(col(s"v$j") > 0, "1").otherwise("0")): _*)
           .as("simhash"))
+  }
+
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBits(docs, idCol, textCol, 16)
+
+  /** SimHash near-dup pairs: band the bit string (4 bands), join on
+    * any shared band (pigeonhole: catches every pair with ≤3 differing
+    * bits), filter by exact Hamming distance via the codegen'd
+    * HammingDistance expression. Linear-ish: the band join touches
+    * only same-bucket docs. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val bandBits = bits / 4
+    val sh = simhashBits(docs, idCol, textCol, bits).persist()
+    val bands = sh.crossJoin(
+        sh.sparkSession.range(4).select(col("id").cast("int").as("b")).hint("broadcast"))
+      .select(col("id"), col("simhash"), col("b"),
+        expr(s"substring(simhash, b * $bandBits + 1, $bandBits)").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

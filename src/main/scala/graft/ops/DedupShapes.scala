@@ -76,13 +76,40 @@ object DedupShapes {
        |FROM sh GROUP BY simhash ORDER BY simhash""".stripMargin
   }
 
+  /** SimHash near-dup pairs: 32-bit hashes, banded candidates, exact
+    * Hamming ≤ 1 via the codegen'd HammingDistance expression. */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, dir), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  val simhashNearDupsSql: String = {
+    val highDigits = "('8','9','a','b','c','d','e','f')"
+    val votes = (0 until 32).map(j =>
+      s"sum(CASE WHEN substr(th, ${j + 1}, 1) IN $highDigits THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+    val bits = (0 until 32).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH t AS (SELECT doc_id AS id,
+       |    md5(unnest(string_split_regex(trim(text), '${"\\s+"}'))) AS th
+       |  FROM documents),
+       |v AS (SELECT id, $votes FROM t GROUP BY id),
+       |sh AS (SELECT id, $bits AS simhash FROM v),
+       |band AS (SELECT id, simhash, b, substr(simhash, b * 8 + 1, 8) AS key
+       |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.simhash AS h_a, b.simhash AS h_b
+       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(hamming(h_a, h_b) AS INT) AS hamming FROM cand
+       |WHERE hamming(h_a, h_b) <= 1 ORDER BY id_a, id_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_jaccard_pairs" -> jaccardPairs,
     "q31_minhash_lsh" -> minhashLsh,
-    "q32_simhash_buckets" -> simhashBuckets)
+    "q32_simhash_buckets" -> simhashBuckets,
+    "q44_simhash_neardups" -> simhashNearDups)
 
   def oracles: Map[String, String] = Map(
     "q30_jaccard_pairs" -> jaccardPairsSql,
     "q31_minhash_lsh" -> minhashLshSql,
-    "q32_simhash_buckets" -> simhashBucketsSql)
+    "q32_simhash_buckets" -> simhashBucketsSql,
+    "q44_simhash_neardups" -> simhashNearDupsSql)
 }

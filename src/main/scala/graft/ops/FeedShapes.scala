@@ -115,13 +115,44 @@ object FeedShapes {
       |  count(*) AS n, max(length(text)) AS max_len
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Two-hop reach over the follow graph (friends-of-friends — the
+    * graph-traversal shape the social domain implies): edge self-join
+    * with distinct-count per origin. Edges: u follows u%97 and
+    * (u*3+1)%97. */
+  def twoHop(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("u"))
+    val edges = c.select(col("u"), (col("u") % 97).as("v"))
+      .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    val e2 = edges.select(col("u").as("mid"), col("v").as("dst"))
+    edges.join(e2, col("v") === col("mid"))
+      .filter(col("dst") =!= col("u"))
+      .groupBy(col("u"))
+      .agg(countDistinct(col("dst")).as("n_two_hop"))
+      .orderBy(col("u"))
+  }
+
+  val twoHopSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT u, v FROM (
+      |    SELECT c_custkey AS u, c_custkey % 97 AS v FROM customer
+      |    UNION ALL
+      |    SELECT c_custkey, (c_custkey * 3 + 1) % 97 FROM customer)
+      |  WHERE u <> v)
+      |SELECT a.u, count(DISTINCT b.v) AS n_two_hop
+      |FROM e a JOIN e b ON a.v = b.u
+      |WHERE b.v <> a.u
+      |GROUP BY a.u ORDER BY a.u""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_two_hop" -> twoHop,
     "q21_fanout_agg" -> fanoutAgg,
     "q22_undelivered" -> undeliveredAgg,
     "q23_claim_usernames" -> claimUsernames,
     "q24_validation_split" -> validationSplit)
 
   def oracles: Map[String, String] = Map(
+    "q46_two_hop" -> twoHopSql,
     "q21_fanout_agg" -> fanoutAggSql,
     "q22_undelivered" -> undeliveredAggSql,
     "q23_claim_usernames" -> claimUsernamesSql,

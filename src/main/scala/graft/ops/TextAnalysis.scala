@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions.row_number
 
 /** Text-analysis operators over the `documents` table (north-star
   * extension: language-ID, quality scoring, token counting,
@@ -117,7 +118,38 @@ object TextAnalysis {
        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   }
 
+  /** Top-5 word bigrams per language (n-gram frequency profile —
+    * reuses the dedup shingler; rank window with deterministic
+    * tie-break). */
+  def topBigrams(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("lang"), col("doc_id"), col("text"))
+    val grams = Dedup.wordBigrams(sh.withColumnRenamed("doc_id", "id0"), "id0", "text")
+      .join(sh.select(col("doc_id").as("id"), col("lang")), "id")
+    val counted = grams.groupBy(col("lang"), col("sh").as("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counted.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val topBigramsSql: String =
+    s"""WITH toks AS (SELECT doc_id AS id, lang,
+       |    string_split_regex(trim(text), '$WS') AS ts FROM documents),
+       |pos AS (SELECT id, lang, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |  FROM toks WHERE len(ts) >= 2),
+       |sh AS (SELECT DISTINCT id, lang, ts[i] || ' ' || ts[i+1] AS bigram FROM pos),
+       |counted AS (SELECT lang, bigram, count(*) AS n FROM sh GROUP BY lang, bigram),
+       |r AS (SELECT lang, bigram, n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+       |  FROM counted)
+       |SELECT lang, rnk, bigram, n FROM r WHERE rnk <= 5
+       |ORDER BY lang, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_top_bigrams" -> topBigrams,
     "q25_token_stats" -> tokenStats,
     "q26_langid_confusion" -> langIdConfusion,
     "q27_quality_scores" -> qualityScores,
@@ -125,6 +157,7 @@ object TextAnalysis {
     "q29_redaction" -> redaction)
 
   def oracles: Map[String, String] = Map(
+    "q45_top_bigrams" -> topBigramsSql,
     "q25_token_stats" -> tokenStatsSql,
     "q26_langid_confusion" -> langIdConfusionSql,
     "q27_quality_scores" -> qualityScoresSql,

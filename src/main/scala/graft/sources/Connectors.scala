@@ -74,6 +74,25 @@ object Connectors {
   def csvSource(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC export/source — the second columnar format the engine speaks
+    * natively (predicate pushdown + column pruning work identically to
+    * parquet). */
+  def orcExport(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orcSource(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines export/source (schema-explicit read — §1.3: unknown
+    * fields dropped, missing fields null, exactly the worker's
+    * json.Unmarshal behavior). */
+  def jsonExport(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def jsonSource(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
 
 /** S9 — typed config from the environment (reference

@@ -53,6 +53,31 @@ class MultimodalSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("ORC + JSON round-trips; JSON schema-on-read drops unknown fields") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val orcDir = java.nio.file.Files.createTempDirectory("orc").toString
+    graft.sources.Connectors.orcExport(df, orcDir)
+    assert(graft.sources.Connectors.orcSource(spark, orcDir)
+      .orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+
+    val jsonDir = java.nio.file.Files.createTempDirectory("json").toString
+    graft.sources.Connectors.jsonExport(df, jsonDir)
+    // narrower explicit schema: unknown field `v` dropped, missing `extra` null
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.StringType)))
+    val back = graft.sources.Connectors.jsonSource(spark, jsonDir, schema)
+    assert(back.columns.toSeq == Seq("id", "extra"))
+    assert(back.filter(col("extra").isNull).count() == 2)
+  }
+
+  test("hamming expression: codegen'd distance matches manual count") {
+    val df = Seq(("0101", "0001"), ("1111", "1111"), ("10", "01")).toDF("a", "b")
+    val got = df.select(graft.functions.HammingExpression.hamming(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(got == Seq(1, 0, 2))
+  }
+
   test("GraftConfig env parsing with defaults (S9)") {
     val c = graft.sources.GraftConfig.fromEnv(Map("GRAFT_PARTITION" -> "3"))
     assert(c.partition == 3 && c.topic == "feed-topic" && c.shufflePartitions == 32)
