@@ -32,6 +32,7 @@ object GraftSession {
       // full precision and lets queries compare exactly against
       // DuckDB's epoch_ns().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions) // dot_product/hamming as SQL functions
     b.getOrCreate()
   }
 

@@ -122,10 +122,15 @@ object TextAnalysis {
     * reuses the dedup shingler; rank window with deterministic
     * tie-break). */
   def topBigrams(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir).select(col("lang"), col("doc_id"), col("text"))
-    val grams = Dedup.wordBigrams(sh.withColumnRenamed("doc_id", "id0"), "id0", "text")
-      .join(sh.select(col("doc_id").as("id"), col("lang")), "id")
-    val counted = grams.groupBy(col("lang"), col("sh").as("bigram"))
+    // lang rides along the explode (joining it back after shingling
+    // costs a shuffle of every bigram string)
+    val grams = docs(s, dir)
+      .select(col("lang"), split(trim(col("text")), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("lang"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
+        .as("bigram"))
+    val counted = grams.groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))

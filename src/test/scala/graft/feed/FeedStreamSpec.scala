@@ -98,6 +98,25 @@ class FeedStreamSpec extends SparkSpec {
     assert(appended == 0L)
   }
 
+  test("sink failure leaves no commit marker; retry of the same batch succeeds (store-failure negative)") {
+    // mirror of the reference's failing-store doubles (worker_test.go):
+    // a write that throws must not mark the batch committed.
+    val base = tmp("failsink")
+    val blocker = java.nio.file.Paths.get(base, "feed")
+    java.nio.file.Files.writeString(blocker, "not-a-directory") // poison target
+    val rows = Seq(FeedEntry("u-1", "p-1", "a", "b",
+      Timestamp.valueOf("2026-01-01 00:00:00"))).toDS.toDF
+    intercept[Throwable] {
+      IdempotentSink.appendOnce(spark, rows, 7L, blocker.toString, Schemas.feedKey)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(blocker.toString, "_graft_commits", "7")))
+    // operator recovers: same batchId against a healthy path commits once
+    java.nio.file.Files.delete(blocker)
+    assert(IdempotentSink.appendOnce(spark, rows, 7L, blocker.toString, Schemas.feedKey) == 1L)
+    assert(IdempotentSink.appendOnce(spark, rows, 7L, blocker.toString, Schemas.feedKey) == 0L)
+  }
+
   test("multi-batch multi-author fan-out preserves the delivery invariant (F5)") {
     val follows = (1 to 4).map(i => Follow(s"u-$i", "a-1")) ++
       (3 to 6).map(i => Follow(s"u-$i", "a-2"))
