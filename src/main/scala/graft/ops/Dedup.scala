@@ -94,6 +94,36 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
+  /** Production-hash MinHash signatures: xxhash64 seeded per hash
+    * index — ~an order of magnitude cheaper than md5 strings (8-byte
+    * longs, codegen'd hash). Same uniformity argument, NOT
+    * oracle-portable (DuckDB has no xxhash64): the md5 variant stays
+    * as the gate-certified path; the spec asserts both find the same
+    * verified near-dup pairs. */
+  def minhashSignaturesFast(shingleSets: DataFrame, numHashes: Int): DataFrame = {
+    val hs = shingleSets.sparkSession.range(numHashes).select(col("id").cast("int").as("i"))
+    shingleSets.crossJoin(broadcast(hs))
+      .groupBy(col("id"), col("i"))
+      .agg(min(xxhash64(col("i"), col("sh"))).as("sigl"))
+  }
+
+  /** LSH bands over long signatures (fast path). */
+  def lshBandsFast(signatures: DataFrame, bandSize: Int): DataFrame =
+    signatures
+      .withColumn("b", expr(s"CAST(i DIV $bandSize AS INT)"))
+      .groupBy(col("id"), col("b"))
+      .agg(collect_list(struct(col("i"), col("sigl"))).as("ss"))
+      .select(col("id"), col("b"),
+        xxhash64(expr("transform(array_sort(ss), x -> x.sigl)")).as("key"))
+
+  /** Fast-path MinHash+LSH dedup (xxhash64 end to end). */
+  def minhashDedupFast(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val sh = wordBigrams(docs, idCol, textCol).persist()
+    val bands = lshBandsFast(minhashSignaturesFast(sh, numHashes), bandSize).persist()
+    jaccardPairs(sh, minJaccard, Some(lshCandidates(bands)))
+  }
+
   /** Full MinHash+LSH near-dup pipeline with exact verification of
     * the candidate set.
     *

@@ -39,6 +39,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("fast (xxhash64) minhash finds the same verified near-dup pairs as the md5 path") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val md5Pairs = Dedup.minhashDedup(d, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fastPairs = Dedup.minhashDedupFast(d, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(md5Pairs.nonEmpty && fastPairs == md5Pairs,
+      s"fast missed ${md5Pairs -- fastPairs}, extra ${fastPairs -- md5Pairs}")
+  }
+
   test("simhash: identical docs same hash; hash is 16 bits") {
     val d = Seq((1L, "one two three"), (2L, "one two three"), (3L, "totally different words here"))
       .toDF("doc_id", "text")
