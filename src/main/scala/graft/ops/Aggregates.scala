@@ -202,7 +202,44 @@ object Aggregates {
         round(expr("percentile_approx(value, 0.99, 1000)"), 4).as("approx_p99"))
       .orderBy(col("event_type"))
 
+  /** Pivot: per-user event-type counts as columns (fixed pivot values
+    * → deterministic schema; oracle mirrors with FILTER aggregates). */
+  def pivotEventCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") < 30)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  val pivotEventCountsSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+      |FROM events WHERE user_id < 30 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Generator surface (§2.8): posexplode of whitespace tokens —
+    * one row per (doc, position, token). */
+  def posexplodeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val posexplodeTokensSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents WHERE doc_id < 20),
+      |p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos FROM t)
+      |SELECT doc_id, pos, ts[pos] AS token FROM p ORDER BY doc_id, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_pivot_events" -> pivotEventCounts,
+    "q48_posexplode_tokens" -> posexplodeTokens,
     "q40_cube_revenue" -> cubeRevenue,
     "q41_approx_stats" -> approxStats,
     "q13_percentiles" -> percentiles,
@@ -215,6 +252,8 @@ object Aggregates {
     "q20_distinct_users" -> distinctUsers)
 
   def oracles: Map[String, String] = Map(
+    "q47_pivot_events" -> pivotEventCountsSql,
+    "q48_posexplode_tokens" -> posexplodeTokensSql,
     "q40_cube_revenue" -> cubeRevenueSql,
     "q13_percentiles" -> percentilesSql,
     "q14_trimmed_mean" -> trimmedMeanSql,
