@@ -23,7 +23,8 @@ object SparkEntry {
     QueryModule(DedupShapes.queries, DedupShapes.oracles),
     QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles),
     QueryModule(MiscShapes.queries, MiscShapes.oracles),
-    QueryModule(BenchShapes.queries, BenchShapes.oracles))
+    QueryModule(BenchShapes.queries, BenchShapes.oracles),
+    QueryModule(AsOf.queries, AsOf.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)
