@@ -24,7 +24,8 @@ object SparkEntry {
     QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles),
     QueryModule(MiscShapes.queries, MiscShapes.oracles),
     QueryModule(BenchShapes.queries, BenchShapes.oracles),
-    QueryModule(AsOf.queries, AsOf.oracles))
+    QueryModule(AsOf.queries, AsOf.oracles),
+    QueryModule(Temporal.queries, Temporal.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)
