@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+
 import graft.functions.TextFunctions
 
 /** Near-duplicate detection for the training-data pipeline (north

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions
 
 /** Oracle-gated entries for the Dedup operators (full `documents`
   * corpus — the planted near-dups sit at Jaccard ≥ 0.9). */

@@ -3,7 +3,7 @@ package graft.tools
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.{GraftSession, Tables}
+import graft.GraftSession
 import graft.feed._
 import graft.functions.TrimmedAggs
 import graft.sources.Connectors
