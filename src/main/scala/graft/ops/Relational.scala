@@ -287,7 +287,26 @@ object Relational {
       |  WHERE c_mktsegment = p.c_mktsegment)
       |ORDER BY c_custkey""".stripMargin
 
+  /** R3 all-users top-K via the bounded TopKPairs Aggregator —
+    * map-side partial heaps instead of the window's full shuffle+sort
+    * (q04 is the window form; both must match the same oracle). */
+  def topKPerUserAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(graft.functions.TopKAgg.top_k_pairs(col("ts"), col("event_id"), 3).as("tk"))
+      .select(col("user_id"), posexplode(col("tk")))
+      .select(col("user_id"), (col("pos") + 1).as("rn"),
+        col("col._2").as("event_id"), expr("col._1 div 1000").as("ts_us"))
+      .orderBy(col("user_id"), col("rn"))
+
+  val topKPerUserAggSql: String =
+    """SELECT user_id, rn, event_id, ts_us FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_topk_agg" -> topKPerUserAgg,
     "q42_running_sum" -> runningSum,
     "q43_above_segment_avg" -> aboveSegmentAvg,
     "q01_pricing_summary" -> pricingSummary,
@@ -304,6 +323,7 @@ object Relational {
     "q12_set_ops" -> setOps)
 
   def oracles: Map[String, String] = Map(
+    "q52_topk_agg" -> topKPerUserAggSql,
     "q42_running_sum" -> runningSumSql,
     "q43_above_segment_avg" -> aboveSegmentAvgSql,
     "q01_pricing_summary" -> pricingSummarySql,

@@ -90,6 +90,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("TopKPairs aggregator form equals the window form (R3 two plans, one answer)") {
+    val dir01 = "/root/testdata/sf0.01"
+    val agg = Relational.topKPerUserAgg(spark, dir01)
+      .select("user_id", "rn", "event_id").as[(Long, Int, Long)].collect().toSet
+    val win = Relational.topKPerUser(spark, dir01)
+      .select("user_id", "rn", "event_id").as[(Long, Int, Long)].collect().toSet
+    assert(agg == win && agg.nonEmpty)
+  }
+
   test("langId picks the language with most marker hits; und when none") {
     val d = Seq(
       (1L, "the cat and the dog is in to"),
