@@ -73,12 +73,44 @@ object MiscShapes {
       .orderBy(col("kind"))
   }
 
+  /** String-function + null-semantics family (SC11/SC8 widening):
+    * pad/reverse/translate/repeat/concat_ws and null-safe equality /
+    * nullif / coalesce — all portable builtins. */
+  def stringNullFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(
+        col("c_custkey"),
+        lpad(col("c_mktsegment"), 12, ".").as("padded"),
+        reverse(col("c_name")).as("rev_name"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lowered_vowels"),
+        concat_ws("|", col("c_mktsegment"), repeat(lit("x"), 3)).as("joined"),
+        (col("c_mktsegment") <=> lead(col("c_mktsegment"), 1)
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("c_custkey"))))
+          .as("same_as_next"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(building)"))
+          .as("no_building"))
+      .orderBy(col("c_custkey"))
+
+  val stringNullFuncsSql: String =
+    """SELECT c_custkey,
+      |  lpad(c_mktsegment, 12, '.') AS padded,
+      |  reverse(c_name) AS rev_name,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+      |  concat_ws('|', c_mktsegment, repeat('x', 3)) AS joined,
+      |  c_mktsegment IS NOT DISTINCT FROM
+      |    lead(c_mktsegment, 1) OVER (ORDER BY c_custkey) AS same_as_next,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(building)') AS no_building
+      |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_string_null_funcs" -> stringNullFuncs,
     "q36_binary_meta" -> binaryMeta,
     "q37_jwt_claims" -> jwtClaims,
     "q38_media_decode" -> mediaDecode)
 
   def oracles: Map[String, String] = Map(
+    "q53_string_null_funcs" -> stringNullFuncsSql,
     "q36_binary_meta" -> binaryMetaSql,
     "q37_jwt_claims" -> jwtClaimsSql)
 }
