@@ -44,6 +44,15 @@ object Warehouse {
       java.nio.file.Paths.get(path, "_graft_buckets"), buckets.toString)
   }
 
+  /** Compact a flat feed (as the streaming foreachBatch sink produces)
+    * into the partitioned layout — the periodic maintenance job that
+    * turns append-order files into pruned, read-optimized storage.
+    * The stream keeps appending to `flatPath`; `compact` republishes
+    * the full current state (overwrite is atomic per partition dir). */
+  def compact(spark: SparkSession, flatPath: String, warehousePath: String,
+      buckets: Int = DefaultBuckets): Unit =
+    writeFeed(spark.read.parquet(flatPath), warehousePath, buckets)
+
   /** Bucket count recorded at write time. */
   def bucketCount(path: String): Int =
     java.nio.file.Files.readString(

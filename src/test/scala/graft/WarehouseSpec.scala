@@ -33,6 +33,23 @@ class WarehouseSpec extends SparkSpec {
     assert(scanned.contains("user_bucket"), "bucket predicate must reach the scan")
   }
 
+  test("compact: streaming flat output -> partitioned layout, same content") {
+    val flat = Files.createTempDirectory("flat").toString
+    val wh = Files.createTempDirectory("whc").toString
+    val feed = mkFeed
+    // simulate two streaming micro-batch appends
+    feed.filter(col("user_id") <= "user-2").write.mode("append").parquet(flat)
+    feed.filter(col("user_id") > "user-2").write.mode("append").parquet(flat)
+    Warehouse.compact(spark, flat, wh, buckets = 8)
+    val table = Warehouse.openFeed(spark, wh)
+    assert(table.df.count() == feed.count())
+    val top = Warehouse.feedTopK(table, "user-9", 3)
+    assert(top.as[FeedEntry].collect().toSeq ==
+      feed.filter(col("user_id") === "user-9")
+        .orderBy(col("created_at").desc, col("post_id")).limit(3)
+        .as[FeedEntry].collect().toSeq)
+  }
+
   test("bucket count bounds directories; every user readable") {
     val path = Files.createTempDirectory("wh2").toString
     Warehouse.writeFeed(mkFeed, path, buckets = 8)
