@@ -23,6 +23,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object PostIngest {
 
+  /** SC3/SC5 — server-side row construction (reference
+    * httphandlers.go:140-145): assign a UUID v4 post_id and the
+    * current timestamp to raw (author_id, body) submissions. */
+  def withGeneratedIds(submissions: DataFrame): DataFrame =
+    submissions
+      .withColumn("post_id", org.apache.spark.sql.functions.expr("uuid()"))
+      .withColumn("created_at", org.apache.spark.sql.functions.current_timestamp())
+      .select("post_id", "author_id", "body", "created_at")
+
   /** Build the Kafka envelope: key = "post_created" (reference
     * httphandlers.go:154-158), value = JSON with the reference's
     * field names (`id`, `created` — models.go:10-15). */

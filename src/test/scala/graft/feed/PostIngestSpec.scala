@@ -39,6 +39,33 @@ class PostIngestSpec extends SparkSpec {
     assert(row == (("p-1", "u-nur", "Hello!", t0)))
   }
 
+  test("withGeneratedIds: unique v4 UUIDs + timestamps (SC3/SC5)") {
+    val subs = (1 to 500).map(i => (s"u-${i % 7}", s"body $i")).toDF("author_id", "body")
+    val posts = PostIngest.withGeneratedIds(subs).cache()
+    val ids = posts.select("post_id").as[String].collect()
+    assert(ids.length == 500 && ids.distinct.length == 500)
+    val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    ids.take(20).foreach(id => assert(v4.matches(id), s"not v4: $id"))
+    assert(posts.filter(col("created_at").isNull).count() == 0)
+    posts.unpersist()
+  }
+
+  test("file-source rate limiting: maxFilesPerTrigger bounds each micro-batch (F3/ST6 analog)") {
+    val in = tmp("ratelim")
+    (1 to 4).foreach { i =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/f$i.txt"),
+        s"""{"id":"p-$i","author_id":"u-nur","body":"b","created":"2026-01-01T00:00:0$i.000Z"}""")
+    }
+    val feedPath = tmp("ratefeed")
+    val raw = spark.readStream.option("maxFilesPerTrigger", "1").text(in)
+    val q = FeedStream.start(spark, raw, Seq(Follow("u-almaz", "u-nur")).toDS.toDF,
+      feedPath, tmp("rateck"))
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(feedPath).count() == 4)
+    // 4 files × 1 file per trigger → at least 4 micro-batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+  }
+
   test("full loop: ingest -> topic -> feed pipeline -> follower feed") {
     val topicDir = tmp("topic2"); val postsTable = tmp("posts2")
     val feedPath = tmp("feed2")
