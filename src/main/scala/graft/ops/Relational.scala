@@ -305,7 +305,26 @@ object Relational {
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
 
+  /** Left outer join with null-aware aggregation: every customer,
+    * order count 0 when none (completes the outer-join family). */
+  def leftJoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+      .filter(col("c_custkey") < 400)
+      .orderBy(col("c_custkey"))
+
+  val leftJoinAggSql: String =
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |WHERE c_custkey < 400
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_left_join_agg" -> leftJoinAgg,
     "q52_topk_agg" -> topKPerUserAgg,
     "q42_running_sum" -> runningSum,
     "q43_above_segment_avg" -> aboveSegmentAvg,
@@ -323,6 +342,7 @@ object Relational {
     "q12_set_ops" -> setOps)
 
   def oracles: Map[String, String] = Map(
+    "q54_left_join_agg" -> leftJoinAggSql,
     "q52_topk_agg" -> topKPerUserAggSql,
     "q42_running_sum" -> runningSumSql,
     "q43_above_segment_avg" -> aboveSegmentAvgSql,
