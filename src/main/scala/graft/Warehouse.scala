@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
   val DefaultBuckets = 64
+  private val CurrentMarker = "_graft_current"
+
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+  import scala.jdk.CollectionConverters._
 
   def bucketOf(userId: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(userId), lit(buckets.toLong))
@@ -31,41 +35,95 @@ object Warehouse {
     * newest-first within each partition. The bucket count is written
     * as layout metadata so readers can't silently probe the wrong
     * bucket (a wrong count would return an EMPTY result, not an
-    * error). */
+    * error).
+    *
+    * Publication is versioned, never in-place: data lands in a fresh
+    * `v<N>/` directory, then the `_graft_current` pointer is swapped
+    * via an atomic same-directory rename. Concurrent readers (cached
+    * FileIndex handles from openFeed) keep reading the version they
+    * opened — its files are untouched until `vacuum` — and a crash at
+    * ANY point leaves the pointer on the previous complete version.
+    * (A plain mode("overwrite") on the root would delete the whole
+    * directory before rewriting: readers break mid-compact and a
+    * crash loses the previous layout.) */
   def writeFeed(feed: DataFrame, path: String, buckets: Int = DefaultBuckets): Unit = {
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    val version = s"v${versionsOn(root).map(versionNum).maxOption.getOrElse(0L) + 1}"
+    val target = root.resolve(version)
     feed
       .withColumn("user_bucket", bucketOf(col("user_id"), buckets))
       .repartition(col("user_bucket"))
       .sortWithinPartitions(col("user_bucket"), col("user_id"), col("created_at").desc)
       .write.mode("overwrite")
       .partitionBy("user_bucket")
-      .parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_buckets"), buckets.toString)
+      .parquet(target.toString)
+    Files.writeString(target.resolve("_graft_buckets"), buckets.toString)
+    val tmp = root.resolve(CurrentMarker + ".tmp")
+    Files.writeString(tmp, version)
+    Files.move(tmp, root.resolve(CurrentMarker),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   /** Compact a flat feed (as the streaming foreachBatch sink produces)
     * into the partitioned layout — the periodic maintenance job that
     * turns append-order files into pruned, read-optimized storage.
-    * The stream keeps appending to `flatPath`; `compact` republishes
-    * the full current state (overwrite is atomic per partition dir). */
+    * The stream keeps appending to `flatPath`; `compact` publishes the
+    * full current state as a new version and repoints atomically, so
+    * readers see either the old or the new state, never a mix. Call
+    * `vacuum` afterwards (once in-flight readers drain) to drop
+    * superseded versions. */
   def compact(spark: SparkSession, flatPath: String, warehousePath: String,
       buckets: Int = DefaultBuckets): Unit =
     writeFeed(spark.read.parquet(flatPath), warehousePath, buckets)
 
-  /** Bucket count recorded at write time. */
+  /** Delete all superseded version directories. Safe once no reader
+    * still holds a FeedTable opened before the latest writeFeed. */
+  def vacuum(path: String): Unit = {
+    val root = Paths.get(path)
+    val current = currentVersion(root)
+    versionsOn(root).filterNot(_ == current).foreach { v =>
+      val w = Files.walk(root.resolve(v))
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private def versionNum(v: String): Long = v.stripPrefix("v").toLong
+
+  private def versionsOn(root: Path): Seq[String] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit))
+        .toSeq
+      finally s.close()
+    }
+
+  private def currentVersion(root: Path): String =
+    Files.readString(root.resolve(CurrentMarker)).trim
+
+  /** Directory of the current published version. */
+  def currentDataDir(path: String): String =
+    Paths.get(path).resolve(currentVersion(Paths.get(path))).toString
+
+  /** Bucket count recorded at write time (of the current version). */
   def bucketCount(path: String): Int =
-    java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_graft_buckets")).trim.toInt
+    Files.readString(
+      Paths.get(currentDataDir(path), "_graft_buckets")).trim.toInt
 
   /** Handle to an opened feed table: ONE directory listing (Spark
     * caches the FileIndex in the DataFrame), many pruned point
     * queries. Re-listing per query dominates read latency otherwise
-    * (~6× at bench scale). */
+    * (~6× at bench scale). The handle is pinned to the version current
+    * at open time; a concurrent compact publishes alongside it. */
   final case class FeedTable(df: DataFrame, buckets: Int)
 
   def openFeed(spark: SparkSession, path: String): FeedTable =
-    FeedTable(spark.read.parquet(path), bucketCount(path))
+    FeedTable(spark.read.parquet(currentDataDir(path)), bucketCount(path))
 
   /** Single-user top-K against an opened table: the bucket predicate
     * prunes partitions via the cached file index, the user predicate

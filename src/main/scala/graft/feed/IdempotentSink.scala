@@ -31,28 +31,47 @@ import org.apache.spark.sql.functions._
   */
 object IdempotentSink {
 
-  /** Replay-safe append keyed on the micro-batch id: a batch that
-    * already committed is skipped entirely (marker file), so
-    * crash-replay of a partially-written batch cannot double-append…
-    * except for the partial write itself, which the in-batch key dedup
-    * cannot see. For THAT window `appendDedup` (anti-join mode) is the
-    * airtight choice; this mode trades it for O(batch) cost: no scan
-    * of the existing table, so throughput is flat as the feed grows —
-    * the 100 TB default, with the caveat documented.
+  /** Replay-safe append keyed on the micro-batch id, with a two-phase
+    * marker:
     *
-    * Returns rows appended (0 for a replayed batch). */
+    *   - `_graft_commits/<id>` present → the batch fully committed;
+    *     replay is skipped outright.
+    *   - `_graft_commits/<id>.inflight` present but no commit marker →
+    *     a previous attempt crashed somewhere between starting the
+    *     append and committing (the batch may be absent, partial, or
+    *     even fully present). THIS replay reconciles via the anti-join
+    *     path (`appendDedup`), which drops whatever already landed.
+    *   - neither marker → first attempt: fast path, O(batch) only, no
+    *     scan of the existing table — throughput stays flat as the
+    *     feed grows (the 100 TB default). The inflight marker is two
+    *     tiny file ops, so the crash-free cost is unchanged.
+    *
+    * Net effect: exactly-once for every crash position, paying the
+    * existing-table key scan only on the replay attempt that actually
+    * follows a crash. Returns rows appended (0 for a replayed,
+    * already-committed batch). */
   def appendOnce(spark: SparkSession, batch: DataFrame, batchId: Long,
       path: String, keys: Seq[String]): Long = {
-    val marker = java.nio.file.Paths.get(path, "_graft_commits", batchId.toString)
+    val dir = java.nio.file.Paths.get(path, "_graft_commits")
+    val marker = dir.resolve(batchId.toString)
+    val inflight = dir.resolve(batchId.toString + ".inflight")
     if (java.nio.file.Files.exists(marker)) return 0L
-    val deduped = batch.dropDuplicates(keys).cache()
-    try {
-      val n = deduped.count()
-      if (n > 0) deduped.write.mode("append").parquet(path)
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.createFile(marker)
-      n
-    } finally deduped.unpersist()
+    java.nio.file.Files.createDirectories(dir)
+    val crashed = java.nio.file.Files.exists(inflight)
+    if (!crashed) java.nio.file.Files.createFile(inflight)
+    val n =
+      if (crashed) appendDedup(spark, batch, path, keys)
+      else {
+        val deduped = batch.dropDuplicates(keys).cache()
+        try {
+          val m = deduped.count()
+          if (m > 0) deduped.write.mode("append").parquet(path)
+          m
+        } finally { deduped.unpersist(); () }
+      }
+    java.nio.file.Files.createFile(marker)
+    java.nio.file.Files.deleteIfExists(inflight)
+    n
   }
 
   /** Append `batch` into parquet dir `path`, dropping rows whose

@@ -37,15 +37,21 @@ case class HammingDistance(left: Expression, right: Expression)
     d
   }
 
+  // Locals come from ctx.freshName so two HammingDistance instances (or a
+  // mix with other graft expressions) in one codegen'd stage can't collide
+  // on declarations and silently knock the stage back to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xb = ctx.freshName("xb"); val yb = ctx.freshName("yb")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
       s"""
-         |byte[] xb = $a.getBytes();
-         |byte[] yb = $b.getBytes();
-         |int n = Math.min(xb.length, yb.length);
-         |int d = Math.abs(xb.length - yb.length);
-         |for (int i = 0; i < n; i++) { if (xb[i] != yb[i]) d++; }
-         |${ev.value} = d;
+         |byte[] $xb = $a.getBytes();
+         |byte[] $yb = $b.getBytes();
+         |int $n = Math.min($xb.length, $yb.length);
+         |int $d = Math.abs($xb.length - $yb.length);
+         |for (int $i = 0; $i < $n; $i++) { if ($xb[$i] != $yb[$i]) $d++; }
+         |${ev.value} = $d;
        """.stripMargin
     })
 

@@ -56,17 +56,22 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
+  // Locals come from ctx.freshName so multiple DotProduct instances in one
+  // codegen'd projection (e.g. dot(a,b) and dot(a,a) side by side) can't
+  // collide on declarations and break whole-stage compilation.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $lGet * $rGet;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $lGet * $rGet;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

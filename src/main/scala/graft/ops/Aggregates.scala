@@ -118,11 +118,15 @@ object Aggregates {
         sum(when(col("user_id") % 2 === 0, 1).otherwise(0)).as("n_even_users"))
       .orderBy(col("event_type"), col("value_class"))
 
+  // n_even_users via FILTER count, not sum(CASE): DuckDB sum over INTEGER
+  // returns HUGEINT (int128), which the driver's hash compare does not
+  // coerce to Spark's BIGINT (round-1 q17 hash mismatch). count(*) FILTER
+  // returns BIGINT natively.
   val classifySql: String =
     """SELECT event_type,
       |  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_class,
       |  count(*) AS n,
-      |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_even_users
+      |  count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Rollup over the region→nation hierarchy (grouping-set family,

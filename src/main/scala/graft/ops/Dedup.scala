@@ -24,6 +24,20 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Materialize `result` (eager localCheckpoint — cuts lineage, so
+    * the persisted intermediates below are no longer referenced), then
+    * unpersist those intermediates. Pipelines that persist() shingle/
+    * band tables MUST return through this: returning a lazy plan over
+    * persisted inputs would leak cached partitions into the caller's
+    * session (executor memory/disk growth across invocations). The
+    * checkpointed result is the near-dup pair list — tiny next to the
+    * intermediates it replaces. */
+  private def materializeAndFree(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    out
+  }
+
   /** Distinct word-bigram shingles per document: 1-indexed
     * element_at matches the oracle's `ts[i] || ' ' || ts[i+1]`. */
   def wordBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -121,7 +135,8 @@ object Dedup {
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val sh = wordBigrams(docs, idCol, textCol).persist()
     val bands = lshBandsFast(minhashSignaturesFast(sh, numHashes), bandSize).persist()
-    jaccardPairs(sh, minJaccard, Some(lshCandidates(bands)))
+    materializeAndFree(
+      jaccardPairs(sh, minJaccard, Some(lshCandidates(bands))), sh, bands)
   }
 
   /** Full MinHash+LSH near-dup pipeline with exact verification of
@@ -136,7 +151,8 @@ object Dedup {
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val sh = wordBigrams(docs, idCol, textCol).persist()
     val bands = lshBands(minhashSignatures(sh, numHashes), bandSize).persist()
-    jaccardPairs(sh, minJaccard, Some(lshCandidates(bands)))
+    materializeAndFree(
+      jaccardPairs(sh, minJaccard, Some(lshCandidates(bands))), sh, bands)
   }
 
   /** N-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
@@ -179,10 +195,12 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
       .distinct()
-    cand
-      .withColumn("hamming",
-        graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    materializeAndFree(
+      cand
+        .withColumn("hamming",
+          graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming")),
+      sh)
   }
 }

@@ -53,10 +53,31 @@ class WarehouseSpec extends SparkSpec {
   test("bucket count bounds directories; every user readable") {
     val path = Files.createTempDirectory("wh2").toString
     Warehouse.writeFeed(mkFeed, path, buckets = 8)
-    val dirs = new java.io.File(path).listFiles().count(_.getName.startsWith("user_bucket="))
+    val dirs = new java.io.File(Warehouse.currentDataDir(path)).listFiles()
+      .count(_.getName.startsWith("user_bucket="))
     assert(dirs <= 8 && dirs > 0)
     (1 to 40 by 13).foreach { u =>
       assert(Warehouse.feedTopK(spark, path, s"user-$u", 5).count() == 5)
     }
+  }
+
+  test("versioned publish: open handle survives a concurrent compact; vacuum drops old versions") {
+    val path = Files.createTempDirectory("wh3").toString
+    val feed = mkFeed
+    Warehouse.writeFeed(feed, path, buckets = 8)
+    val before = Warehouse.openFeed(spark, path)
+
+    // second publish (a compact cycle) while the first handle is open
+    Warehouse.writeFeed(feed.filter(col("user_id") === "user-1"), path, buckets = 8)
+    // the old handle still reads the version it opened — no mid-compact breakage
+    assert(before.df.count() == feed.count())
+    // a fresh open sees the new version
+    assert(Warehouse.openFeed(spark, path).df.count() == 25)
+
+    Warehouse.vacuum(path)
+    val versions = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(versions == 1)
+    assert(Warehouse.openFeed(spark, path).df.count() == 25)
   }
 }

@@ -117,6 +117,27 @@ class FeedStreamSpec extends SparkSpec {
     assert(IdempotentSink.appendOnce(spark, rows, 7L, blocker.toString, Schemas.feedKey) == 0L)
   }
 
+  test("Fast mode crash window: inflight marker triggers anti-join reconcile, no double append") {
+    val path = tmp("inflight")
+    val rows = Seq(FeedEntry("u-1", "p-1", "a", "b",
+      Timestamp.valueOf("2026-01-01 00:00:00"))).toDS.toDF
+    // simulate a crash AFTER a fully successful append but BEFORE the
+    // commit marker: data present, inflight marker present, no commit.
+    rows.write.mode("append").parquet(path)
+    val commits = java.nio.file.Paths.get(path, "_graft_commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.createFile(commits.resolve("3.inflight"))
+    // replay of batch 3 must reconcile instead of re-appending the batch
+    assert(IdempotentSink.appendOnce(spark, rows, 3L, path, Schemas.feedKey) == 0L)
+    assert(spark.read.parquet(path).count() == 1)
+    assert(java.nio.file.Files.exists(commits.resolve("3")))
+    assert(!java.nio.file.Files.exists(commits.resolve("3.inflight")))
+    // and the NEXT batch takes the fast path again (no reconcile marker left behind)
+    val rows2 = Seq(FeedEntry("u-2", "p-2", "a", "b",
+      Timestamp.valueOf("2026-01-01 00:00:01"))).toDS.toDF
+    assert(IdempotentSink.appendOnce(spark, rows2, 4L, path, Schemas.feedKey) == 1L)
+  }
+
   test("multi-batch multi-author fan-out preserves the delivery invariant (F5)") {
     val follows = (1 to 4).map(i => Follow(s"u-$i", "a-1")) ++
       (3 to 6).map(i => Follow(s"u-$i", "a-2"))

@@ -39,7 +39,7 @@ class PostIngestSpec extends SparkSpec {
     assert(row == (("p-1", "u-nur", "Hello!", t0)))
   }
 
-  test("withGeneratedIds: unique v4 UUIDs + timestamps (SC3/SC5)") {
+  test("withGeneratedIds: unique v4-shaped UUIDs + timestamps (SC3/SC5)") {
     val subs = (1 to 500).map(i => (s"u-${i % 7}", s"body $i")).toDF("author_id", "body")
     val posts = PostIngest.withGeneratedIds(subs).cache()
     val ids = posts.select("post_id").as[String].collect()
@@ -48,6 +48,33 @@ class PostIngestSpec extends SparkSpec {
     ids.take(20).foreach(id => assert(v4.matches(id), s"not v4: $id"))
     assert(posts.filter(col("created_at").isNull).count() == 0)
     posts.unpersist()
+  }
+
+  test("withGeneratedIds is deterministic: replay-equivalent recompute yields identical ids") {
+    val subs = ((1 to 50).map(i => (s"u-${i % 7}", s"body $i"))
+      ++ Seq(("u-dup", "same"), ("u-dup", "same"))).toDF("author_id", "body")
+    def ids(salt: String) =
+      PostIngest.withGeneratedIds(subs, salt).select("post_id").as[String].collect().sorted.toSeq
+    assert(ids("7") == ids("7"))           // same batch replayed → same ids
+    assert(ids("7") != ids("8"))           // later batch → new ids
+    assert(ids("7").distinct.size == 52)   // identical duplicate rows still get distinct ids
+  }
+
+  test("startFromSubmissions: ids assigned in-batch; duplicate submission in a later batch is a new post") {
+    val topicDir = tmp("topic3"); val postsTable = tmp("posts3")
+    val in = memStream[(String, String)]
+    val q = PostIngest.startFromSubmissions(
+      spark, in.toDF().toDF("author_id", "body"), topicDir, postsTable, tmp("ck3"))
+    try {
+      in.addData(("u-nur", "Hello!"))
+      q.processAllAvailable()
+      in.addData(("u-nur", "Hello!")) // same content, later batch → distinct post
+      q.processAllAvailable()
+    } finally q.stop()
+    val posts = spark.read.parquet(postsTable)
+    assert(posts.count() == 2)
+    assert(posts.select("post_id").distinct().count() == 2)
+    assert(spark.read.parquet(topicDir).count() == 2)
   }
 
   test("file-source rate limiting: maxFilesPerTrigger bounds each micro-batch (F3/ST6 analog)") {

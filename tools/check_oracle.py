@@ -59,6 +59,19 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             n_fail += 1
             continue
+        # dtype-kind parity: DuckDB HUGEINT (e.g. sum over INTEGER) lands in
+        # pandas as float64/object while Spark writes int64 — the driver's
+        # compare is dtype-sensitive even when stringified values agree.
+        kind_mismatch = [
+            c for c in gcols
+            if got[c].dtype.kind != want[c].dtype.kind
+            and {got[c].dtype.kind, want[c].dtype.kind} - {"O"}  # str vs str via object is fine
+            and not {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u"}]
+        if kind_mismatch:
+            print(f"FAIL {name}: dtype kind mismatch on {kind_mismatch}: "
+                  + ", ".join(f"{c}: {got[c].dtype} vs {want[c].dtype}" for c in kind_mismatch))
+            n_fail += 1
+            continue
         gh = canon(got.to_dict("records"), gcols)
         wh = canon(want.to_dict("records"), wcols)
         if gh != wh:
