@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -47,28 +47,14 @@ object Dedup {
         "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
         .as("sh"))
 
-  /** Exact pairwise Jaccard over docs sharing ≥1 shingle.
-    *
-    * With `candidates` given, the computation is candidate-driven:
-    * each (id_a, id_b) pair's shingle sets join through the broadcast
-    * pair list FIRST, so cost is O(|candidates| · shingles-per-doc)
-    * instead of the all-pairs shingle equijoin (which is quadratic in
-    * docs sharing a hot shingle — the exact baseline's cost). */
-  def jaccardPairs(shingleSets: DataFrame, minJaccard: Double,
-      candidates: Option[DataFrame] = None): DataFrame = {
+  /** Exact pairwise Jaccard over docs sharing ≥1 shingle — the
+    * all-pairs shingle equijoin (quadratic in docs sharing a hot
+    * shingle): the verification baseline, never the scale path. */
+  def jaccardPairs(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = shingleSets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val interPairs = candidates match {
-      case Some(c) =>
-        // candidate-driven: attach a-side shingles, then probe b-side.
-        broadcast(c.select(col("id_a"), col("id_b")))
-          .join(shingleSets.select(col("id").as("id_a"), col("sh")), "id_a")
-          .join(shingleSets.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      case None =>
-        shingleSets.as("a").join(shingleSets.as("b"),
-            col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    }
-    interPairs
+    shingleSets.as("a").join(shingleSets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -78,6 +64,36 @@ object Dedup {
       .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** One row per doc with its whole shingle set as an array — the
+    * pivot of the LSH pipeline: built with the pipeline's ONLY heavy
+    * shuffle (groupBy over exploded shingles), then signatures, band
+    * keys, and candidate verification all derive from it map-side.
+    * Sets are per-document, so array size is bounded by doc length —
+    * safe at corpus scale. */
+  def docShingleArrays(shingleSets: DataFrame): DataFrame =
+    shingleSets.groupBy(col("id")).agg(collect_list(col("sh")).as("shs"))
+
+  /** Exact Jaccard for an explicit candidate pair list, computed from
+    * doc shingle ARRAYS: two joins pull each pair's sets, then
+    * `array_intersect` sizes the overlap per row — O(|candidates| ·
+    * set size) with no exploded-shingle shuffle at all. (The previous
+    * formulation re-joined candidates through the exploded shingle
+    * table twice; at 45k candidates that was the dominant stage of
+    * the whole pipeline.) */
+  def jaccardForCandidates(docSets: DataFrame, candidates: DataFrame,
+      minJaccard: Double): DataFrame =
+    candidates
+      .join(docSets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(docSets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"),
+        size(col("shs_a")).cast("long").as("sz_a"),
+        size(col("shs_b")).cast("long").as("sz_b"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** MinHash signatures: numHashes md5-string minima per doc.
     * (Portable stand-in for the usual (a·x+b) mod p permutations —
@@ -89,6 +105,42 @@ object Dedup {
       .groupBy(col("id"), col("i"))
       .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("sh")))).as("sig"))
   }
+
+  /** Band keys computed map-side from the doc shingle ARRAYS: each
+    * signature is `array_min(transform(shs, s -> hash(i, s)))`, band
+    * keys hash adjacent signatures, and the row explodes to
+    * (id, b, key) — zero shuffles after docShingleArrays.
+    *
+    * Same sig/key VALUES as the long-form minhashSignatures→lshBands
+    * (md5 of "i|shingle"; band key md5 of sigs concatenated in hash
+    * order): array_min and the min() aggregate use the same string
+    * ordering. The long form shuffled O(shingles · numHashes) rows
+    * through a crossJoin; this touches each shingle string numHashes
+    * times inside one projection and shuffles nothing. */
+  private def bandsFromArrays(docSets: DataFrame, numHashes: Int, bandSize: Int,
+      sigOf: Int => Column, keyOf: Seq[Column] => Column): DataFrame = {
+    val sigs = (0 until numHashes).map(sigOf)
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      struct(lit(b).as("b"),
+        keyOf((0 until bandSize).map(j => sigs(b * bandSize + j))).as("key"))
+    }
+    docSets.select(col("id"), explode(array(bandCols: _*)).as("_bk"))
+      .select(col("id"), col("_bk.b").as("b"), col("_bk.key").as("key"))
+  }
+
+  /** md5 band keys from doc arrays — value-identical to
+    * lshBands(minhashSignatures(sh, n), bandSize). */
+  def lshBandsFromArrays(docSets: DataFrame, numHashes: Int, bandSize: Int): DataFrame =
+    bandsFromArrays(docSets, numHashes, bandSize,
+      i => array_min(transform(col("shs"), s => md5(concat(lit(s"$i|"), s)))),
+      sigs => md5(concat(sigs: _*)))
+
+  /** xxhash64 band keys from doc arrays (fast path, not
+    * oracle-portable). */
+  def lshBandsFastFromArrays(docSets: DataFrame, numHashes: Int, bandSize: Int): DataFrame =
+    bandsFromArrays(docSets, numHashes, bandSize,
+      i => array_min(transform(col("shs"), s => xxhash64(lit(i), s))),
+      sigs => xxhash64(sigs: _*))
 
   /** LSH band keys: md5 of the band's signatures concatenated in
     * hash order. */
@@ -133,26 +185,27 @@ object Dedup {
   /** Fast-path MinHash+LSH dedup (xxhash64 end to end). */
   def minhashDedupFast(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val sh = wordBigrams(docs, idCol, textCol).persist()
-    val bands = lshBandsFast(minhashSignaturesFast(sh, numHashes), bandSize).persist()
+    val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
+    val bands = lshBandsFastFromArrays(sets, numHashes, bandSize).persist()
     materializeAndFree(
-      jaccardPairs(sh, minJaccard, Some(lshCandidates(bands))), sh, bands)
+      jaccardForCandidates(sets, lshCandidates(bands), minJaccard), sets, bands)
   }
 
   /** Full MinHash+LSH near-dup pipeline with exact verification of
-    * the candidate set.
+    * the candidate set: shingle → per-doc array (the one heavy
+    * shuffle) → map-side band keys → bucket self-join → array-based
+    * exact-Jaccard verification.
     *
-    * Intermediates are persisted: the band table feeds a self-join
-    * (2 plan references) and the shingle table feeds signatures plus
-    * three verification joins — without persistence Spark re-derives
-    * each reference from the parquet scan, which multiplied this
-    * pipeline's cost ~7× at sf0.1. */
+    * Intermediates are persisted: the doc-array table feeds band
+    * derivation plus two verification joins, and the band table feeds
+    * a self-join (2 plan references each) — without persistence Spark
+    * re-derives every reference from the parquet scan. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val sh = wordBigrams(docs, idCol, textCol).persist()
-    val bands = lshBands(minhashSignatures(sh, numHashes), bandSize).persist()
+    val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
+    val bands = lshBandsFromArrays(sets, numHashes, bandSize).persist()
     materializeAndFree(
-      jaccardPairs(sh, minJaccard, Some(lshCandidates(bands))), sh, bands)
+      jaccardForCandidates(sets, lshCandidates(bands), minJaccard), sets, bands)
   }
 
   /** N-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
