@@ -79,8 +79,11 @@ object TextFunctions {
     * here is the per-token vote; the full doc-level simhash lives in
     * ops.Dedup.simhash (needs an explode + re-agg). */
   def tokenBitVote(tokenHash: Column, j: Int): Column =
-    when(substring(tokenHash, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-      .otherwise(-1)
+    // digit ≥ '8' as a single char-code compare: md5 hex is lowercase
+    // [0-9a-f], and {'8','9','a'..'f'} is exactly ascii ≥ 56 there —
+    // one comparison instead of an 8-way string isin, evaluated
+    // 32 times per token in the SimHash aggregation.
+    when(ascii(substring(tokenHash, j + 1, 1)) >= 56, 1).otherwise(-1)
 
   /** SC7 — log-redaction chain from the reference logger
     * (internal/logger/logger.go:41-55): emails, bearer/JWT-ish

@@ -160,6 +160,37 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
+  /** Skew-safe candidate pairs for corpus scale. The bucket self-join
+    * is quadratic PER BUCKET: one band bucket holding a cluster of k
+    * near-identical docs (boilerplate pages, templated spam — the
+    * NORM in web-scale corpora, and exactly what a dedup run exists to
+    * find) emits k² pairs from a single reducer. A 1M-doc bucket is
+    * 10¹² pairs — the job never finishes.
+    *
+    * Standard mitigation: within each oversized bucket keep a single
+    * STAR of pairs (every member vs the bucket's min id) instead of
+    * the full clique — O(k) pairs that still connect the whole bucket
+    * into one component for connected-component / keep-canonical
+    * dedup, trading only the per-pair exact Jaccard of non-
+    * representative members against each other. Buckets at or under
+    * `maxBucket` keep the exact all-pairs behavior (identical to
+    * lshCandidates). Returns (id_a, id_b). */
+  def lshCandidatesCapped(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val sized = bands
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("key"))))
+      .withColumn("rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("key"))))
+    val small = sized.filter(col("bsz") <= maxBucket).select(col("id"), col("b"), col("key"))
+    val exact = small.as("a").join(small.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val star = sized.filter(col("bsz") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    exact.unionByName(star).distinct()
+  }
+
   /** Production-hash MinHash signatures: xxhash64 seeded per hash
     * index — ~an order of magnitude cheaper than md5 strings (8-byte
     * longs, codegen'd hash). Same uniformity argument, NOT

@@ -55,6 +55,30 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream inner join with an event-time interval bound —
+    * the canonical two-stream correlation (e.g. posts ⋈ engagement
+    * events within an attribution window). Both sides carry
+    * watermarks, and the time-range predicate is what lets Spark
+    * EVICT join state: left rows older than
+    * (right watermark − interval) and right rows older than the left
+    * watermark can never match again and are dropped, so state stays
+    * bounded — an unconstrained stream-stream join would buffer both
+    * streams forever.
+    *
+    * `leftTs`/`rightTs` name each side's event-time column; a right
+    * row joins a left row when it lands in [leftTs, leftTs +
+    * interval]. */
+  def intervalJoin(left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      watermarkDelay: String, interval: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $interval"))
+  }
+
   /** Custom keyed state via mapGroupsWithState (ST9): running per-key
     * aggregate (count + running max of a value) maintained across
     * micro-batches — the shape used for CAS emulation and per-entity

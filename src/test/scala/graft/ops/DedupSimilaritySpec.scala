@@ -49,6 +49,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"fast missed ${md5Pairs -- fastPairs}, extra ${fastPairs -- md5Pairs}")
   }
 
+  test("lshCandidatesCapped: identical to lshCandidates under the cap; star not clique above it") {
+    // bucket X: 5 members (oversized at cap 3) → star around min id (4 pairs);
+    // bucket Y: 2 members → exact pair; singleton bucket → nothing.
+    val bands = (
+      (1 to 5).map(i => (i.toLong, 0, "X")) ++
+        Seq((10L, 0, "Y"), (11L, 0, "Y"), (20L, 1, "Z"))
+      ).toDF("id", "b", "key")
+    val capped = Dedup.lshCandidatesCapped(bands, maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L)))
+    // star keeps the bucket connected: one component over ids 1..5
+    // with 4 edges instead of the 10-edge clique.
+    val small = (1 to 3).map(i => (i.toLong, 0, "W")).toDF("id", "b", "key")
+    assert(Dedup.lshCandidatesCapped(small, 3).as[(Long, Long)].collect().toSet ==
+      Dedup.lshCandidates(small).as[(Long, Long)].collect().toSet)
+  }
+
   test("simhash: identical docs same hash; hash is 16 bits") {
     val d = Seq((1L, "one two three"), (2L, "one two three"), (3L, "totally different words here"))
       .toDF("doc_id", "text")

@@ -102,6 +102,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class PostEv(p_ts: Timestamp, post_id: String)
+  case class ClickEv(c_ts: Timestamp, click_post: String, who: String)
+
+  test("stream-stream interval join: matches inside the window, not outside; state evicted") {
+    val posts = memStream[PostEv]
+    val clicks = memStream[ClickEv]
+    val sink = nextSink()
+    val joined = StreamOps.intervalJoin(
+      posts.toDF(), "p_ts", "post_id",
+      clicks.toDF(), "c_ts", "click_post",
+      watermarkDelay = "10 seconds", interval = "1 MINUTE")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      posts.addData(PostEv(ts("2026-01-01 00:00:00"), "p1"))
+      clicks.addData(
+        ClickEv(ts("2026-01-01 00:00:30"), "p1", "u1"),  // inside [0s, 60s]
+        ClickEv(ts("2026-01-01 00:02:00"), "p1", "u2"),  // outside the interval
+        ClickEv(ts("2026-01-01 00:00:10"), "px", "u3"))  // different key
+      q.processAllAvailable()
+      val rows = spark.table(sink).select(col("post_id"), col("who"))
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("p1", "u1")))
+      // a matching click arriving while state is live still joins
+      clicks.addData(ClickEv(ts("2026-01-01 00:00:50"), "p1", "u4"))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 2)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals survive across batches (ST9 custom state)") {
     val in = memStream[StreamOps.KeyedEvent]
     val sink = nextSink()
