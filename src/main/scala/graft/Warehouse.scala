@@ -83,6 +83,7 @@ object Warehouse {
   def vacuum(path: String): Unit = {
     val root = Paths.get(path)
     val current = currentVersion(root)
+    if (current.isEmpty) return // legacy flat layout: nothing versioned to drop
     versionsOn(root).filterNot(_ == current).foreach { v =>
       val w = Files.walk(root.resolve(v))
       val all = try w.iterator().asScala.toSeq finally w.close()
@@ -103,8 +104,20 @@ object Warehouse {
       finally s.close()
     }
 
-  private def currentVersion(root: Path): String =
-    Files.readString(root.resolve(CurrentMarker)).trim
+  /** Version named by the `_graft_current` pointer. A directory
+    * without the pointer but WITH version dirs is a torn/corrupt
+    * state → explicit error; without either it's a legacy flat layout
+    * (pre-versioning writeFeed) → treat the root itself as the data
+    * dir so old feeds stay readable. */
+  private def currentVersion(root: Path): String = {
+    val marker = root.resolve(CurrentMarker)
+    if (Files.exists(marker)) Files.readString(marker).trim
+    else if (versionsOn(root).nonEmpty)
+      throw new IllegalStateException(
+        s"$root has version directories but no $CurrentMarker pointer — " +
+          "torn publish; restore the pointer or rewrite with writeFeed")
+    else "" // legacy flat layout: data + _graft_buckets live at the root
+  }
 
   /** Directory of the current published version. */
   def currentDataDir(path: String): String =

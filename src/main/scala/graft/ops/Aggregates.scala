@@ -86,6 +86,53 @@ object Aggregates {
       |FROM k WHERE rn > tr AND rn <= n - tr
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** A3 scale path — identical row-trim semantics to the exact
+    * Aggregator, computed WITHOUT the per-group value buffer: rank +
+    * group count via window functions (a distributed, spillable sort —
+    * a 10⁹-row group spills to disk instead of OOMing an ArrayBuffer),
+    * then a plain avg over the kept rank range. Drops exactly `tr`
+    * ROWS per end like the Go code, so it is output-identical for
+    * every tie configuration and shares q14's oracle SQL verbatim. */
+  def trimmedMeanByRank(df: DataFrame, groupCol: String, valueCol: String,
+      trimPct: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val rawTr = floor(col("n") * lit(trimPct) / 100.0).cast("long")
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tr",
+        when(rawTr * 2 >= col("n"), floor(col("n") / 2).cast("long")).otherwise(rawTr))
+      .filter(col("rn") > col("tr") && col("rn") <= col("n") - col("tr"))
+      .groupBy(col(groupCol))
+      .agg(round(avg(col(valueCol)), 6).as("trimmed_mean"))
+  }
+
+  def trimmedMeanScalable(s: SparkSession, dir: String): DataFrame =
+    trimmedMeanByRank(t(s, dir, "events"), "event_type", "value", 1.0)
+      .orderBy(col("event_type"))
+
+  /** A3 approx path for groups too large even to rank-sort on one
+    * partition: pass 1 computes percentile_approx trim bounds per
+    * group, pass 2 averages the values between them — two shuffle-free
+    * map-side-combined aggs and a broadcast join, no sort anywhere.
+    * VALUE-based (keeps all duplicates of the boundary values) so it
+    * deviates from the exact row-trim when ties straddle a bound;
+    * ApproxSpec bounds the error vs the exact Aggregator instead of
+    * an oracle gate. */
+  def trimmedMean2P(df: DataFrame, groupCol: String, valueCol: String,
+      trimPct: Double, accuracy: Int = 10000): DataFrame = {
+    val p = trimPct / 100.0
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile_approx($valueCol, $p, $accuracy)").as("lo"),
+      expr(s"percentile_approx($valueCol, ${1 - p}, $accuracy)").as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .filter(col(valueCol).between(col("lo"), col("hi")))
+      .groupBy(col(groupCol))
+      .agg(round(avg(col(valueCol)), 6).as("trimmed_mean_2p"))
+  }
+
   /** A6 — throughput: events per hour bucket (reference msgs/sec,
     * kafka_producer.go:116-120, generalized to event-time buckets).
     * Bucket emitted as epoch nanos so the compare is integer-exact. */
@@ -253,9 +300,11 @@ object Aggregates {
     "q17_classify" -> classify,
     "q18_rollup_revenue" -> rollupRevenue,
     "q19_json_extract" -> jsonExtract,
-    "q20_distinct_users" -> distinctUsers)
+    "q20_distinct_users" -> distinctUsers,
+    "q57_trimmed_mean_rank" -> trimmedMeanScalable)
 
   def oracles: Map[String, String] = Map(
+    "q57_trimmed_mean_rank" -> trimmedMeanSql,
     "q47_pivot_events" -> pivotEventCountsSql,
     "q48_posexplode_tokens" -> posexplodeTokensSql,
     "q40_cube_revenue" -> cubeRevenueSql,

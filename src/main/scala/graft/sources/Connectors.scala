@@ -17,37 +17,56 @@ import org.apache.spark.sql.Row
   */
 object Connectors {
 
-  /** S1 — Kafka source (reference consumer: group `worker-group`,
-    * MinBytes 10KB / MaxBytes 10MB, kafka.go:81-99). Offset tracking
-    * moves to the checkpoint (exactly-once with the idempotent sink,
-    * strictly better than the 1 s commit interval). */
+  /** S1 consumer contract (reference kafka.go:85-95): consumer-group
+    * reads with MinBytes 10e3 / MaxBytes 10e6 — the reference writes
+    * DECIMAL 10e3/10e6, not 10 KiB/10 MiB. The 1 s CommitInterval has
+    * no analog here: offset tracking moves to the streaming checkpoint
+    * (exactly-once with the idempotent sink, strictly better than
+    * interval commits). Exposed as a plain Map so the contract is
+    * unit-assertable offline (KafkaContractSpec) — the builder below
+    * consumes it verbatim. */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+      groupId: String = "worker-group"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "kafka.group.id" -> groupId,
+    "kafka.fetch.min.bytes" -> "10000",    // kafka.go:92 MinBytes 10e3
+    "kafka.fetch.max.bytes" -> "10000000", // kafka.go:93 MaxBytes 10e6
+    "failOnDataLoss" -> "false")
+
+  /** S1 — Kafka source. */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
       groupId: String = "worker-group",
       maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
     val b = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("kafka.group.id", groupId)
-      .option("kafka.fetch.min.bytes", (10 * 1024).toString)
-      .option("kafka.fetch.max.bytes", (10 * 1024 * 1024).toString)
-      .option("failOnDataLoss", "false")
+      .options(kafkaSourceOptions(bootstrap, topic, groupId))
     maxOffsetsPerTrigger.fold(b)(n => b.option("maxOffsetsPerTrigger", n.toString)).load()
   }
 
-  /** S2/S3 — Kafka sink (reference producer: batch 100, async,
-    * single-partition total order via fixed key; kafka.go:40-66,
-    * kafka_producer.go:26-38). Per-key ordering comes from the key
-    * column; `repartition(1)` upstream reproduces the reference's
-    * global order if required (documented cost: serializes the
-    * write). */
+  /** S2/S3 producer contract (reference kafka_producer.go:27,34-38:
+    * 100-message batches, Async writer). The Spark sink's batching is
+    * byte-sized, so the 100-message batch maps to 100 KiB with a 5 ms
+    * linger — linger > 0 is the async-batch analog (send when the
+    * batch fills OR the linger elapses, like the Go worker's
+    * flush-on-full + final flush). Assertable offline like the source
+    * map. */
+  def kafkaSinkOptions(bootstrap: String, topic: String,
+      batchSize: Int = 100): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "topic" -> topic,
+    "kafka.batch.size" -> (batchSize * 1024).toString,
+    "kafka.linger.ms" -> "5")
+
+  /** S2/S3 — Kafka sink. Per-key ordering comes from the key column;
+    * `repartition(1)` upstream reproduces the reference's
+    * single-partition total order if required (documented cost:
+    * serializes the write). Live-broker smoke procedure:
+    * docs/KAFKA_SMOKE.md. */
   def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
       checkpoint: String, batchSize: Int = 100): DataStreamWriter[Row] =
     df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
       .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("kafka.batch.size", (batchSize * 1024).toString)
-      .option("kafka.linger.ms", "5")
+      .options(kafkaSinkOptions(bootstrap, topic, batchSize))
       .option("checkpointLocation", checkpoint)
 
   /** Deployment path for a live Cassandra feed table (BASELINE.json

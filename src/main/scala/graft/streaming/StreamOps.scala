@@ -67,16 +67,19 @@ object StreamOps {
     *
     * `leftTs`/`rightTs` name each side's event-time column; a right
     * row joins a left row when it lands in [leftTs, leftTs +
-    * interval]. */
+    * interval]. The sides are aliased `l`/`r` and the predicate is
+    * qualified, so the two streams may share key/timestamp column
+    * names without an AMBIGUOUS_REFERENCE failure (the joined frame
+    * then carries both same-named columns — select via `l.x`/`r.x`). */
   def intervalJoin(left: DataFrame, leftTs: String, leftKey: String,
       right: DataFrame, rightTs: String, rightKey: String,
       watermarkDelay: String, interval: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermarkDelay)
-    val r = right.withWatermark(rightTs, watermarkDelay)
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $interval"))
+      col(s"l.$leftKey") === col(s"r.$rightKey") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $interval"))
   }
 
   /** Custom keyed state via mapGroupsWithState (ST9): running per-key

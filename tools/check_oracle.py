@@ -65,7 +65,6 @@ def main(outdir, sfdir):
         kind_mismatch = [
             c for c in gcols
             if got[c].dtype.kind != want[c].dtype.kind
-            and {got[c].dtype.kind, want[c].dtype.kind} - {"O"}  # str vs str via object is fine
             and not {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u"}]
         if kind_mismatch:
             print(f"FAIL {name}: dtype kind mismatch on {kind_mismatch}: "
