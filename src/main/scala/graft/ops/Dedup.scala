@@ -285,10 +285,22 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n"),
         packed.indices.map(i => sum(col(s"p$i")).as(s"p$i")): _*)
+    // Lane-overflow guard: a doc at ≥ 2^20 tokens would silently
+    // corrupt neighboring vote lanes. assert_true returns null when
+    // the predicate holds, so routing it through `n` (which every bit
+    // comparison reads) keeps the check in the plan at ~zero cost and
+    // makes an oversized doc fail LOUDLY instead of fingerprinting
+    // wrong.
+    val nGuarded = col("n") + coalesce(
+      assert_true(col("n") < (1L << laneBits),
+        concat(lit(s"simhashBits: doc "), col("id"),
+          lit(s" has "), col("n"),
+          lit(s" tokens (>= 2^$laneBits) — packed vote lanes would overflow"))).cast("long"),
+      lit(0L))
     val bitChars = (0 until bits).map { j =>
       val pos = shiftright(col(s"p${j / lanes}"), laneBits * (j % lanes))
         .bitwiseAND(lit((1L << laneBits) - 1))
-      when(pos * 2 > col("n"), "1").otherwise("0")
+      when(pos * 2 > nGuarded, "1").otherwise("0")
     }
     agg.select(col("id"), concat(bitChars: _*).as("simhash"))
   }
@@ -357,18 +369,71 @@ object Dedup {
       sh)
   }
 
-  /** Connected components over an undirected near-dup pair set by
-    * iterative min-label propagation. `pairs` is the POST-VERIFICATION
-    * pair list — O(actual duplicates), tiny next to the corpus — so
-    * every round is a small join; the round count is the component
-    * diameter, and the star topology lshCandidatesCapped enforces on
-    * big buckets keeps diameters small (a capped bucket is depth 1
-    * through its min id). Each round localCheckpoints: lineage would
-    * otherwise double per iteration and the convergence check would
-    * recompute the whole history. Returns (id, comp) with comp = the
-    * component's min id — only ids that appear in a pair are present.
-    */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Connected components over an undirected near-dup pair set.
+    * Returns (id, comp) with comp = the component's min id — only ids
+    * that appear in a pair are present.
+    *
+    * `pairs` is the POST-VERIFICATION pair list — O(actual
+    * duplicates), tiny next to the corpus — so the default path
+    * collects it and runs union-find on the driver (a 10M-pair list is
+    * ~160 MB of longs; one pass, no Spark jobs). Above
+    * `maxDriverPairs` it falls back to distributed min-label
+    * propagation: every round is a small join over the pair set, the
+    * round count is the component diameter, and the star topology
+    * lshCandidatesCapped enforces on big buckets keeps diameters small
+    * (a capped bucket is depth 1 through its min id). Each round
+    * localCheckpoints — lineage would otherwise double per iteration —
+    * and convergence is read off a `chg` flag carried IN the
+    * checkpointed frame (a scan, not a join against the previous
+    * round). Both paths are spec'd equal (DedupSimilaritySpec). */
+  def connectedComponents(pairs: DataFrame, maxDriverPairs: Long = 8L * 1000 * 1000): DataFrame = {
+    val idType = pairs.schema("id_a").dataType
+    val edgesRaw = pairs.select(col("id_a"), col("id_b"))
+    val n = edgesRaw.limit((maxDriverPairs + 1).toInt).count()
+    if (n <= maxDriverPairs) componentsOnDriver(edgesRaw, idType)
+    else componentsByPropagation(edgesRaw)
+  }
+
+  /** Driver union-find (union-by-min + path compression) over a
+    * collected pair list; result re-distributed as a DataFrame.
+    * Ids are whatever the pair columns carry — every Spark atomic id
+    * type boxes to a Comparable, which supplies the min. */
+  private def componentsOnDriver(edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import scala.collection.mutable
+    val ord: Ordering[Any] = (a: Any, b: Any) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val parent = mutable.HashMap.empty[Any, Any]
+    // Iterative find + full path compression: union-by-min (unlike
+    // union-by-rank) can build deep chains, and a recursive find would
+    // blow the stack at millions of pairs.
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val spark = edges.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("comp", idType)))
+    val rows = parent.keys.toSeq.map(id =>
+      org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Distributed fallback: iterative min-label propagation. */
+  private def componentsByPropagation(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .distinct().localCheckpoint(true)
@@ -380,11 +445,11 @@ object Dedup {
         .groupBy(col("s")).agg(min(col("comp")).as("ncomp"))
       val next = labels.join(viaNeighbor, labels("id") === viaNeighbor("s"), "left")
         .select(labels("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          coalesce(col("ncomp") < col("comp"), lit(false)).as("chg"))
         .localCheckpoint(true)
-      done = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).isEmpty
-      labels = next
+      done = next.filter(col("chg")).isEmpty
+      labels = next.select(col("id"), col("comp"))
     }
     labels
   }

@@ -52,15 +52,37 @@ object FeedShapes {
     * "actual" feed, count undelivered per owner via the library
     * anti-join. */
   def undeliveredAgg(s: SparkSession, dir: String): DataFrame = {
-    // The fan-out is the biggest intermediate in the pipeline: at
-    // corpus scale building it once and checkpointing beats the
-    // previous form (expected and actual as two independent plan
-    // trees re-deriving the same join — 4 exchanges, double compute).
-    val expected = Fanout.fanout(posts(s, dir), follows(s, dir)).localCheckpoint(true)
-    val actual = expected.filter(col("post_id").cast("long") % 97 =!= 13)
+    // The fan-out is the biggest intermediate in the pipeline, and the
+    // anti-join only consumes its KEY columns — so build it once,
+    // PROJECTED to (user_id, post_id), and cache it pre-partitioned on
+    // the join keys: both anti-join sides then read the same in-memory
+    // relation whose hashpartitioning satisfies the join's
+    // distribution, so the SMJ plans with ZERO extra exchanges (the
+    // round-2 form re-derived the wide join twice + shuffled both
+    // sides; the round-3 form localCheckpoint'ed the full-width
+    // fan-out — 5 columns × 9M rows eagerly serialized, 4× the bytes
+    // this needs, and checkpoint blocks outlive clearCache).
+    // post_id stays BIGINT here (the oracle's `p` CTE does the same):
+    // the anti-join hashes a long instead of a string — q21's
+    // string-keyed projection is for feed-API parity, not needed for
+    // the verification shape.
+    val postsLong = t(s, dir, "events").select(
+      col("event_id").as("post_id"),
+      col("user_id").as("author_id"),
+      col("event_type").as("body"),
+      timestamp_micros(expr("ts div 1000")).as("created_at"))
+    val followsLong = t(s, dir, "customer").select(
+      col("c_custkey").as("user_id"), (col("c_custkey") % 50).as("followee_id"))
+    val expected = Fanout.fanout(postsLong, followsLong)
+      .select(col("user_id"), col("post_id"))
+      .repartition(col("user_id"), col("post_id"))
+      .persist()
+    val actual = expected.filter(col("post_id") % 97 =!= 13)
+      .hint("shuffle_hash")
     Fanout.undelivered(expected, actual)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_missing"))
+      .select(col("user_id").cast("string").as("user_id"), col("n_missing"))
       .orderBy(col("user_id"))
   }
 
