@@ -28,7 +28,17 @@ object PostIngest {
     * variant nibble mapped into [89ab]). Same inputs → same id, which
     * is what lets post_id-keyed dedup downstream mask checkpoint
     * replay — a replayed batch regenerates the SAME ids, so the
-    * anti-join in IdempotentSink sees them as duplicates. */
+    * anti-join in IdempotentSink sees them as duplicates.
+    *
+    * ID-FORMAT v2 (do not change casually): nulls coalesce to u0001
+    * and columns join on u0000 (escape spellings), so ("a", null) and ("a") mint
+    * DIFFERENT ids — v1 (concat_ws's skip-null with a raw NUL
+    * separator byte in source) collapsed them. Determinism only masks
+    * replay WITHIN one format: an upgrade across formats regenerates
+    * NEW ids for in-flight batches, and the idempotent sink will not
+    * recognize the replays. Upgrade procedure: drain the stream (let
+    * the last pre-upgrade batch commit), then deploy + reset the
+    * checkpoint; never swap formats under a live checkpoint. */
   def deterministicUuid(cols: Column*): Column = {
     val h = md5(concat_ws("\u0000", cols.map(c => coalesce(c, lit("\u0001"))): _*))
     concat_ws("-",

@@ -62,10 +62,15 @@ object Similarity {
   }
 
   /** IVF approximate top-k: probe the nProbe nearest clusters per
-    * query, exact rank within them. */
+    * query, exact rank within them. `nAssign` > 1 multi-assigns each
+    * corpus vector to its nAssign nearest clusters (the standard
+    * boundary-recall lever: a true neighbor just across a Voronoi
+    * edge is still found through its second assignment, at nAssign×
+    * index size and unchanged probe cost). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, seedStep: Int, nProbe: Int): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vecCol, seedStep)
+      queryPred: Column, k: Int, seedStep: Int, nProbe: Int,
+      nAssign: Int = 1): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, seedStep, nAssign)
     val cents = assigned.filter(col(idCol) === col("cluster_id"))
       .select(col("cluster_id").as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
     val q = withNorm(emb, idCol, vecCol).filter(queryPred)
@@ -77,9 +82,14 @@ object Similarity {
       .filter(col("r") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cluster_id"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    broadcast(probes).join(assigned.withColumnRenamed(idCol, "n_id"), "cluster_id")
+    val scored = broadcast(probes)
+      .join(assigned.withColumnRenamed(idCol, "n_id"), "cluster_id")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("qv"), col(vecCol), col("qn"), col("norm")))
+    // Multi-assignment can surface the same neighbor through two
+    // probed clusters — dedup (q, n) before ranking or it would
+    // occupy two top-k slots.
+    (if (nAssign > 1) scored.dropDuplicates("q_id", "n_id") else scored)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))

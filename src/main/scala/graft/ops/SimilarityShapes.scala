@@ -54,10 +54,12 @@ object SimilarityShapes {
       |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   /** IVF approximate top-k (scale path) — rows-only gate (the recall
-    * contract vs brute force is asserted in SimilaritySpec). */
+    * contract vs brute force — ≥ 0.9 @5 — is asserted in
+    * DedupSimilaritySpec). nProbe=8 of ~14 clusters + dual assignment
+    * is the tuned operating point on this corpus. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
-        col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 4)
+        col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 8, nAssign = 2)
       .orderBy(col("q_id"), col("rnk"))
 
   /** The IVF index itself, oracle-gated: centroid seeding and the

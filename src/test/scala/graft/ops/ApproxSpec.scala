@@ -26,4 +26,21 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(ap99 - p99) / math.max(1.0, p99) <= 0.05, s"$k p99: $ap99 vs $p99")
     }
   }
+
+  test("trimmedMean2P within 2% of the exact Aggregator (A3 scale path)") {
+    // Two-pass trim is VALUE-based (keeps boundary-value ties) where
+    // the exact form is row-based; on a continuous metric the paths
+    // must agree tightly.
+    val approx = Aggregates.trimmedMean2P(
+        graft.Tables.load(spark, dir, "events"), "event_type", "value", 1.0)
+      .as[(String, Double)].collect().toMap
+    val exact = Aggregates.trimmedMean(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) / math.max(1.0, math.abs(e)) <= 0.02,
+        s"$k trimmed mean: 2P $a vs exact $e")
+    }
+  }
 }

@@ -98,13 +98,15 @@ class DedupSimilaritySpec extends SparkSpec {
       s"IVF bucketing missed pairs: ${exact -- bucketed}")
   }
 
-  test("IVF recall@5 vs brute force ≥ 0.6 with 4 probes") {
-    val exact = SimilarityShapes.cosineTopK(spark, dir)
-      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val approx = SimilarityShapes.ivfTopK(spark, dir)
-      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall=$recall")
+  test("IVF recall@5 vs brute force ≥ 0.9 at the tuned operating point (sf0.001 and sf0.01)") {
+    Seq(dir, "/root/testdata/sf0.01").foreach { d =>
+      val exact = SimilarityShapes.cosineTopK(spark, d)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val approx = SimilarityShapes.ivfTopK(spark, d)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$d recall=$recall")
+    }
   }
 
   test("TopKPairs aggregator form equals the window form (R3 two plans, one answer)") {
@@ -137,5 +139,89 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = d.select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")))
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 3, 2L -> 0, 3L -> 0))
+  }
+
+  test("64-bit simhash: 64 chars, first 32 equal the 32-bit construction") {
+    val d = Seq((1L, "one two three four five"), (2L, "totally different text here"))
+      .toDF("doc_id", "text")
+    val h64 = Dedup.simhashBits(d, "doc_id", "text", 64).as[(Long, String)].collect().toMap
+    val h32 = Dedup.simhashBits(d, "doc_id", "text", 32).as[(Long, String)].collect().toMap
+    h64.foreach { case (id, h) =>
+      assert(h.length == 64 && h.forall(c => c == '0' || c == '1'))
+      // bits 1..32 come from md5(tok) in both forms; 33..64 extend
+      // with the second hash — the 32-bit (oracle-gated) fingerprint
+      // is a prefix of the scale-path one.
+      assert(h.take(32) == h32(id))
+    }
+  }
+
+  test("simhashNearDupsCapped under a generous cap equals the uncapped 64-bit pairs") {
+    val exact = Dedup.simhashNearDups(docs, "doc_id", "text", bits = 64, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val capped = Dedup.simhashNearDupsCapped(docs, "doc_id", "text",
+        bits = 64, maxHamming = 3, maxBucket = 1 << 20)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped == exact)
+    assert(exact.nonEmpty) // sf0.001 plants near-dups; the test must see them
+  }
+
+  test("simhashBits fails loudly on a doc at the packed-lane token bound (2^20)") {
+    val big = Seq((1L, Seq.fill(1 << 20)("tok").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simhashBits(big, "doc_id", "text", 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("packed vote lanes")))
+  }
+
+  test("connectedComponents: driver union-find ≡ distributed propagation, comp = min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 10L), (5L, 6L), (8L, 7L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, maxDriverPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L)
+    assert(driver == want)
+    assert(dist == want)
+  }
+
+  test("dedupCorpus + canonicalMap: component members collapse to the min id") {
+    val d = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val canon = Dedup.canonicalMap(d, "doc_id", pairs).as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    val survivors = Dedup.dedupCorpus(d, "doc_id", pairs).as[(Long, String)]
+      .collect().map(_._1).toSet
+    assert(survivors == Set(1L, 4L, 5L, 7L, 8L))
+  }
+
+  test("star-capped LSH candidates yield the same dedup survivor set as exact candidates") {
+    // A 6-copy near-identical cluster lands in one LSH bucket: with
+    // maxBucket = 2 the bucket contributes a STAR around its min id
+    // instead of the 15-pair clique. Star members all verify against
+    // the representative (they're copies), so the component — and the
+    // survivor set after collapse — is the same; only the pair COUNT
+    // shrinks. (This is the semantic lshCandidatesCapped documents:
+    // capping trades non-representative pair reports, not survivors.)
+    val cluster = (1L to 6L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val rest = Seq(
+      (20L, "completely unrelated words about spark catalyst planning"),
+      (21L, "another distinct document on kafka feeds and workers"))
+    val d = (cluster ++ rest).toDF("doc_id", "text")
+    val sets = Dedup.docShingleArrays(Dedup.wordBigrams(d, "doc_id", "text"))
+    val bands = Dedup.lshBandsFromArrays(sets, 8, 2)
+    def survivors(cand: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.dedupCorpus(d, "doc_id", Dedup.jaccardForCandidates(sets, cand, 0.5))
+        .as[(Long, String)].collect().map(_._1).toSet
+    val exactCand = Dedup.lshCandidates(bands)
+    val cappedCand = Dedup.lshCandidatesCapped(bands, maxBucket = 2)
+    assert(cappedCand.count() < exactCand.count()) // star < clique
+    assert(survivors(cappedCand) == survivors(exactCand))
+    assert(survivors(exactCand) == Set(1L, 20L, 21L))
   }
 }
