@@ -52,14 +52,17 @@ object BenchShapes {
     // have been delivered, like the reference's per-(post, follower)
     // poll (e2e_bench.go:175-232). Cheap: the workload is a constant
     // 50-user frame either way.
+    // Every frame here is generated and constant-size (≤ U·F·P rows):
+    // broadcast the anti-join's lookup side and the stats join so the
+    // whole verification plans broadcast-only, no SMJ.
     val feed = Fanout.fanout(posts(s), broadcast(follows(s)))
     val expected = Fanout.fanout(posts(s), broadcast(follows(s)))
-    val missing = Fanout.undelivered(expected, feed)
+    val missing = Fanout.undelivered(expected, broadcast(feed))
       .groupBy(col("author_id")).agg(count(lit(1)).as("n_undelivered"))
     feed.groupBy(col("author_id"))
       .agg(countDistinct(col("post_id")).as("n_posts"),
         count(lit(1)).as("n_deliveries"))
-      .join(missing, Seq("author_id"), "left")
+      .join(broadcast(missing), Seq("author_id"), "left")
       .withColumn("n_undelivered", coalesce(col("n_undelivered"), lit(0L)))
       .orderBy(col("author_id"))
   }

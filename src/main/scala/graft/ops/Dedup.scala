@@ -322,19 +322,23 @@ object Dedup {
         sh.sparkSession.range(4).select(col("id").cast("int").as("b")).hint("broadcast"))
       .select(col("id"), col("simhash"), col("b"),
         expr(s"substring(simhash, b * $bandBits + 1, $bandBits)").as("key"))
+    // Hamming-filter BEFORE the distinct: the codegen'd filter runs
+    // map-side on the band join's output, so only actual near-dups
+    // (tiny) pay the dedup shuffle — not every candidate pair.
+    // distinct∘filter ≡ filter∘distinct here (hamming is a function
+    // of the pair), and at corpus scale candidates outnumber true
+    // pairs by orders of magnitude.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .withColumn("hamming",
+        graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
-    materializeAndFree(
-      cand
-        .withColumn("hamming",
-          graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("id_a"), col("id_b"), col("hamming")),
-      sh)
+    materializeAndFree(cand, sh)
   }
 
   /** Scale-path SimHash near-dups: 64-bit fingerprints in 4×16-bit
@@ -462,7 +466,11 @@ object Dedup {
     * map-side pass over the corpus. */
   def canonicalMap(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     docs.select(col(idCol))
-      .join(connectedComponents(pairs).withColumnRenamed("id", idCol), Seq(idCol), "left")
+      // explicit broadcast: the driver-built component map has no
+      // catalog stats, so without the hint Spark assumes it's big and
+      // plans a sort-merge join of the whole corpus against it.
+      .join(broadcast(connectedComponents(pairs).withColumnRenamed("id", idCol)),
+        Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("canonical_id"))
 
   /** The deduplicated corpus: one representative (min id) per near-dup
@@ -472,6 +480,6 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val drop = connectedComponents(pairs)
       .filter(col("comp") =!= col("id")).select(col("id").as(idCol))
-    docs.join(drop, Seq(idCol), "left_anti")
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
   }
 }
