@@ -26,8 +26,8 @@ object MiscShapes {
 
   /** SC10 — JWT-shaped claim extraction: build header.payload.sig
     * from corpus rows, then decode the payload back out (base64 →
-    * JSON → claim). Crypto verification stays API-side (not an engine
-    * op), exactly as in the reference split. */
+    * JSON → claim). Signature verification is the sibling q58
+    * (`jwtVerify`, HmacSha256 expression). */
   def jwtClaims(s: SparkSession, dir: String): DataFrame = {
     val payload = concat(lit("{\"user_id\":"), col("doc_id"),
       lit(",\"lang\":\""), col("lang"), lit("\"}"))
@@ -60,6 +60,38 @@ object MiscShapes {
       |  CAST(regexp_extract(payload, '"user_id":([0-9]+)', 1) AS BIGINT) AS claim_user_id,
       |  regexp_extract(payload, '"lang":"([a-z]+)"', 1) AS claim_lang
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** SC10 full loop — JWT signature VERIFICATION (reference
+    * internal/middleware/auth.go:32-53), not just claim extraction:
+    * tokens are minted with the true secret for doc_id % 3 != 0 and a
+    * WRONG secret otherwise, then every token is verified against the
+    * true secret with the codegen'd HmacSha256 expression. The oracle
+    * states the planted ground truth (like q26's planted languages);
+    * the engine must RECOVER it row-by-row through real HMAC — any
+    * broken byte of the MAC flips a row and fails the hash compare.
+    * RFC 4231 test vectors pin the primitive itself (CryptoSpec). */
+  def jwtVerify(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CryptoExpressions._
+    val payload = concat(lit("{\"user_id\":"), col("doc_id"),
+      lit(",\"lang\":\""), col("lang"), lit("\"}"))
+    val signingInput = concat(
+      base64Url(encode(lit("{\"alg\":\"HS256\",\"typ\":\"JWT\"}"), "UTF-8")),
+      lit("."), base64Url(encode(payload, "UTF-8")))
+    val mintSecret = when(col("doc_id") % 3 =!= 0, lit("graft-secret"))
+      .otherwise(lit("wrong-secret"))
+    val token = concat(signingInput, lit("."),
+      jwtSignature(signingInput, mintSecret))
+    docs(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), token.as("token"))
+      .select(col("doc_id"),
+        jwtSigValid(col("token"), lit("graft-secret")).as("sig_valid"))
+      .orderBy(col("doc_id"))
+  }
+
+  val jwtVerifySql: String =
+    """SELECT doc_id, (doc_id % 3) <> 0 AS sig_valid
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
   /** Multimodal decode pipeline (rows-only gate; semantics covered by
     * MultimodalSpec — the decode itself is the documented stub). */
@@ -107,10 +139,12 @@ object MiscShapes {
     "q53_string_null_funcs" -> stringNullFuncs,
     "q36_binary_meta" -> binaryMeta,
     "q37_jwt_claims" -> jwtClaims,
-    "q38_media_decode" -> mediaDecode)
+    "q38_media_decode" -> mediaDecode,
+    "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
     "q53_string_null_funcs" -> stringNullFuncsSql,
     "q36_binary_meta" -> binaryMetaSql,
-    "q37_jwt_claims" -> jwtClaimsSql)
+    "q37_jwt_claims" -> jwtClaimsSql,
+    "q58_jwt_verify" -> jwtVerifySql)
 }
