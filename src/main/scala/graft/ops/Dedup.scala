@@ -239,6 +239,22 @@ object Dedup {
       jaccardForCandidates(sets, lshCandidates(bands), minJaccard), sets, bands)
   }
 
+  /** minhashDedup with the corpus-scale candidate cap: buckets above
+    * `maxBucket` contribute a star (O(k)) instead of a clique (O(k²)).
+    * Below the cap the output is IDENTICAL to minhashDedup — which is
+    * what lets the composed pipeline (CorpusPipeline) run this exact
+    * code under the DuckDB oracle at gate scale while being the plan
+    * you'd ship at 100 TB. */
+  def minhashDedupCapped(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
+    val bands = lshBandsFromArrays(sets, numHashes, bandSize).persist()
+    materializeAndFree(
+      jaccardForCandidates(sets, lshCandidatesCapped(bands, maxBucket), minJaccard),
+      sets, bands)
+  }
+
   /** N-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
     * votes +1 for bit j else −1 per token occurrence; bit = vote>0.
     * bits ≤ 32 uses md5(tok) digit j+1 for bit j (the oracle-portable

@@ -9,8 +9,8 @@ import graft.Tables
 object DedupShapes {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
-  private def shingleSql(where: String) =
-    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '${"\\s+"}') AS ts FROM documents $where),
+  private def shingleSql(where: String, src: String = "documents") =
+    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '${"\\s+"}') AS ts FROM $src $where),
        |pos AS (SELECT id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks WHERE len(ts) >= 2),
        |sh AS (SELECT DISTINCT id, ts[i] || ' ' || ts[i+1] AS sh FROM pos),
        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)""".stripMargin
@@ -39,9 +39,11 @@ object DedupShapes {
       .orderBy(col("id_a"), col("id_b"))
 
   /** The full LSH pipeline up to verified pairs, as a CTE chain —
-    * shared by the q31 pair report and the q55 canonical collapse. */
-  private val lshPairsCte: String =
-    s"""${shingleSql("")},
+    * shared by the q31 pair report, the q55 canonical collapse, and
+    * (sourced from the filtered/exact-deduped `ex` CTE) the q59
+    * end-to-end pipeline. */
+  private def lshPairsCteFrom(src: String): String =
+    s"""${shingleSql("", src)},
        |sig AS (SELECT id, h.i AS i, min(md5(CAST(h.i AS VARCHAR) || '|' || sh)) AS sig
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) h GROUP BY id, h.i),
        |band AS (SELECT id, i // 2 AS b, md5(string_agg(sig, '' ORDER BY i)) AS key
@@ -54,6 +56,8 @@ object DedupShapes {
        |pairs AS (SELECT i.id_a, i.id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
        |  FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5)""".stripMargin
+
+  private val lshPairsCte: String = lshPairsCteFrom("documents")
 
   val minhashLshSql: String =
     s"""WITH $lshPairsCte
@@ -84,6 +88,51 @@ object DedupShapes {
        |SELECT d.doc_id, coalesce(least(c.id, c.mn), d.doc_id) AS canonical_id
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The end-to-end training-data pipeline (quality gate → exact
+    * dedup → LSH near-dup collapse) as ONE certified dataflow: the
+    * library composition `CorpusPipeline.clean` — including the
+    * star-capped candidate join, which at gate scale is pair-identical
+    * to the uncapped form — against a DuckDB mirror of all four
+    * stages. Output = surviving rows with their token counts. */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame =
+    CorpusPipeline.clean(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val corpusPipelineSql: String = {
+    val nTok =
+      s"""CASE WHEN length(trim(text)) = 0 THEN 0
+         | ELSE len(string_split_regex(trim(text), '${"\\s+"}')) END""".stripMargin
+    val nStop = s"len(regexp_extract_all(text, '${"\\b(the|a|of|and|in|to|is)\\b"}'))"
+    val nPunct = s"len(regexp_extract_all(text, '${"[^a-zA-Z0-9\\s]"}'))"
+    s"""WITH RECURSIVE
+       |qsrc AS (SELECT doc_id, lang, text, $nTok AS n_tokens,
+       |    $nStop AS n_stop, $nPunct AS n_punct FROM documents),
+       |qscore AS (SELECT *, coalesce(round(
+       |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) +
+       |    0.3 * (1.0 - least(1.0, (n_punct / nullif(CAST(length(text) AS DOUBLE), 0.0)) * 10.0)) +
+       |    0.2 * least(1.0, (n_stop / nullif(CAST(n_tokens AS DOUBLE), 0.0)) * 5.0), 6), 0.0) AS score
+       |  FROM qsrc),
+       |filt AS (SELECT doc_id, lang, text, n_tokens FROM qscore
+       |  WHERE n_tokens >= 5 AND score >= 0.3),
+       |ex AS (SELECT doc_id, lang, text, n_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS fp_min FROM filt)
+       |  WHERE doc_id = fp_min),
+       |${lshPairsCteFrom("ex")},
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT e.doc_id, e.lang, e.n_tokens
+       |FROM ex e LEFT JOIN comp c ON c.id = e.doc_id
+       |WHERE c.id IS NULL OR least(c.id, c.mn) = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
 
   /** SimHash fingerprints, aggregated into bucket counts (bucket size
     * > 1 ⇒ near-dup cluster candidate). */
@@ -137,12 +186,14 @@ object DedupShapes {
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
-    "q55_dedup_canonical" -> dedupCanonical)
+    "q55_dedup_canonical" -> dedupCanonical,
+    "q59_corpus_pipeline" -> corpusPipeline)
 
   def oracles: Map[String, String] = Map(
     "q30_jaccard_pairs" -> jaccardPairsSql,
     "q31_minhash_lsh" -> minhashLshSql,
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,
-    "q55_dedup_canonical" -> dedupCanonicalSql)
+    "q55_dedup_canonical" -> dedupCanonicalSql,
+    "q59_corpus_pipeline" -> corpusPipelineSql)
 }

@@ -199,6 +199,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("corpus pipeline: survivors pass the gate, contain no exact or near dups (idempotent)") {
+    val cleaned = CorpusPipeline.clean(docs, "doc_id", "text").persist()
+    val n = cleaned.count()
+    assert(n > 0 && n <= docs.count())
+    // every survivor passes the quality gate
+    assert(cleaned.filter(!CorpusPipeline.qualityGate(col("text"), CorpusPipeline.Config())).isEmpty)
+    // no byte-identical texts remain
+    assert(cleaned.groupBy(md5(col("text"))).count().filter(col("count") > 1).isEmpty)
+    // idempotence: a second near-dup pass over the survivors finds nothing
+    assert(Dedup.minhashDedup(cleaned, "doc_id", "text").isEmpty)
+    cleaned.unpersist()
+    ()
+  }
+
   test("star-capped LSH candidates yield the same dedup survivor set as exact candidates") {
     // A 6-copy near-identical cluster lands in one LSH bucket: with
     // maxBucket = 2 the bucket contributes a STAR around its min id
