@@ -119,10 +119,17 @@ object PostIngest {
         // two sinks agree even if the cache drops mid-batch.
         val b = prepare(batch, batchId).persist()
         try {
-          // sink 1: topic (idempotent on post_id via keyed dedup)
-          IdempotentSink.appendDedup(spark, toEnvelope(b), topicDir, Seq("post_id"))
-          // sink 2: source-of-truth posts table
-          IdempotentSink.appendDedup(spark, b, postsTable, Seq("post_id"))
+          // ST6: transient sink faults retry in place with the
+          // reference backoff schedule; each attempt is safe because
+          // the appends dedup on post_id (a partial append replays
+          // into the anti-join). Exhausted retries fail the batch to
+          // the streaming engine's checkpoint-replay backstop.
+          Retry.withBackoff() {
+            // sink 1: topic (idempotent on post_id via keyed dedup)
+            IdempotentSink.appendDedup(spark, toEnvelope(b), topicDir, Seq("post_id"))
+            // sink 2: source-of-truth posts table
+            IdempotentSink.appendDedup(spark, b, postsTable, Seq("post_id"))
+          }
           ()
         } finally { b.unpersist(); () }
       }
