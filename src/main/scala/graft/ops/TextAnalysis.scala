@@ -153,13 +153,95 @@ object TextAnalysis {
        |SELECT lang, rnk, bigram, n FROM r WHERE rnk <= 5
        |ORDER BY lang, rnk""".stripMargin
 
+  /** Winnowed document fingerprints (the MOSS scheme — Schleimer,
+    * Wilkerson, Aiken, SIGMOD 2003): hash every token k-gram, slide a
+    * w-window over the hash sequence, keep each window's minimum.
+    * Guarantees any shared run of ≥ w+k-1 tokens yields a shared
+    * fingerprint (the containment detector Jaccard-style whole-doc
+    * similarity misses), while selecting only ~1/w of the grams.
+    *
+    * Entirely MAP-SIDE per doc — gram arrays, hash arrays, window
+    * minima and the per-doc distinct are array ops inside one
+    * projection; nothing shuffles until the consumer aggregates. The
+    * md5-string hash keeps it oracle-portable; docs shorter than one
+    * full window emit the min over what they have (≥ k tokens). */
+  def winnowedFingerprints(docsDf: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    docsDf
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("id"), expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")
+        .as("gs"))
+      .select(col("id"), expr("transform(gs, g -> md5(g))").as("h"))
+      .select(col("id"), expr(
+        s"transform(sequence(1, greatest(1, size(h) - ${w - 1})), j -> array_min(slice(h, j, $w)))")
+        .as("ws"))
+      .select(col("id"), explode(array_distinct(col("ws"))).as("fp"))
+
+  /** Containment pairs: docs sharing ≥ `minShared` winnowed
+    * fingerprints — partial-overlap detection (quotes, boilerplate,
+    * plagiarized spans). The fingerprint equi-join is quadratic per
+    * hot fingerprint, same as exact Jaccard: the verification
+    * baseline. At corpus scale, cap hot fingerprints with the
+    * `Dedup.lshCandidatesCapped` pattern before verifying. */
+  def containmentPairs(fps: DataFrame, minShared: Long): DataFrame =
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  /** q60 — winnowing certified per doc: fingerprint count + extremes
+    * give the full selection a hash compare without dumping every
+    * fingerprint row. */
+  def winnowStats(s: SparkSession, dir: String): DataFrame =
+    winnowedFingerprints(docs(s, dir), "doc_id", "text")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+
+  private def winnowCte(k: Int, w: Int) =
+    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '$WS') AS ts
+       |  FROM documents),
+       |grams AS (SELECT id, list_transform(generate_series(1, len(ts) - ${k - 1}),
+       |    i -> array_to_string(ts[i:i+${k - 1}], ' ')) AS gs
+       |  FROM toks WHERE len(ts) >= $k),
+       |hs AS (SELECT id, list_transform(gs, g -> md5(g)) AS h FROM grams),
+       |wins AS (SELECT id, list_transform(generate_series(1, greatest(1, len(h) - ${w - 1})),
+       |    j -> list_aggregate(h[j:j+${w - 1}], 'min')) AS ws FROM hs),
+       |fps AS (SELECT DISTINCT id, unnest(ws) AS fp FROM wins)""".stripMargin
+
+  val winnowStatsSql: String =
+    s"""WITH ${winnowCte(3, 4)}
+       |SELECT id AS doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM fps GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** q61 — containment pairs on the bounded sample (the verification
+    * baseline bound, like q30). */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(
+        winnowedFingerprints(
+          docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text"), 5L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val containmentSql: String =
+    s"""WITH ${winnowCte(3, 4).replace("FROM documents", "FROM documents WHERE doc_id < 1000")}
+       |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+       |GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
     "q25_token_stats" -> tokenStats,
     "q26_langid_confusion" -> langIdConfusion,
     "q27_quality_scores" -> qualityScores,
     "q28_exact_dedup" -> exactDedup,
-    "q29_redaction" -> redaction)
+    "q29_redaction" -> redaction,
+    "q60_winnow_fps" -> winnowStats,
+    "q61_containment" -> containment)
 
   def oracles: Map[String, String] = Map(
     "q45_top_bigrams" -> topBigramsSql,
@@ -167,5 +249,7 @@ object TextAnalysis {
     "q26_langid_confusion" -> langIdConfusionSql,
     "q27_quality_scores" -> qualityScoresSql,
     "q28_exact_dedup" -> exactDedupSql,
-    "q29_redaction" -> redactionSql)
+    "q29_redaction" -> redactionSql,
+    "q60_winnow_fps" -> winnowStatsSql,
+    "q61_containment" -> containmentSql)
 }

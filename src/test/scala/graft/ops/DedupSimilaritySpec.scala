@@ -199,6 +199,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("winnowing guarantee: a shared token run of >= w+k-1 yields a shared fingerprint") {
+    // k=3, w=4: any shared run of >= 6 tokens must produce at least
+    // one common winnowed fingerprint (the MOSS guarantee). Doc 2
+    // quotes a 8-token span of doc 1 inside unrelated text; doc 3 is
+    // disjoint.
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"intro words $quote trailing content here"),
+      (2L, s"completely different framing yet quoting $quote and moving on"),
+      (3L, "nothing in common with either of the other documents at all")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowedFingerprints(d, "doc_id", "text")
+    val shared12 = fps.filter(col("id") === 1).select("fp")
+      .intersect(fps.filter(col("id") === 2).select("fp"))
+    assert(shared12.count() >= 1)
+    val pairs = TextAnalysis.containmentPairs(fps, 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("winnowing selects a subset of gram hashes, ~1/w density on real docs") {
+    val fps = TextAnalysis.winnowedFingerprints(docs, "doc_id", "text")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    val gramCounts = docs
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .filter(col("n") >= 3)
+      .as[(Long, Int)].collect().toMap
+    gramCounts.foreach { case (id, n) =>
+      val nGrams = n - 2
+      assert(fps(id) >= 1 && fps(id) <= nGrams,
+        s"doc $id: ${fps(id)} fps from $nGrams grams")
+    }
+  }
+
   test("corpus pipeline: survivors pass the gate, contain no exact or near dups (idempotent)") {
     val cleaned = CorpusPipeline.clean(docs, "doc_id", "text").persist()
     val n = cleaned.count()
