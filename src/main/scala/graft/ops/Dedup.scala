@@ -327,32 +327,61 @@ object Dedup {
   /** SimHash near-dup pairs: band the bit string (4 bands), join on
     * any shared band (pigeonhole: catches every pair with ≤3 differing
     * bits), filter by exact Hamming distance via the codegen'd
-    * HammingDistance expression. Linear-ish: the band join touches
-    * only same-bucket docs. */
+    * HammingDistance expression.
+    *
+    * The bucket self-join is SALTED: a simhash bucket is precisely a
+    * cluster of near-identical docs, so one bucket can hold a huge
+    * fraction of a duplicate-heavy corpus (at sf0.1 one bucket holds
+    * 65% of docs → 5.3M of the 7.5M candidate pairs), and an unsalted
+    * equi-join evaluates that whole bucket's cross-product inside a
+    * single key group = ONE task. Replicating the left side `salt`
+    * ways and hashing the right side into salt sub-buckets spreads
+    * each bucket's pair generation across `salt` tasks with the pair
+    * set unchanged (pair (x,y) meets exactly once, in y's sub-bucket).
+    *
+    * Hamming-filter BEFORE the distinct: the codegen'd filter runs
+    * map-side on the join's output, so only actual near-dups pay the
+    * dedup shuffle — not every candidate. (filter∘distinct ≡
+    * distinct∘filter; hamming is a function of the pair.) */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, maxHamming: Int = 1): DataFrame = {
+      bits: Int = 32, maxHamming: Int = 1, salt: Int = 16): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, at most 64")
     val bandBits = bits / 4
+    // The join phase runs on PACKED LONGS, not the oracle's bit
+    // strings: fingerprint → one long (conv base-2; 64-bit wraps to
+    // negative, which bitwise ops don't care about), band key → an
+    // int slice of it, hamming → native bit_count(xor). Rows through
+    // the shuffle are fixed-width (id, hl, b, key, _s) — Tungsten
+    // sorts/hashes them several times faster than 32-char strings,
+    // and bit_count(xor) is one instruction vs a per-char loop.
+    // Values are bijective with the string form, so the pair set and
+    // hamming output are IDENTICAL to the oracle's construction.
     val sh = simhashBits(docs, idCol, textCol, bits).persist()
-    val bands = sh.crossJoin(
+    // conv returns a DECIMAL STRING; above 63 bits it exceeds the
+    // signed-long cast range, so wide fingerprints parse as two 32-bit
+    // halves OR'd together (two's-complement wrap is fine — only
+    // bitwise ops touch hl).
+    val hlCol =
+      if (bits <= 32) conv(col("simhash"), 2, 10).cast("long")
+      else shiftleft(conv(substring(col("simhash"), 1, bits - 32), 2, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(col("simhash"), bits - 31, 32), 2, 10).cast("long"))
+    val shl = sh.select(col("id"), hlCol.as("hl"))
+    val bands = shl.crossJoin(
         sh.sparkSession.range(4).select(col("id").cast("int").as("b")).hint("broadcast"))
-      .select(col("id"), col("simhash"), col("b"),
-        expr(s"substring(simhash, b * $bandBits + 1, $bandBits)").as("key"))
-    // Hamming-filter BEFORE the distinct: the codegen'd filter runs
-    // map-side on the band join's output, so only actual near-dups
-    // (tiny) pay the dedup shuffle — not every candidate pair.
-    // distinct∘filter ≡ filter∘distinct here (hamming is a function
-    // of the pair), and at corpus scale candidates outnumber true
-    // pairs by orders of magnitude.
-    val cand = bands.as("a").join(bands.as("b"),
+      .select(col("id"), col("hl"), col("b"),
+        expr(s"CAST(shiftright(hl, (3 - b) * $bandBits) & ${(1L << bandBits) - 1} AS INT)")
+          .as("key"))
+    val a = bands.withColumn("_s",
+      explode(array((0 until salt).map(lit): _*)))
+    val bSide = bands.withColumn("_s",
+      pmod(xxhash64(col("id")), lit(salt)).cast("int"))
+    val cand = a.as("a").join(bSide.as("b"),
         col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+          col("a._s") === col("b._s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
-      .withColumn("hamming",
-        graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
+        expr("bit_count(a.hl ^ b.hl)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
     materializeAndFree(cand, sh)
   }
