@@ -129,4 +129,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .distinct()
   }
+
+  /** Deterministic ±1 hyperplane matrix for random-projection LSH:
+    * sign(i, j) = +1 iff the first hex digit of md5("i|j") ≥ '8'.
+    * Reproducible from the formula alone, so the DuckDB oracle inlines
+    * the SAME values as list literals (`rpSignsSql`). */
+  def rpSignMatrix(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+    }
+
+  /** The sign matrix as DuckDB list literals, row i = plane i. */
+  def rpSignsSql(nBits: Int, dim: Int): Seq[String] =
+    rpSignMatrix(nBits, dim).toSeq.map(_.map(v =>
+      if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  /** Random-hyperplane SimHash over embeddings (Charikar cosine LSH —
+    * the third ANN path next to brute force and IVF): bit i =
+    * sign(v · h_i) with h_i the deterministic ±1 planes above.
+    * P(bit match) = 1 − θ/π, so near-identical vectors collide on
+    * whole bands with high probability while the hash is one map-side
+    * pass (nBits codegen'd DotProducts per row, no shuffle). The dot
+    * is rounded to 6dp before the sign so both engines' float32→double
+    * summation order can never flip a bit. */
+  def rpSimhash(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 16, dim: Int = 64): DataFrame = {
+    val signs = rpSignMatrix(nBits, dim)
+    val bits = signs.toSeq.map { s =>
+      when(round(graft.functions.VectorExpressions.dot(col(vecCol), typedlit(s.toSeq)), 6) > 0, "1")
+        .otherwise("0")
+    }
+    emb.select(col(idCol), concat(bits: _*).as("rp_hash"))
+  }
+
+  /** LSH near-dup pairs over embeddings: band the rp hash (nBands
+    * bands), candidates = vectors sharing any band bucket, verified by
+    * exact cosine ≥ minSim. Same shape as the text-side SimHash join;
+    * at corpus scale apply the same salting/capping as Dedup. */
+  def rpNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, nBits: Int = 16, nBands: Int = 4, dim: Int = 64): DataFrame = {
+    val bandBits = nBits / nBands
+    val h = rpSimhash(withNorm(emb, idCol, vecCol)
+        .select(col(idCol), col(vecCol), col("norm")), idCol, vecCol, nBits, dim)
+    val withVec = h.join(withNorm(emb, idCol, vecCol), Seq(idCol))
+    val bands = withVec.crossJoin(
+        emb.sparkSession.range(nBands).select(col("id").cast("int").as("b")).hint("broadcast"))
+      .select(col(idCol), col(vecCol), col("norm"),
+        expr(s"substring(rp_hash, b * $bandBits + 1, $bandBits)").as("key"), col("b"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        cosine(col(s"x.$vecCol"), col(s"y.$vecCol"),
+          col("x.norm"), col("y.norm")).as("sim"))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .distinct()
+  }
 }

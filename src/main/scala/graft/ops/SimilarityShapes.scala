@@ -88,14 +88,69 @@ object SimilarityShapes {
       |      FROM s)
       |SELECT vec_id, c_id AS cluster_id FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  /** Random-hyperplane (cosine) LSH fingerprints, aggregated into
+    * bucket counts — certifies the hash construction itself (like q32
+    * for text SimHash). The ±1 planes are deterministic
+    * (Similarity.rpSignMatrix) and inlined into the oracle as list
+    * literals; the dot is rounded to 6dp before the sign on both
+    * sides so summation order can't flip a bit. */
+  def rpLshBuckets(s: SparkSession, dir: String): DataFrame =
+    Similarity.rpSimhash(emb(s, dir), "vec_id", "embedding")
+      .groupBy(col("rp_hash"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("rp_hash"))
+
+  private def rpHashSql: String = {
+    val planes = Similarity.rpSignsSql(16, 64)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"""CASE WHEN round((SELECT sum(CAST(embedding[j] AS DOUBLE) * ($p)[j])
+         |  FROM generate_series(1, 64) t(j)), 6) > 0 THEN '1' ELSE '0' END""".stripMargin
+    }
+    bits.mkString(" || ")
+  }
+
+  val rpLshBucketsSql: String =
+    s"""WITH h AS (SELECT vec_id, $rpHashSql AS rp_hash FROM embeddings)
+       |SELECT rp_hash, count(*) AS n_vecs, min(vec_id) AS min_vec
+       |FROM h GROUP BY rp_hash ORDER BY rp_hash""".stripMargin
+
+  /** LSH near-dup pairs over embeddings (banded rp hash → candidate
+    * bucket join → exact-cosine verification): the cosine-LSH sibling
+    * of q44, third ANN path next to brute force (q33/q34) and IVF
+    * (q35/q56). */
+  def rpNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.rpNearDups(emb(s, dir), "vec_id", "embedding", 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val rpNearDupPairsSql: String =
+    s"""WITH h AS (SELECT vec_id, embedding, $rpHashSql AS rp_hash FROM embeddings),
+       |band AS (SELECT vec_id, embedding, b, substr(rp_hash, b * 4 + 1, 4) AS key
+       |  FROM h, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+       |    x.embedding AS ae, y.embedding AS be
+       |  FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+       |pos AS (SELECT id_a, id_b, ae, be, unnest(generate_series(1, len(ae))) AS i FROM cand),
+       |d AS (SELECT id_a, id_b,
+       |    sum(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na2,
+       |    sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS nb2
+       |  FROM pos GROUP BY id_a, id_b),
+       |sim AS (SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim FROM d)
+       |SELECT DISTINCT id_a, id_b, round(sim, 4) AS sim FROM sim
+       |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
     "q35_ann_ivf" -> ivfTopK,
-    "q56_ivf_assign" -> ivfAssignment)
+    "q56_ivf_assign" -> ivfAssignment,
+    "q62_rp_lsh_buckets" -> rpLshBuckets,
+    "q63_rp_neardups" -> rpNearDupPairs)
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,
-    "q56_ivf_assign" -> ivfAssignmentSql)
+    "q56_ivf_assign" -> ivfAssignmentSql,
+    "q62_rp_lsh_buckets" -> rpLshBucketsSql,
+    "q63_rp_neardups" -> rpNearDupPairsSql)
 }

@@ -109,6 +109,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rpSimhash: identical vectors collide; planted near-dup found by rpNearDups") {
+    // base vector + a tiny-noise copy (cos ≈ 0.999) + its negation
+    // (cos = −1) + an orthogonal-ish distinct vector.
+    val base = Array.tabulate(64)(j => math.sin(j * 1.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, j) => v + (if (j % 7 == 0) 0.01f else -0.005f) }
+    val anti = base.map(v => -v)
+    val other = Array.tabulate(64)(j => math.cos(j * 3.1 + 1).toFloat)
+    val e = Seq((1L, base), (2L, near), (3L, anti), (4L, other))
+      .toDF("vec_id", "embedding")
+    val h = Similarity.rpSimhash(e, "vec_id", "embedding")
+      .as[(Long, String)].collect().toMap
+    assert(h(1L).length == 16)
+    // antipodal vector flips every hyperplane side
+    assert(h(3L) == h(1L).map(c => if (c == '1') '0' else '1'))
+    val pairs = Similarity.rpNearDups(e, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // the planted near-dup, nothing else
+  }
+
   test("TopKPairs aggregator form equals the window form (R3 two plans, one answer)") {
     val dir01 = "/root/testdata/sf0.01"
     val agg = Relational.topKPerUserAgg(spark, dir01)
