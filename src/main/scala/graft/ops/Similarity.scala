@@ -166,10 +166,18 @@ object Similarity {
 
   /** LSH near-dup pairs over embeddings: band the rp hash (nBands
     * bands), candidates = vectors sharing any band bucket, verified by
-    * exact cosine ≥ minSim. Same shape as the text-side SimHash join;
-    * at corpus scale apply the same salting/capping as Dedup. */
+    * exact cosine ≥ minSim.
+    *
+    * Salted like Dedup.simhashNearDups: a 4-bit band key space is only
+    * 16 buckets, so every bucket holds ~N/16 vectors and the
+    * self-join's per-key cross-product would otherwise run inside
+    * single tasks (within-key skew AQE can't split). Replicate left ×
+    * salt, hash right into sub-buckets — pair set unchanged. At corpus
+    * scale also widen the bands (more hash tables of more bits) to
+    * match the target similarity. */
   def rpNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, nBits: Int = 16, nBands: Int = 4, dim: Int = 64): DataFrame = {
+      minSim: Double, nBits: Int = 16, nBands: Int = 4, dim: Int = 64,
+      salt: Int = 16): DataFrame = {
     val bandBits = nBits / nBands
     val h = rpSimhash(withNorm(emb, idCol, vecCol)
         .select(col(idCol), col(vecCol), col("norm")), idCol, vecCol, nBits, dim)
@@ -178,9 +186,14 @@ object Similarity {
         emb.sparkSession.range(nBands).select(col("id").cast("int").as("b")).hint("broadcast"))
       .select(col(idCol), col(vecCol), col("norm"),
         expr(s"substring(rp_hash, b * $bandBits + 1, $bandBits)").as("key"), col("b"))
-    bands.as("x").join(bands.as("y"),
+    val x = bands.withColumn("_s", explode(array((0 until salt).map(lit): _*)))
+    // shuffle_hash: SMJ would SORT rows carrying the 64-float vectors
+    // on both sides; a per-partition hash build skips that entirely.
+    val y = bands.withColumn("_s", pmod(xxhash64(col(idCol)), lit(salt)).cast("int"))
+      .hint("shuffle_hash")
+    x.as("x").join(y.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
+          col("x._s") === col("y._s") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         cosine(col(s"x.$vecCol"), col(s"y.$vecCol"),
           col("x.norm"), col("y.norm")).as("sim"))

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.CorpusPipeline
+
+/** The training-data cleaning pipeline in STREAMING form — continuous
+  * corpus ingest (crawl output landing as files / a topic) instead of
+  * batch re-runs over the full corpus.
+  *
+  * Streaming changes WHICH dedup stages apply, not their semantics:
+  *   - quality gate + fingerprint/enrichment are stateless maps —
+  *     identical plans to the batch `CorpusPipeline` stages;
+  *   - EXACT dedup becomes `dropDuplicatesWithinWatermark` on the
+  *     content fingerprint: state stays bounded (evicted past the
+  *     watermark), the right trade for a continuous feed where
+  *     byte-identical re-crawls cluster in time. Older re-crawls are
+  *     caught downstream by the sink's keyed anti-join
+  *     (IdempotentSink) exactly like post redelivery;
+  *   - NEAR-dup collapse stays a periodic batch job over the
+  *     accumulated corpus (`CorpusPipeline.clean`): LSH banding needs
+  *     corpus-wide buckets, which no bounded-state streaming operator
+  *     expresses honestly — scheduling the batch collapse over each
+  *     day's landed data is the production pattern.
+  */
+object CorpusStream {
+
+  /** Stateless enrichment — the per-doc columns every downstream
+    * consumer needs, computed once at ingest: token count, quality
+    * score, language, exact-dedup fingerprint, 16-bit simhash bucket
+    * key (near-dup bucketing precomputed for the periodic collapse).
+    * Works identically on batch and streaming frames. */
+  def enrich(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("lang_id", TextFunctions.langId(col(textCol)))
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+
+  /** The streaming clean: gate → enrich → watermarked exact dedup on
+    * content. `tsCol` is the ingest/event time driving the watermark. */
+  def cleanStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame =
+    enrich(docs.filter(CorpusPipeline.qualityGate(col(textCol), cfg)), textCol)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+}
