@@ -176,19 +176,29 @@ object Dedup {
     * `maxBucket` keep the exact all-pairs behavior (identical to
     * lshCandidates). Returns (id_a, id_b). */
   def lshCandidatesCapped(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val sized = bands
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("key"))))
-      .withColumn("rep", min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("key"))))
-    val small = sized.filter(col("bsz") <= maxBucket).select(col("id"), col("b"), col("key"))
-    val exact = small.as("a").join(small.as("b"),
-        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val star = sized.filter(col("bsz") > maxBucket && col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-    exact.unionByName(star).distinct()
+    // Single-plan form: ONE shuffle (groupBy bucket) collects each
+    // bucket's sorted member list, then pair generation is a map-side
+    // array expression — all pairs when the bucket is under the cap,
+    // the min-id star above it. No self-join, no window pass, no
+    // intermediate to persist; the whole thing stays lazy inside the
+    // caller's plan. (The earlier window+self-join form spent more
+    // time scheduling its extra jobs than computing.) Memory bound:
+    // one bucket's ids must fit in a row — 10⁷ ids ≈ 80 MB is the
+    // practical ceiling, far above any sane banding's bucket sizes,
+    // and the pair EXPLOSION (the actual quadratic risk) is capped
+    // regardless.
+    val buckets = bands.groupBy(col("b"), col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairsCol = when(size(col("ids")) <= maxBucket,
+      expr("""flatten(transform(ids, (x, i) ->
+              transform(slice(ids, i + 2, size(ids) - i - 1),
+                        y -> struct(x AS id_a, y AS id_b))))"""))
+      .otherwise(expr(
+        "transform(slice(ids, 2, size(ids) - 1), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"))
+    buckets.select(explode(pairsCol).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
   }
 
   /** Production-hash MinHash signatures: xxhash64 seeded per hash

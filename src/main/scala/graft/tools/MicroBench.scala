@@ -41,6 +41,41 @@ object MicroBench {
     time("minhash_shingle_arrays")(
       Dedup.docShingleArrays(Dedup.wordBigrams(docs, "doc_id", "text")).count())
     time("q31_full")(Dedup.minhashDedup(docs, "doc_id", "text").count())
+    time("q31_capped_raw")(Dedup.minhashDedupCapped(docs, "doc_id", "text").count())
+    locally {
+      // pair-generation isolation: caches stay warm across the timers
+      // (no clearCache between runs)
+      val sets = Dedup.docShingleArrays(Dedup.wordBigrams(docs, "doc_id", "text")).persist()
+      val bands = Dedup.lshBandsFromArrays(sets, 8, 2).persist()
+      bands.count() // materialize both caches outside the timers
+      def timeWarm(label: String)(f: => Long): Unit = {
+        f
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"$label%-28s ${ts.map(_._1).min}%8.3f s  rows=${ts.head._2}")
+      }
+      timeWarm("cand_uncapped")(Dedup.lshCandidates(bands).count())
+      timeWarm("cand_capped")(Dedup.lshCandidatesCapped(bands, 10000).count())
+      sets.unpersist(); bands.unpersist()
+    }
+
+    // q59 stage decomposition
+    import graft.ops.CorpusPipeline
+    val cfg = CorpusPipeline.Config()
+    time("p_quality_gate")(
+      docs.filter(CorpusPipeline.qualityGate(col("text"), cfg)).count())
+    time("p_exact_window")(
+      CorpusPipeline.exactSurvivors(
+        docs.filter(CorpusPipeline.qualityGate(col("text"), cfg)), "doc_id", "text").count())
+    time("p_lsh_on_ex") {
+      val ex = CorpusPipeline.exactSurvivors(
+        docs.filter(CorpusPipeline.qualityGate(col("text"), cfg)), "doc_id", "text").persist()
+      val n = Dedup.minhashDedupCapped(ex, "doc_id", "text").count()
+      ex.unpersist(); n
+    }
+    time("q59_full")(CorpusPipeline.clean(docs, "doc_id", "text").count())
     spark.stop()
   }
 }
