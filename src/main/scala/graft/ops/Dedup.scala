@@ -152,13 +152,14 @@ object Dedup {
       .select(col("id"), col("b"),
         md5(expr("array_join(transform(array_sort(ss), x -> x.sig), '')")).as("key"))
 
-  /** Candidate pairs: docs sharing any band bucket. */
+  /** Candidate pairs: docs sharing any band bucket. Runs as the
+    * uncapped case of the single-plan bucket aggregation — one shuffle
+    * over the bands, pairs exploded map-side — which both reads the
+    * band table ONCE (the self-join form scanned it twice) and keeps
+    * the whole step lazy inside the caller's plan. Output is the
+    * all-pairs candidate set, identical to the band self-join. */
   def lshCandidates(bands: DataFrame): DataFrame =
-    bands.as("a").join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    lshCandidatesCapped(bands, Int.MaxValue)
 
   /** Skew-safe candidate pairs for corpus scale. The bucket self-join
     * is quadratic PER BUCKET: one band bucket holding a cluster of k
@@ -227,9 +228,9 @@ object Dedup {
   def minhashDedupFast(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
-    val bands = lshBandsFastFromArrays(sets, numHashes, bandSize).persist()
     materializeAndFree(
-      jaccardForCandidates(sets, lshCandidates(bands), minJaccard), sets, bands)
+      jaccardForCandidates(sets, lshCandidates(lshBandsFastFromArrays(sets, numHashes, bandSize)),
+        minJaccard), sets)
   }
 
   /** Full MinHash+LSH near-dup pipeline with exact verification of
@@ -237,16 +238,17 @@ object Dedup {
     * shuffle) → map-side band keys → bucket self-join → array-based
     * exact-Jaccard verification.
     *
-    * Intermediates are persisted: the doc-array table feeds band
-    * derivation plus two verification joins, and the band table feeds
-    * a self-join (2 plan references each) — without persistence Spark
-    * re-derives every reference from the parquet scan. */
+    * The doc-array table is persisted (it feeds band derivation plus
+    * two verification joins — without persistence Spark re-derives
+    * every reference from the parquet scan); the band table is
+    * consumed exactly once by the aggregated candidate step, so it
+    * stays lazy. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
-    val bands = lshBandsFromArrays(sets, numHashes, bandSize).persist()
     materializeAndFree(
-      jaccardForCandidates(sets, lshCandidates(bands), minJaccard), sets, bands)
+      jaccardForCandidates(sets, lshCandidates(lshBandsFromArrays(sets, numHashes, bandSize)),
+        minJaccard), sets)
   }
 
   /** minhashDedup with the corpus-scale candidate cap: buckets above
@@ -259,10 +261,10 @@ object Dedup {
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5,
       maxBucket: Int = 10000): DataFrame = {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
-    val bands = lshBandsFromArrays(sets, numHashes, bandSize).persist()
     materializeAndFree(
-      jaccardForCandidates(sets, lshCandidatesCapped(bands, maxBucket), minJaccard),
-      sets, bands)
+      jaccardForCandidates(sets,
+        lshCandidatesCapped(lshBandsFromArrays(sets, numHashes, bandSize), maxBucket),
+        minJaccard), sets)
   }
 
   /** N-bit SimHash per document (Charikar): md5 hex digit j ≥ '8'
@@ -334,40 +336,36 @@ object Dedup {
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashBits(docs, idCol, textCol, 16)
 
-  /** SimHash near-dup pairs: band the bit string (4 bands), join on
-    * any shared band (pigeonhole: catches every pair with ≤3 differing
-    * bits), filter by exact Hamming distance via the codegen'd
-    * HammingDistance expression.
+  /** SimHash near-dup pairs via MULTI-INDEX Hamming search (Manku,
+    * Jarvelin, Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW 2007): a pair within Hamming distance m over 4 bands differs
+    * in at most m bands, so it agrees EXACTLY on every band outside
+    * some size-m subset — join on one key per size-m band subset,
+    * with the subset's bands masked out of the fingerprint. Recall is
+    * complete by pigeonhole; exact bit_count(xor) then filters to the
+    * true distance, so the output pair set is IDENTICAL to the
+    * oracle's single-band construction — but the candidate keyspace
+    * is (4−m)·bits/4 wide instead of bits/4. At sf0.1 / 32 bits /
+    * m=1 that is 24-bit keys vs 8-bit: 91k candidate pairs instead of
+    * 7.5M (82×), and at corpus scale it is the difference between
+    * quadratic blowup in every 256th-of-the-corpus bucket and buckets
+    * that only hold genuinely similar fingerprints. m=3 degenerates
+    * to the classic any-shared-band join (C(4,3)=4 keys of one band
+    * each) — this is a strict generalization.
     *
-    * The bucket self-join is SALTED: a simhash bucket is precisely a
-    * cluster of near-identical docs, so one bucket can hold a huge
-    * fraction of a duplicate-heavy corpus (at sf0.1 one bucket holds
-    * 65% of docs → 5.3M of the 7.5M candidate pairs), and an unsalted
-    * equi-join evaluates that whole bucket's cross-product inside a
-    * single key group = ONE task. Replicating the left side `salt`
-    * ways and hashing the right side into salt sub-buckets spreads
-    * each bucket's pair generation across `salt` tasks with the pair
-    * set unchanged (pair (x,y) meets exactly once, in y's sub-bucket).
-    *
-    * Hamming-filter BEFORE the distinct: the codegen'd filter runs
-    * map-side on the join's output, so only actual near-dups pay the
-    * dedup shuffle — not every candidate. (filter∘distinct ≡
-    * distinct∘filter; hamming is a function of the pair.) */
+    * The pairing phase runs on PACKED LONGS, not the oracle's bit
+    * strings: fingerprint → one long (conv base-2; 64-bit wraps to
+    * negative, which bitwise ops don't care about), combo key → the
+    * long with the excluded bands zeroed, hamming → native
+    * bit_count(xor). Rows are fixed-width (id, hl, b, key) —
+    * Tungsten hashes them several times faster than 32-char strings. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 32, maxHamming: Int = 1, salt: Int = 16): DataFrame = {
-    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+      bits: Int = 32, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "multi-index over 4 bands needs maxHamming in [0, 3]")
     require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, at most 64")
     val bandBits = bits / 4
-    // The join phase runs on PACKED LONGS, not the oracle's bit
-    // strings: fingerprint → one long (conv base-2; 64-bit wraps to
-    // negative, which bitwise ops don't care about), band key → an
-    // int slice of it, hamming → native bit_count(xor). Rows through
-    // the shuffle are fixed-width (id, hl, b, key, _s) — Tungsten
-    // sorts/hashes them several times faster than 32-char strings,
-    // and bit_count(xor) is one instruction vs a per-char loop.
-    // Values are bijective with the string form, so the pair set and
-    // hamming output are IDENTICAL to the oracle's construction.
-    val sh = simhashBits(docs, idCol, textCol, bits).persist()
+    val sh = simhashBits(docs, idCol, textCol, bits)
     // conv returns a DECIMAL STRING; above 63 bits it exceeds the
     // signed-long cast range, so wide fingerprints parse as two 32-bit
     // halves OR'd together (two's-complement wrap is fine — only
@@ -377,23 +375,42 @@ object Dedup {
       else shiftleft(conv(substring(col("simhash"), 1, bits - 32), 2, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(col("simhash"), bits - 31, 32), 2, 10).cast("long"))
     val shl = sh.select(col("id"), hlCol.as("hl"))
-    val bands = shl.crossJoin(
-        sh.sparkSession.range(4).select(col("id").cast("int").as("b")).hint("broadcast"))
-      .select(col("id"), col("hl"), col("b"),
-        expr(s"CAST(shiftright(hl, (3 - b) * $bandBits) & ${(1L << bandBits) - 1} AS INT)")
-          .as("key"))
-    val a = bands.withColumn("_s",
-      explode(array((0 until salt).map(lit): _*)))
-    val bSide = bands.withColumn("_s",
-      pmod(xxhash64(col("id")), lit(salt)).cast("int"))
-    val cand = a.as("a").join(bSide.as("b"),
-        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
-          col("a._s") === col("b._s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        expr("bit_count(a.hl ^ b.hl)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // One key per size-maxHamming subset of bands (max(m,1): m=0 still
+    // needs one full-fingerprint key): key = hl with the subset's
+    // bands masked to zero, tagged by the subset's index.
+    val comboMasks = (0 until 4).combinations(math.max(maxHamming, 1)).map { excluded =>
+      excluded.map(c => ((1L << bandBits) - 1) << ((3 - c) * bandBits)).reduce(_ | _)
+    }.toSeq
+    val combos = comboMasks.zipWithIndex.map { case (m, i) =>
+      struct(lit(i).as("b"), col("hl").bitwiseAND(lit(~m)).as("key"))
+    }
+    val bands = shl.select(col("id"), col("hl"), explode(array(combos: _*)).as("_c"))
+      .select(col("id"), col("hl"), col("_c.b").as("b"), col("_c.key").as("key"))
+    // Pair generation is the single-plan bucket aggregation (as in
+    // lshCandidatesCapped, carrying hl so the Hamming test runs INSIDE
+    // the per-bucket array transform): one shuffle collects each
+    // bucket's sorted (id, hl) members, pairs that fail the distance
+    // test are dropped before they are ever exploded into rows, and
+    // survivors (output-sized) pay the one distinct. The whole
+    // operator is one lazy two-shuffle plan — no persist, no
+    // checkpoint, no self-join. Per-bucket work is quadratic in bucket
+    // size, which multi-index keys keep small for FALSE candidates;
+    // buckets of genuinely near-identical docs are output-sized by
+    // definition, and a duplicate-heavy corpus where even that
+    // explodes is what the star-capped scale variant
+    // (simhashNearDupsCapped) is for.
+    val buckets = bands.groupBy(col("b"), col("key"))
+      .agg(sort_array(collect_list(struct(col("id"), col("hl")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairsCol = expr(
+      s"""flatten(transform(ms, (x, i) ->
+            filter(transform(slice(ms, i + 2, size(ms) - i - 1),
+                     y -> struct(x.id AS id_a, y.id AS id_b,
+                                 bit_count(x.hl ^ y.hl) AS hamming)),
+                   p -> p.hamming <= $maxHamming)))""")
+    buckets.select(explode(pairsCol).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
-    materializeAndFree(cand, sh)
   }
 
   /** Scale-path SimHash near-dups: 64-bit fingerprints in 4×16-bit
