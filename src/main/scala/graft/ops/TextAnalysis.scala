@@ -233,8 +233,156 @@ object TextAnalysis {
        |GROUP BY 1, 2 HAVING count(*) >= 5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Distinct word n-grams per document — the shared shingler for
+    * decontamination (generalizes the dedup bigram shingler to any n).
+    * Map-only: split, slide, distinct, explode. */
+  def ngramSets(docsDf: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docsDf
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(ts) - ${n - 1}), i -> array_join(slice(ts, i, $n), ' '))")))
+        .as("gram"))
+
+  /** Benchmark decontamination (the eval-leakage pass every training
+    * pipeline needs): count, per corpus doc, how many of its distinct
+    * word n-grams appear anywhere in the benchmark set. The benchmark
+    * is tiny next to the corpus BY DEFINITION, so its distinct-gram
+    * set is broadcast and the corpus side never shuffles raw text —
+    * the only shuffle is the per-doc count over MATCHED gram rows
+    * (contamination-sized, not corpus-sized). Returns (id, n_shared)
+    * for docs sharing ≥ minShared grams. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, minShared: Long = 3): DataFrame = {
+    val benchGrams = ngramSets(benchmark, idCol, textCol, n).select(col("gram")).distinct()
+    ngramSets(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The decontaminated corpus: drop every doc contaminationReport
+    * flags (left_anti against the tiny flagged set). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, minShared: Long = 3): DataFrame =
+    corpus.join(
+      broadcast(contaminationReport(corpus, benchmark, idCol, textCol, n, minShared)
+        .withColumnRenamed("id", idCol).select(col(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** Within-document repetition statistics (the Gopher repetition
+    * filters — Rae et al. 2021 §A1.1, adapted to unstructured text):
+    * duplicate word-3-gram fraction and most-frequent-token fraction,
+    * plus the repetitive flag at Gopher-style thresholds. Entirely
+    * map-only — every stat is an array expression over the token
+    * vector inside one projection; nothing shuffles. */
+  def repetitionStats(docsDf: DataFrame, idCol: String, textCol: String,
+      maxDup3Frac: Double = 0.5, maxTopTokFrac: Double = 0.2): DataFrame =
+    docsDf
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("ts"))
+      .withColumn("gs", when(size(col("ts")) >= 3, expr(
+        "transform(sequence(1, size(ts) - 2), i -> array_join(slice(ts, i, 3), ' '))"))
+        .otherwise(expr("array()")))
+      .select(
+        col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        when(size(col("gs")) > 0,
+          round((size(col("gs")) - size(array_distinct(col("gs"))))
+            / size(col("gs")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup3_frac"),
+        round(expr("array_max(transform(array_distinct(ts), t -> size(filter(ts, x -> x = t))))")
+          / size(col("ts")).cast("double"), 6).as("top_tok_frac"))
+      .withColumn("repetitive",
+        col("dup3_frac") > maxDup3Frac || col("top_tok_frac") > maxTopTokFrac)
+
+  /** Deterministic seeded train/validation split — reproducible
+    * regardless of partitioning or cluster size because the split is a
+    * pure function of (seed, id): md5("seed|id")'s first 4 hex digits
+    * against a threshold derived from trainFrac (16-bit resolution).
+    * Map-only; portable (md5 on both engines). */
+  def hashSplit(docsDf: DataFrame, idCol: String, seed: String,
+      trainFrac: Double = 0.8): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, "trainFrac must be in (0, 1)")
+    val threshold = f"${(trainFrac * 65536).toInt}%04x"
+    docsDf.withColumn("split",
+      when(substring(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), 1, 4)
+        < lit(threshold), "train").otherwise("val"))
+  }
+
+  /** q64 — decontamination report: docs sharing ≥3 word-3-grams with
+    * the benchmark set (doc_id ≡ 0 mod 20 models the held-out eval
+    * suite). */
+  def decontaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    contaminationReport(
+        d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private def gramCte(n: Int) =
+    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '$WS') AS ts
+       |  FROM documents),
+       |grams AS (SELECT DISTINCT id, unnest(list_transform(
+       |    generate_series(1, len(ts) - ${n - 1}),
+       |    i -> array_to_string(ts[i:i+${n - 1}], ' '))) AS gram
+       |  FROM toks WHERE len(ts) >= $n)""".stripMargin
+
+  val decontaminationReportSql: String =
+    s"""WITH ${gramCte(3)},
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE id % 20 = 0)
+       |SELECT g.id AS doc_id, count(*) AS n_shared
+       |FROM grams g JOIN bench b ON g.gram = b.gram
+       |WHERE g.id % 20 != 0
+       |GROUP BY g.id HAVING count(*) >= 3
+       |ORDER BY doc_id""".stripMargin
+
+  /** q65 — Gopher-style repetition stats per doc. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '$WS') AS ts
+       |  FROM documents),
+       |g AS (SELECT doc_id, ts,
+       |    CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2),
+       |      i -> array_to_string(ts[i:i+2], ' ')) ELSE [] END AS gs
+       |  FROM t)
+       |SELECT doc_id, len(ts) AS n_tokens,
+       |  CASE WHEN len(gs) > 0
+       |    THEN round((len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS dup3_frac,
+       |  round(list_max(list_transform(list_distinct(ts),
+       |    t -> len(list_filter(ts, x -> x = t)))) / CAST(len(ts) AS DOUBLE), 6) AS top_tok_frac,
+       |  (CASE WHEN len(gs) > 0
+       |    THEN round((len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE), 6)
+       |    ELSE 0.0 END) > 0.5
+       |   OR round(list_max(list_transform(list_distinct(ts),
+       |    t -> len(list_filter(ts, x -> x = t)))) / CAST(len(ts) AS DOUBLE), 6) > 0.2
+       |   AS repetitive
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** q66 — deterministic hash split (seed "v1", 80/20). */
+  def split8020(s: SparkSession, dir: String): DataFrame =
+    hashSplit(docs(s, dir), "doc_id", "v1")
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val split8020Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+      |       THEN 'train' ELSE 'val' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
+    "q64_decontaminate" -> decontaminationReport,
+    "q65_repetition" -> repetition,
+    "q66_hash_split" -> split8020,
     "q25_token_stats" -> tokenStats,
     "q26_langid_confusion" -> langIdConfusion,
     "q27_quality_scores" -> qualityScores,
@@ -245,6 +393,9 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q45_top_bigrams" -> topBigramsSql,
+    "q64_decontaminate" -> decontaminationReportSql,
+    "q65_repetition" -> repetitionSql,
+    "q66_hash_split" -> split8020Sql,
     "q25_token_stats" -> tokenStatsSql,
     "q26_langid_confusion" -> langIdConfusionSql,
     "q27_quality_scores" -> qualityScoresSql,

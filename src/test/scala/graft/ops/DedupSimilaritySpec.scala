@@ -174,6 +174,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-index simhashNearDups ≡ classic any-shared-band join for every maxHamming") {
+    // Reference construction: the oracle's shape — one 8-bit band per
+    // doc×4, bucket self-join on any shared band, exact Hamming filter.
+    val sh = Dedup.simhashBits(docs, "doc_id", "text", 32)
+      .select(col("id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS b, substring(simhash, b * 8 + 1, 8) AS key))")).as("_b"))
+      .select(col("id"), col("simhash"), col("_b.b").as("b"), col("_b.key").as("key"))
+    for (m <- 0 to 3) {
+      val classic = sh.as("a").join(sh.as("b"),
+          col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          graft.functions.HammingExpression.hamming(col("a.simhash"), col("b.simhash"))
+            .cast("int").as("hamming"))
+        .filter(col("hamming") <= m).distinct()
+        .as[(Long, Long, Int)].collect().toSet
+      val multi = Dedup.simhashNearDups(docs, "doc_id", "text", bits = 32, maxHamming = m)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(multi == classic, s"maxHamming=$m")
+    }
+  }
+
   test("simhashNearDupsCapped under a generous cap equals the uncapped 64-bit pairs") {
     val exact = Dedup.simhashNearDups(docs, "doc_id", "text", bits = 64, maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSet
