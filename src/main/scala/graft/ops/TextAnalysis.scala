@@ -310,6 +310,84 @@ object TextAnalysis {
         < lit(threshold), "train").otherwise("val"))
   }
 
+  /** Balanced mixture sampling: deterministically downsample each
+    * stratum (language, source, domain…) to at most `perStratum` docs
+    * — the mixture-reweighting step of a pretraining data recipe.
+    * Selection ranks md5("seed|id") inside each stratum, so the sample
+    * is a pure function of (seed, id, stratum): reproducible across
+    * partitionings and cluster sizes, and adding new docs never evicts
+    * a kept doc unless the new ones hash lower. One shuffle (the
+    * per-stratum window); the rank column is returned so the selection
+    * itself is certifiable. */
+  def balancedSample(docsDf: DataFrame, idCol: String, strataCol: String,
+      perStratum: Int, seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))))
+    docsDf.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= perStratum)
+  }
+
+  /** Sequence packing: assign docs to ~`capacity`-token training bins.
+    * Docs are spread across `buckets` independent packing streams by a
+    * portable hash (two hex digits of md5 → 0..255 → mod buckets), and
+    * within a stream a running token total assigns bin =
+    * floor(start_offset / capacity) — contiguous greedy fill in
+    * deterministic hash order. The window partitions BY BUCKET, so
+    * packing parallelizes across buckets (at corpus scale: thousands
+    * of buckets ⇒ no single-partition window, each stream packs
+    * independently) and the whole operator is map + one partitioned
+    * window shuffle. */
+  def packSequences(docsDf: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 2048, buckets: Int = 16, seed: String = "pack"): DataFrame = {
+    val h = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docsDf
+      .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"), h.as("h"))
+      .withColumn("bucket",
+        ((ascii(substring(col("h"), 1, 1)) * 256 + ascii(substring(col("h"), 2, 1)))
+          % buckets).cast("int"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity).cast("long"))
+      .select(col(idCol), col("bucket"), col("bin"), col("n_tokens"))
+  }
+
+  /** q67 — balanced per-language sample (40 docs per lang, seed s1). */
+  def balancedByLang(s: SparkSession, dir: String): DataFrame =
+    balancedSample(docs(s, dir), "doc_id", "lang", 40, "s1")
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy(col("doc_id"))
+
+  val balancedByLangSql: String =
+    """SELECT doc_id, lang, rnk FROM (
+      |  SELECT doc_id, lang, row_number() OVER (
+      |      PARTITION BY lang
+      |      ORDER BY md5('s1|' || CAST(doc_id AS VARCHAR))) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 40 ORDER BY doc_id""".stripMargin
+
+  /** q68 — sequence packing into 2048-token bins over 16 streams. */
+  def packing(s: SparkSession, dir: String): DataFrame =
+    packSequences(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val packingSql: String = {
+    val nTok =
+      s"""CASE WHEN length(trim(text)) = 0 THEN 0
+         | ELSE len(string_split_regex(trim(text), '$WS')) END""".stripMargin
+    """WITH t AS (SELECT doc_id, md5('pack|' || CAST(doc_id AS VARCHAR)) AS h,
+      |    NTOK AS n_tokens FROM documents),
+      |b AS (SELECT doc_id, h, n_tokens,
+      |    (ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) % 16 AS bucket
+      |  FROM t)
+      |SELECT doc_id, bucket, CAST(floor((sum(n_tokens) OVER (
+      |    PARTITION BY bucket ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048) AS BIGINT) AS bin,
+      |  n_tokens
+      |FROM b ORDER BY doc_id""".stripMargin.replace("NTOK", nTok)
+  }
+
   /** q64 — decontamination report: docs sharing ≥3 word-3-grams with
     * the benchmark set (doc_id ≡ 0 mod 20 models the held-out eval
     * suite). */
@@ -383,6 +461,8 @@ object TextAnalysis {
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
     "q66_hash_split" -> split8020,
+    "q67_balanced_sample" -> balancedByLang,
+    "q68_pack_sequences" -> packing,
     "q25_token_stats" -> tokenStats,
     "q26_langid_confusion" -> langIdConfusion,
     "q27_quality_scores" -> qualityScores,
@@ -396,6 +476,8 @@ object TextAnalysis {
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,
     "q66_hash_split" -> split8020Sql,
+    "q67_balanced_sample" -> balancedByLangSql,
+    "q68_pack_sequences" -> packingSql,
     "q25_token_stats" -> tokenStatsSql,
     "q26_langid_confusion" -> langIdConfusionSql,
     "q27_quality_scores" -> qualityScoresSql,

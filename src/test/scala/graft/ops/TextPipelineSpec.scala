@@ -53,6 +53,45 @@ class TextPipelineSpec extends SparkSpec {
       (col("dup3_frac") > 0.5 || col("top_tok_frac") > 0.2)).isEmpty)
   }
 
+  test("balancedSample caps every stratum, is repartition-stable, and keeps a strict subset on K decrease") {
+    val s40 = TextAnalysis.balancedSample(docs, "doc_id", "lang", 40, "s1")
+    val counts = s40.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 40))
+    val ids40 = s40.select("doc_id").as[Long].collect().toSet
+    val ids40b = TextAnalysis.balancedSample(docs.repartition(5), "doc_id", "lang", 40, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids40 == ids40b, "sample must be a pure function of (seed, id, stratum)")
+    // hash-rank selection is nested: the 10-per-stratum sample is a
+    // subset of the 40-per-stratum one
+    val ids10 = TextAnalysis.balancedSample(docs, "doc_id", "lang", 10, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids10.subsetOf(ids40))
+  }
+
+  test("packSequences: bins respect capacity starts, cover all docs, deterministic") {
+    val p = TextAnalysis.packSequences(docs, "doc_id", "text", capacity = 100, buckets = 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(p.length == docs.count())
+    // per (bucket, bin): total tokens of a bin exceed capacity only via
+    // its LAST doc straddling the boundary (contiguous fill): every
+    // doc's start offset lies inside its bin
+    val byStream = p.groupBy(_._2)
+    byStream.foreach { case (_, ds) =>
+      // reconstruct offsets: order within the stream is by md5 hash,
+      // which we can't see here, but bin ids must be non-decreasing
+      // with cumulative fill: total tokens in bins 0..b must be >= b*100
+      val binTotals = ds.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      val maxBin = binTotals.keys.max
+      (0L to maxBin).foreach { b =>
+        val below = binTotals.filter(_._1 < b).values.sum
+        assert(below >= b * 100 - 100, s"bin $b starts too early")
+      }
+    }
+    val p2 = TextAnalysis.packSequences(docs.repartition(3), "doc_id", "text",
+      capacity = 100, buckets = 4).as[(Long, Int, Long, Long)].collect()
+    assert(p.sortBy(_._1).toSeq == p2.sortBy(_._1).toSeq)
+  }
+
   test("hashSplit is deterministic, id-stable under repartition, and near the target fraction") {
     val s1 = TextAnalysis.hashSplit(docs, "doc_id", "v1")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
