@@ -51,6 +51,47 @@ object CorpusPipeline {
       .filter(col(idCol) === col("_fp_min"))
       .drop("_fp_min")
 
+  /** Knobs for the stages `trainingRecipe` adds on top of `clean`.
+    * Decontamination uses 6-gram/minShared=1 ("any shared 6-gram is
+    * leakage") — n-gram length is the lever that separates genuine
+    * benchmark overlap from short-gram vocabulary noise. */
+  final case class RecipeConfig(
+      base: Config = Config(),
+      maxDup3Frac: Double = 0.5,
+      maxTopTokFrac: Double = 0.2,
+      decontamN: Int = 6,
+      decontamMinShared: Long = 1,
+      splitSeed: String = "v1",
+      trainFrac: Double = 0.8)
+
+  /** The COMPLETE modern training-data recipe, every stage the
+    * already-certified operator, composed as one dataflow (q69):
+    *
+    *   quality gate → repetition filter (Gopher) → benchmark
+    *   decontamination → exact dedup → near-dup collapse (capped LSH)
+    *   → deterministic train/val split.
+    *
+    * Stage shape at 100 TB: stages 1–2 are map-only predicates fused
+    * into the scan projection; decontamination broadcasts the
+    * benchmark gram set (benchmarks are tiny by definition) so the
+    * corpus still hasn't shuffled; then the dedup stages run exactly
+    * as in `clean`. The split is a map-only pure function of
+    * (seed, id) stamped on the survivors. */
+  def trainingRecipe(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      cfg: RecipeConfig = RecipeConfig()): DataFrame = {
+    val gated = docs.filter(
+      qualityGate(col(textCol), cfg.base) &&
+        !TextAnalysis.repetitiveFlag(col(textCol), cfg.maxDup3Frac, cfg.maxTopTokFrac))
+    val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
+      cfg.decontamN, cfg.decontamMinShared)
+    val ex = exactSurvivors(decon, idCol, textCol).persist()
+    val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
+      cfg.base.numHashes, cfg.base.bandSize, cfg.base.minJaccard, cfg.base.maxBucket)
+    TextAnalysis.hashSplit(Dedup.dedupCorpus(ex, idCol, pairs),
+      idCol, cfg.splitSeed, cfg.trainFrac)
+  }
+
   /** The full pipeline: returns the cleaned, deduplicated corpus
     * (all original columns of the surviving rows). */
   def clean(docs: DataFrame, idCol: String, textCol: String,

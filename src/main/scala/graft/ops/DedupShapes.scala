@@ -134,6 +134,83 @@ object DedupShapes {
        |ORDER BY e.doc_id""".stripMargin
   }
 
+  /** q69 — the COMPLETE training-data recipe as one certified
+    * dataflow: quality gate → Gopher repetition filter → benchmark
+    * decontamination (6-grams vs the doc_id ≡ 0 mod 20 eval set) →
+    * exact dedup → capped-LSH near-dup collapse → deterministic
+    * train/val split. Every stage is the individually-certified
+    * operator; this gates their COMPOSITION. */
+  def trainingRecipe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CorpusPipeline.trainingRecipe(
+        d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trainingRecipeSql: String = {
+    val ws = "\\s+"
+    val nTok =
+      s"""CASE WHEN length(trim(text)) = 0 THEN 0
+         | ELSE len(string_split_regex(trim(text), '$ws')) END""".stripMargin
+    val nStop = s"len(regexp_extract_all(text, '${"\\b(the|a|of|and|in|to|is)\\b"}'))"
+    val nPunct = s"len(regexp_extract_all(text, '${"[^a-zA-Z0-9\\s]"}'))"
+    s"""WITH RECURSIVE
+       |qsrc AS (SELECT doc_id, lang, text, $nTok AS n_tokens,
+       |    $nStop AS n_stop, $nPunct AS n_punct
+       |  FROM documents WHERE doc_id % 20 != 0),
+       |qscore AS (SELECT *, coalesce(round(
+       |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) +
+       |    0.3 * (1.0 - least(1.0, (n_punct / nullif(CAST(length(text) AS DOUBLE), 0.0)) * 10.0)) +
+       |    0.2 * least(1.0, (n_stop / nullif(CAST(n_tokens AS DOUBLE), 0.0)) * 5.0), 6), 0.0) AS score
+       |  FROM qsrc),
+       |filt0 AS (SELECT doc_id, lang, text, n_tokens FROM qscore
+       |  WHERE n_tokens >= 5 AND score >= 0.3),
+       |rl AS (SELECT doc_id, string_split_regex(trim(text), '$ws') AS ts FROM filt0),
+       |rg AS (SELECT doc_id, ts, CASE WHEN len(ts) >= 3
+       |    THEN list_transform(generate_series(1, len(ts) - 2),
+       |      i -> array_to_string(ts[i:i+2], ' ')) ELSE [] END AS gs FROM rl),
+       |rep AS (SELECT doc_id FROM rg WHERE
+       |  (CASE WHEN len(gs) > 0
+       |     THEN round((len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE), 6)
+       |     ELSE 0.0 END) > 0.5
+       |  OR round(list_max(list_transform(list_distinct(ts),
+       |       t -> len(list_filter(ts, x -> x = t)))) / CAST(len(ts) AS DOUBLE), 6) > 0.2),
+       |filt AS (SELECT f.* FROM filt0 f LEFT JOIN rep r ON f.doc_id = r.doc_id
+       |  WHERE r.doc_id IS NULL),
+       |btoks AS (SELECT string_split_regex(trim(text), '$ws') AS ts
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |bgrams AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts) - 5),
+       |    i -> array_to_string(ts[i:i+5], ' '))) AS gram FROM btoks WHERE len(ts) >= 6),
+       |ctoks AS (SELECT doc_id AS id, string_split_regex(trim(text), '$ws') AS ts FROM filt),
+       |cgrams AS (SELECT DISTINCT id, unnest(list_transform(generate_series(1, len(ts) - 5),
+       |    i -> array_to_string(ts[i:i+5], ' '))) AS gram FROM ctoks WHERE len(ts) >= 6),
+       |contam AS (SELECT DISTINCT c.id FROM cgrams c JOIN bgrams b ON c.gram = b.gram),
+       |decon AS (SELECT f.* FROM filt f LEFT JOIN contam c ON f.doc_id = c.id
+       |  WHERE c.id IS NULL),
+       |ex AS (SELECT doc_id, lang, text, n_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS fp_min FROM decon)
+       |  WHERE doc_id = fp_min),
+       |${lshPairsCteFrom("ex")},
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT e.doc_id, e.lang, e.n_tokens,
+       |  CASE WHEN substr(md5('v1|' || CAST(e.doc_id AS VARCHAR)), 1, 4) < 'cccc'
+       |       THEN 'train' ELSE 'val' END AS split
+       |FROM ex e LEFT JOIN comp c ON c.id = e.doc_id
+       |WHERE c.id IS NULL OR least(c.id, c.mn) = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
   /** SimHash fingerprints, aggregated into bucket counts (bucket size
     * > 1 ⇒ near-dup cluster candidate). */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =
@@ -187,7 +264,8 @@ object DedupShapes {
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
     "q55_dedup_canonical" -> dedupCanonical,
-    "q59_corpus_pipeline" -> corpusPipeline)
+    "q59_corpus_pipeline" -> corpusPipeline,
+    "q69_training_recipe" -> trainingRecipe)
 
   def oracles: Map[String, String] = Map(
     "q30_jaccard_pairs" -> jaccardPairsSql,
@@ -195,5 +273,6 @@ object DedupShapes {
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,
     "q55_dedup_canonical" -> dedupCanonicalSql,
-    "q59_corpus_pipeline" -> corpusPipelineSql)
+    "q59_corpus_pipeline" -> corpusPipelineSql,
+    "q69_training_recipe" -> trainingRecipeSql)
 }

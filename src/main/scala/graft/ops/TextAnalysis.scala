@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -271,6 +271,33 @@ object TextAnalysis {
         .withColumnRenamed("id", idCol).select(col(idCol))),
       Seq(idCol), "left_anti")
 
+  /** Duplicate word-3-gram fraction of a text column — a pure
+    * map-only Column (array expressions over the token vector), so it
+    * composes into pipelines as a filter predicate with zero plan
+    * footprint beyond the projection. */
+  def dup3Frac(textCol: Column): Column = {
+    val ts = split(trim(textCol), "\\s+")
+    val gs = when(size(ts) >= 3,
+      transform(sequence(lit(1), size(ts) - 2),
+        i => array_join(slice(ts, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>"))
+    when(size(gs) > 0,
+      round((size(gs) - size(array_distinct(gs))) / size(gs).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Most-frequent-token fraction (map-only Column, see dup3Frac). */
+  def topTokFrac(textCol: Column): Column = {
+    val ts = split(trim(textCol), "\\s+")
+    round(array_max(transform(array_distinct(ts),
+      t => size(filter(ts, x => x === t)))) / size(ts).cast("double"), 6)
+  }
+
+  /** The Gopher-style repetitive flag as a reusable predicate. */
+  def repetitiveFlag(textCol: Column,
+      maxDup3Frac: Double = 0.5, maxTopTokFrac: Double = 0.2): Column =
+    dup3Frac(textCol) > maxDup3Frac || topTokFrac(textCol) > maxTopTokFrac
+
   /** Within-document repetition statistics (the Gopher repetition
     * filters — Rae et al. 2021 §A1.1, adapted to unstructured text):
     * duplicate word-3-gram fraction and most-frequent-token fraction,
@@ -280,19 +307,11 @@ object TextAnalysis {
   def repetitionStats(docsDf: DataFrame, idCol: String, textCol: String,
       maxDup3Frac: Double = 0.5, maxTopTokFrac: Double = 0.2): DataFrame =
     docsDf
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("ts"))
-      .withColumn("gs", when(size(col("ts")) >= 3, expr(
-        "transform(sequence(1, size(ts) - 2), i -> array_join(slice(ts, i, 3), ' '))"))
-        .otherwise(expr("array()")))
       .select(
         col(idCol),
-        size(col("ts")).cast("long").as("n_tokens"),
-        when(size(col("gs")) > 0,
-          round((size(col("gs")) - size(array_distinct(col("gs"))))
-            / size(col("gs")).cast("double"), 6))
-          .otherwise(lit(0.0)).as("dup3_frac"),
-        round(expr("array_max(transform(array_distinct(ts), t -> size(filter(ts, x -> x = t))))")
-          / size(col("ts")).cast("double"), 6).as("top_tok_frac"))
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"),
+        dup3Frac(col(textCol)).as("dup3_frac"),
+        topTokFrac(col(textCol)).as("top_tok_frac"))
       .withColumn("repetitive",
         col("dup3_frac") > maxDup3Frac || col("top_tok_frac") > maxTopTokFrac)
 

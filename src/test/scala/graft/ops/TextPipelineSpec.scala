@@ -92,6 +92,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(p.sortBy(_._1).toSeq == p2.sortBy(_._1).toSeq)
   }
 
+  test("trainingRecipe survivors pass every stage's own predicate and are benchmark-clean") {
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val out = CorpusPipeline.trainingRecipe(corpus, bench, "doc_id", "text").persist()
+    assert(out.count() > 0)
+    // stage predicates hold on every survivor
+    val cfg = CorpusPipeline.Config()
+    assert(out.filter(!CorpusPipeline.qualityGate(col("text"), cfg)).isEmpty)
+    assert(out.filter(TextAnalysis.repetitiveFlag(col("text"))).isEmpty)
+    // no survivor shares a 6-gram with the benchmark
+    assert(TextAnalysis.contaminationReport(out, bench, "doc_id", "text",
+      n = 6, minShared = 1).isEmpty)
+    // no exact dups among survivors; split column present and binary
+    val n = out.count()
+    assert(out.select("text").distinct().count() == n)
+    assert(out.select("split").distinct().as[String].collect().toSet.subsetOf(Set("train", "val")))
+    // idempotent: running the recipe on its own output changes nothing
+    val again = CorpusPipeline.trainingRecipe(out.drop("split"), bench, "doc_id", "text")
+    assert(again.count() == n)
+    out.unpersist()
+  }
+
   test("hashSplit is deterministic, id-stable under repartition, and near the target fraction") {
     val s1 = TextAnalysis.hashSplit(docs, "doc_id", "v1")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
