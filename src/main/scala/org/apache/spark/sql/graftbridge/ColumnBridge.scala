@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER conversion of a Column's node tree to a catalyst
+    * Expression. `expression` above wraps lazily (the classic Dataset
+    * entry points unwrap it during their own node conversion); an
+    * expression spliced into a FunctionRegistry builder result never
+    * passes through those entry points, so the lazy wrapper would
+    * reach codegen unresolved — SQL-function registration of
+    * Column-composed functions must use this one. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
