@@ -271,6 +271,28 @@ object TextAnalysis {
         .withColumnRenamed("id", idCol).select(col(idCol))),
       Seq(idCol), "left_anti")
 
+  /** Streaming-composable decontamination: the per-doc test runs
+    * MAP-SIDE against the benchmark's whole distinct-gram set carried
+    * as one broadcast array (a stream-static broadcast cross join —
+    * `decontaminate`'s aggregate-then-anti-join shape is illegal on a
+    * streaming frame). Per-row cost is one array_intersect against
+    * the bench set: fine for the micro-batch path; batch jobs should
+    * prefer `decontaminate`. Same survivor set as `decontaminate` on
+    * any static frame (spec'd). */
+  def decontaminateStreaming(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, minShared: Long = 3): DataFrame = {
+    val benchSet = ngramSets(benchmark, idCol, textCol, n)
+      .agg(collect_set(col("gram")).as("_bench_gs"))
+    val ts = split(trim(col(textCol)), "\\s+")
+    val gs = when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    corpus.crossJoin(broadcast(benchSet))
+      .filter(size(array_intersect(array_distinct(gs), col("_bench_gs"))) < minShared)
+      .drop("_bench_gs")
+  }
+
   /** Duplicate word-3-gram fraction of a text column — a pure
     * map-only Column (array expressions over the token vector), so it
     * composes into pipelines as a filter predicate with zero plan

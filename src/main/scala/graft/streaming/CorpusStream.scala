@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.ops.CorpusPipeline
+import graft.ops.{CorpusPipeline, TextAnalysis}
 
 /** The training-data cleaning pipeline in STREAMING form — continuous
   * corpus ingest (crawl output landing as files / a topic) instead of
@@ -47,4 +47,27 @@ object CorpusStream {
     enrich(docs.filter(CorpusPipeline.qualityGate(col(textCol), cfg)), textCol)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** The streaming form of the FULL recipe's stateless stages
+    * (CorpusPipeline.trainingRecipe): quality gate + Gopher repetition
+    * filter + benchmark decontamination + enrichment + train/val split
+    * stamp, then the watermarked exact dedup. All added stages are
+    * maps — decontamination runs its per-doc test map-side against
+    * the broadcast STATIC benchmark gram set
+    * (`decontaminateStreaming`) — so they compose with streaming
+    * frames unchanged; the near-dup collapse stays the periodic batch
+    * job, as documented above. `idCol` drives the (seed, id) split
+    * stamp. */
+  def recipeStream(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, tsCol: String, watermarkDelay: String,
+      cfg: CorpusPipeline.RecipeConfig = CorpusPipeline.RecipeConfig()): DataFrame = {
+    val gated = docs.filter(
+      CorpusPipeline.qualityGate(col(textCol), cfg.base) &&
+        !TextAnalysis.repetitiveFlag(col(textCol), cfg.maxDup3Frac, cfg.maxTopTokFrac))
+    val decon = TextAnalysis.decontaminateStreaming(gated, benchmark, idCol, textCol,
+      cfg.decontamN, cfg.decontamMinShared)
+    TextAnalysis.hashSplit(enrich(decon, textCol), idCol, cfg.splitSeed, cfg.trainFrac)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
 }

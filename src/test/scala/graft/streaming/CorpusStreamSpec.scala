@@ -37,6 +37,42 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStreaming keeps the same survivors as batch decontaminate on static frames") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    for ((n, minShared) <- Seq((3, 3L), (6, 1L))) {
+      val batch = graft.ops.TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", n, minShared)
+        .select("doc_id").as[Long].collect().toSet
+      val streamForm = graft.ops.TextAnalysis.decontaminateStreaming(corpus, bench, "doc_id", "text", n, minShared)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamForm == batch, s"n=$n minShared=$minShared")
+    }
+  }
+
+  test("recipeStream: repetitive and benchmark-leaking docs gated, split stamped, dups masked") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val repetitive = Seq.fill(20)("spam").mkString(" ")           // top_tok_frac = 1
+    val leaking = "alpha beta gamma delta epsilon zeta extra tail words here" // shares a 6-gram
+    val in = memStream[Doc]
+    val q = CorpusStream.recipeStream(in.toDF(), bench, "doc_id", "text", "ts", "1 minute")
+      .writeStream.format("memory").queryName("recipe_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Doc(ts("2026-01-01 00:00:00"), 1L, good),
+        Doc(ts("2026-01-01 00:00:01"), 2L, repetitive),
+        Doc(ts("2026-01-01 00:00:02"), 3L, leaking))
+      q.processAllAvailable()
+      in.addData(Doc(ts("2026-01-01 00:00:05"), 4L, good)) // re-crawl of doc 1's content
+      q.processAllAvailable()
+      val out = spark.table("recipe_stream")
+      assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+      val split = out.select("split").as[String].head()
+      assert(split == "train" || split == "val")
+    } finally q.stop()
+  }
+
   test("enrich columns equal the batch operators on the same rows") {
     val d = Seq((1L, good), (2L, "el perro de la casa que los una")).toDF("doc_id", "text")
     val e = CorpusStream.enrich(d, "text")
