@@ -80,9 +80,12 @@ object CorpusPipeline {
   def trainingRecipe(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       cfg: RecipeConfig = RecipeConfig()): DataFrame = {
+    // decontaminate references the gated frame twice (gram side +
+    // anti-join side) — persist so the two filter stages run once.
     val gated = docs.filter(
       qualityGate(col(textCol), cfg.base) &&
         !TextAnalysis.repetitiveFlag(col(textCol), cfg.maxDup3Frac, cfg.maxTopTokFrac))
+      .persist()
     val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
       cfg.decontamN, cfg.decontamMinShared)
     val ex = exactSurvivors(decon, idCol, textCol).persist()

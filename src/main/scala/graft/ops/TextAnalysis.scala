@@ -296,23 +296,53 @@ object TextAnalysis {
   /** Duplicate word-3-gram fraction of a text column — a pure
     * map-only Column (array expressions over the token vector), so it
     * composes into pipelines as a filter predicate with zero plan
-    * footprint beyond the projection. */
+    * footprint beyond the projection.
+    *
+    * The 3-grams are built from three ALIGNED SLICES zipped together,
+    * so every lambda body touches only its lambda variables. Higher-
+    * order functions evaluate interpreted (CodegenFallback), and a
+    * lambda body that captures an outer subexpression re-computes it
+    * PER ELEMENT — the previous `transform(sequence(…), i →
+    * array_join(slice(ts, i, 3)))` form re-ran the regex token split
+    * ~200× per doc once predicate pushdown inlined it into a filter
+    * (measured 10s on a 5k-doc corpus filter; this form: 0.4s). */
   def dup3Frac(textCol: Column): Column = {
     val ts = split(trim(textCol), "\\s+")
-    val gs = when(size(ts) >= 3,
-      transform(sequence(lit(1), size(ts) - 2),
-        i => array_join(slice(ts, i, lit(3)), " ")))
-      .otherwise(array().cast("array<string>"))
-    when(size(gs) > 0,
-      round((size(gs) - size(array_distinct(gs))) / size(gs).cast("double"), 6))
+    val n3 = size(ts) - 2
+    val gs = {
+      // all three slices have length n−2 exactly — zip_with pads the
+      // shorter side with nulls, so equal lengths are load-bearing
+      val t1 = slice(ts, lit(1), n3)
+      val t2 = slice(ts, lit(2), n3)
+      val t3 = slice(ts, lit(3), n3)
+      zip_with(zip_with(t1, t2, (a, b) => concat(a, lit(" "), b)), t3,
+        (ab, c) => concat(ab, lit(" "), c))
+    }
+    when(n3 > 0,
+      round((n3 - size(array_distinct(gs))) / n3.cast("double"), 6))
       .otherwise(lit(0.0))
   }
 
-  /** Most-frequent-token fraction (map-only Column, see dup3Frac). */
+  /** Most-frequent-token fraction (map-only Column, see dup3Frac).
+    *
+    * Computed as the longest equal-run in the SORTED token array via a
+    * single `aggregate` pass — value-identical to "max count over
+    * distinct tokens" but O(n log n) per doc. The naive nested-HOF
+    * form (`transform(array_distinct(ts), t -> size(filter(ts, …)))`)
+    * is quadratic per doc AND, used as a filter predicate, predicate
+    * pushdown re-inlines the token-split into every nested lambda
+    * evaluation — measured 50× slower on the corpus filter. */
   def topTokFrac(textCol: Column): Column = {
     val ts = split(trim(textCol), "\\s+")
-    round(array_max(transform(array_distinct(ts),
-      t => size(filter(ts, x => x === t)))) / size(ts).cast("double"), 6)
+    val best = aggregate(
+      array_sort(ts),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    round(best / size(ts).cast("double"), 6)
   }
 
   /** The Gopher-style repetitive flag as a reusable predicate. */

@@ -127,6 +127,29 @@ object MicroBench {
       ex.unpersist(); n
     }
     time("q59_full")(CorpusPipeline.clean(docs, "doc_id", "text").count())
+
+    // q69 stage isolation
+    locally {
+      import graft.ops.{CorpusPipeline, TextAnalysis}
+      val cfg = CorpusPipeline.RecipeConfig()
+      val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      time("r_quality")(corpus.filter(CorpusPipeline.qualityGate(col("text"), cfg.base)).count())
+      time("r_rep_dup3")(corpus.filter(CorpusPipeline.qualityGate(col("text"), cfg.base)
+        && !(TextAnalysis.dup3Frac(col("text")) > 0.5)).count())
+      time("r_rep_toptok")(corpus.filter(CorpusPipeline.qualityGate(col("text"), cfg.base)
+        && !(TextAnalysis.topTokFrac(col("text")) > 0.2)).count())
+      time("r_rep_dup3_only")(corpus.filter(!(TextAnalysis.dup3Frac(col("text")) > 0.5)).count())
+      time("r_rep_q_only2")(corpus.filter(CorpusPipeline.qualityGate(col("text"), cfg.base)).count())
+      time("r_repetition")(corpus.filter(CorpusPipeline.qualityGate(col("text"), cfg.base)
+        && !TextAnalysis.repetitiveFlag(col("text"))).count())
+      time("r_decon") {
+        val gated = corpus.filter(CorpusPipeline.qualityGate(col("text"), cfg.base)
+          && !TextAnalysis.repetitiveFlag(col("text")))
+        TextAnalysis.decontaminate(gated, bench, "doc_id", "text", 6, 1L).count()
+      }
+      time("r_full")(CorpusPipeline.trainingRecipe(corpus, bench, "doc_id", "text").count())
+    }
     spark.stop()
   }
 }
