@@ -72,6 +72,28 @@ object TextFunctions {
     * key). */
   def fingerprint(c: Column): Column = md5(c)
 
+  /** Word n-grams of a token-array column, space-joined — built from
+    * n ALIGNED SLICES zipped together so every lambda body touches
+    * only its lambda variables.
+    *
+    * PERF CONTRACT (load-bearing): higher-order functions evaluate
+    * interpreted (CodegenFallback), and a lambda body that captures an
+    * outer subexpression re-computes it PER ELEMENT once the optimizer
+    * inlines projections — the `transform(sequence(…), i →
+    * slice(ts, i, n))` shape re-ran its upstream (regex split, md5
+    * chains) hundreds of times per row in filter contexts. With this
+    * form, upstream expressions appear only as zip_with ARGUMENTS,
+    * evaluated once per call — at most n times per row, regardless of
+    * what the optimizer inlines. Callers must guarantee
+    * size(tokens) ≥ n (slice length must be positive). */
+  def ngramArray(tokens: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    val cnt = size(tokens) - (n - 1)
+    (2 to n).foldLeft(slice(tokens, lit(1), cnt)) { (acc, j) =>
+      zip_with(acc, slice(tokens, lit(j), cnt), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   /** 16-bit SimHash over whitespace tokens, emitted as a bit string.
     * Portable construction: token hash = md5; hex digit j ≥ '8' votes
     * +1 for bit j, else −1; bit set iff vote sum > 0. Near-dup docs

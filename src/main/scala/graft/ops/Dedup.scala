@@ -38,14 +38,14 @@ object Dedup {
     out
   }
 
-  /** Distinct word-bigram shingles per document: 1-indexed
-    * element_at matches the oracle's `ts[i] || ' ' || ts[i+1]`. */
+  /** Distinct word-bigram shingles per document — zip-of-slices
+    * construction (TextFunctions.ngramArray: lambda-capture-safe),
+    * value-identical to the oracle's `ts[i] || ' ' || ts[i+1]`. */
   def wordBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")))
-        .as("sh"))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.ngramArray(col("ts"), 2))).as("sh"))
 
   /** Exact pairwise Jaccard over docs sharing ≥1 shingle — the
     * all-pairs shingle equijoin (quadratic in docs sharing a hot

@@ -166,18 +166,26 @@ object TextAnalysis {
     * md5-string hash keeps it oracle-portable; docs shorter than one
     * full window emit the min over what they have (≥ k tokens). */
   def winnowedFingerprints(docsDf: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4): DataFrame =
+      k: Int = 3, w: Int = 4): DataFrame = {
+    // Window minima as a least-zip fold over w aligned slices of the
+    // hash array (lambda-capture-safe, like ngramArray): `least`
+    // skips the nulls zip_with pads short slices with, which exactly
+    // reproduces the truncated last windows of docs shorter than one
+    // full window (min over what they have).
+    def windowMins(h: Column): Column = {
+      val cnt = greatest(lit(1), size(h) - (w - 1))
+      (2 to w).foldLeft(slice(h, lit(1), cnt)) { (acc, j) =>
+        zip_with(acc, slice(h, lit(j), cnt), (a, b) => least(a, b))
+      }
+    }
     docsDf
       .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ts"))
       .filter(size(col("ts")) >= k)
-      .select(col("id"), expr(
-        s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")
-        .as("gs"))
-      .select(col("id"), expr("transform(gs, g -> md5(g))").as("h"))
-      .select(col("id"), expr(
-        s"transform(sequence(1, greatest(1, size(h) - ${w - 1})), j -> array_min(slice(h, j, $w)))")
-        .as("ws"))
+      .select(col("id"),
+        transform(ngramArray(col("ts"), k), g => md5(g)).as("h"))
+      .select(col("id"), windowMins(col("h")).as("ws"))
       .select(col("id"), explode(array_distinct(col("ws"))).as("fp"))
+  }
 
   /** Containment pairs: docs sharing ≥ `minShared` winnowed
     * fingerprints — partial-overlap detection (quotes, boilerplate,
@@ -235,14 +243,14 @@ object TextAnalysis {
 
   /** Distinct word n-grams per document — the shared shingler for
     * decontamination (generalizes the dedup bigram shingler to any n).
-    * Map-only: split, slide, distinct, explode. */
+    * Map-only: split, slide (lambda-capture-safe ngramArray),
+    * distinct, explode. */
   def ngramSets(docsDf: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docsDf
       .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ts"))
       .filter(size(col("ts")) >= n)
-      .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(ts) - ${n - 1}), i -> array_join(slice(ts, i, $n), ' '))")))
-        .as("gram"))
+      .select(col("id"),
+        explode(array_distinct(ngramArray(col("ts"), n))).as("gram"))
 
   /** Benchmark decontamination (the eval-leakage pass every training
     * pipeline needs): count, per corpus doc, how many of its distinct
@@ -309,17 +317,12 @@ object TextAnalysis {
   def dup3Frac(textCol: Column): Column = {
     val ts = split(trim(textCol), "\\s+")
     val n3 = size(ts) - 2
-    val gs = {
-      // all three slices have length n−2 exactly — zip_with pads the
-      // shorter side with nulls, so equal lengths are load-bearing
-      val t1 = slice(ts, lit(1), n3)
-      val t2 = slice(ts, lit(2), n3)
-      val t3 = slice(ts, lit(3), n3)
-      zip_with(zip_with(t1, t2, (a, b) => concat(a, lit(" "), b)), t3,
-        (ab, c) => concat(ab, lit(" "), c))
-    }
+    // gram count is size(ts)−2 by construction, so the gram array is
+    // referenced exactly once (distinct size) and only under the
+    // guard (CaseWhen branches evaluate lazily — slice needs n3 ≥ 1).
     when(n3 > 0,
-      round((n3 - size(array_distinct(gs))) / n3.cast("double"), 6))
+      round((n3 - size(array_distinct(ngramArray(ts, 3))))
+        / n3.cast("double"), 6))
       .otherwise(lit(0.0))
   }
 
