@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 69 queries × several codegen'd stages each blow far past the
+      // default 100-entry generated-class cache — every "warm" run was
+      // re-compiling its whole-stage code, a flat recompilation tax on
+      // each query in the full suite that an isolated run never pays.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,13 +45,18 @@ object Bench {
         try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       // Untimed inter-query cleanup. clearCache() drops persist()ed
-      // plans, but localCheckpoint blocks are only reclaimed by the
-      // ContextCleaner once the driver GCs the RDD reference — without
-      // the explicit gc() they accumulate across the 57×3 runs and the
-      // growing BlockManager footprint taxed EVERY later query in the
-      // round-3 numbers (q13–q24 ran 3-4× slower warm than cold with
-      // unchanged plans).
+      // plans, but NOT localCheckpoint blocks — those live as
+      // RDD-level persistence, reclaimed by the ContextCleaner only
+      // after the driver GCs the RDD reference. The round-3 fix
+      // (clearCache + gc) relied on the cleaner winning that race and
+      // lost it at 69×3 runs: blocks accumulated and taxed the heavy
+      // queries 3-5× (q55 11.3s recorded vs 2.25s isolated in round
+      // 4). getPersistentRDDs covers BOTH populations — cache-backed
+      // and checkpoint RDDs — and unpersist(blocking=true) frees their
+      // blocks synchronously, no GC race. Safe here because every
+      // query builds its plans from scratch.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       dt
     }
@@ -62,7 +72,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$cold,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$cold,"sf":"$sfDir"}"""
+    println(json)
+    // The single giant stdout line is fragile under the driver's
+    // capture window (BENCH_r04 arrived truncated mid-JSON) — also
+    // land it in a file so the artifact survives.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

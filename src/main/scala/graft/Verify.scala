@@ -24,10 +24,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally {
-        // clearCache drops persist()ed plans; the gc() lets the
-        // ContextCleaner reap localCheckpoint blocks (not covered by
-        // clearCache) so they don't accumulate across the 57 queries.
+        // clearCache drops persist()ed plans; getPersistentRDDs also
+        // covers localCheckpoint blocks (RDD-level persistence the
+        // catalog never sees) and frees them synchronously — the
+        // gc()-and-hope variant lost the race at 69 queries.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         System.gc()
       }
     }

@@ -34,7 +34,13 @@ object CorpusPipeline {
       numHashes: Int = 8,
       bandSize: Int = 2,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 10000)
+      maxBucket: Int = 10000,
+      // Exact-dedup strategy: false = window form (one shuffle, but the
+      // shuffle payload is the corpus rows themselves — fine up to the
+      // point where moving the text column dominates); true = the
+      // fingerprint-only form (shuffles only (md5, id); the corpus
+      // never moves) — the 100 TB path.
+      exactByFingerprint: Boolean = false)
 
   /** Quality-gate predicate (stage 1), exposed for reuse/testing. */
   def qualityGate(textCol: Column, cfg: Config): Column =
@@ -43,13 +49,45 @@ object CorpusPipeline {
 
   /** Exact-dedup survivors (stage 2): min id per content fingerprint.
     * Window-min instead of groupBy+join: one shuffle on the
-    * fingerprint, no second pass over the corpus. */
+    * fingerprint, no second pass over the corpus. The shuffle carries
+    * the FULL rows (text included) — the right trade at gate scale and
+    * below; see `exactSurvivorsByFingerprint` for the form where the
+    * corpus itself never shuffles. */
   def exactSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .withColumn("_fp_min", min(col(idCol)).over(
         Window.partitionBy(TextFunctions.fingerprint(col(textCol)))))
       .filter(col(idCol) === col("_fp_min"))
       .drop("_fp_min")
+
+  /** Exact-dedup survivors, fingerprint-only shuffle — the 100 TB form.
+    * Only (md5(text), id) pairs move: one groupBy on the fingerprint
+    * finds each group's min id, losers (every id above its group min)
+    * come back as an id-only list, and survivors are a broadcast
+    * anti-join of the corpus against it — the same collapse pattern as
+    * `Dedup.dedupCorpus`. Costs a second scan of the corpus; buys a
+    * shuffle payload of ~40 bytes/row instead of the document text.
+    * The loser list is O(#duplicate rows) ids — broadcastable far past
+    * any realistic dup rate at the scales where this form matters; for
+    * a pathological corpus that exceeds driver memory, drop the
+    * broadcast hint and the anti-join degrades to a shuffled join that
+    * still never moves the text of surviving rows' groups twice.
+    * Survivor set is spec'd identical to `exactSurvivors`
+    * (CorpusPipelineSpec). */
+  def exactSurvivorsByFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = docs.select(
+      TextFunctions.fingerprint(col(textCol)).as("_fp"), col(idCol).as("_id"))
+    val losers = ids
+      .withColumn("_keep", min(col("_id")).over(Window.partitionBy(col("_fp"))))
+      .filter(col("_id") =!= col("_keep"))
+      .select(col("_id").as(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
+  private def exactStage(docs: DataFrame, idCol: String, textCol: String,
+      byFingerprint: Boolean): DataFrame =
+    if (byFingerprint) exactSurvivorsByFingerprint(docs, idCol, textCol)
+    else exactSurvivors(docs, idCol, textCol)
 
   /** Knobs for the stages `trainingRecipe` adds on top of `clean`.
     * Decontamination uses 6-gram/minShared=1 ("any shared 6-gram is
@@ -81,17 +119,37 @@ object CorpusPipeline {
       idCol: String, textCol: String,
       cfg: RecipeConfig = RecipeConfig()): DataFrame = {
     // decontaminate references the gated frame twice (gram side +
-    // anti-join side) — persist so the two filter stages run once.
+    // anti-join side) — persist so the two filter stages run once
+    // WHILE the pair computation below evaluates them.
     val gated = docs.filter(
       qualityGate(col(textCol), cfg.base) &&
         !TextAnalysis.repetitiveFlag(col(textCol), cfg.maxDup3Frac, cfg.maxTopTokFrac))
       .persist()
     val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
       cfg.decontamN, cfg.decontamMinShared)
-    val ex = exactSurvivors(decon, idCol, textCol).persist()
+    val ex = exactStage(decon, idCol, textCol, cfg.base.exactByFingerprint).persist()
+    // minhashDedupCapped is EAGER (it checkpoints its tiny pair list
+    // and frees its own intermediates), so by the time it returns the
+    // caches above have served every multi-reference consumer. The
+    // survivor-ID list — ids of `ex` minus near-dup losers — is then
+    // materialized eagerly too (id-only: tiny next to the corpus), the
+    // caches are RELEASED before returning (leaking corpus-sized cache
+    // blocks into the caller's session taxed every later query 3-5× in
+    // the round-4 bench), and the returned plan is one map-side
+    // broadcast semi-join of the RAW corpus against the id list plus
+    // the split stamp — no text stage recomputes at evaluation.
+    // At true 100 TB survivor ids outgrow a broadcast; there the
+    // materialization you want is the survivors themselves written to
+    // storage (the pipeline's output), not an in-memory id plan — this
+    // form covers everything below that, and the id list stays a
+    // checkpointed distributed frame either way.
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       cfg.base.numHashes, cfg.base.bandSize, cfg.base.minJaccard, cfg.base.maxBucket)
-    TextAnalysis.hashSplit(Dedup.dedupCorpus(ex, idCol, pairs),
+    val keep = Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs)
+      .localCheckpoint(true)
+    gated.unpersist()
+    ex.unpersist()
+    TextAnalysis.hashSplit(docs.join(broadcast(keep), Seq(idCol), "left_semi"),
       idCol, cfg.splitSeed, cfg.trainFrac)
   }
 
@@ -101,15 +159,17 @@ object CorpusPipeline {
       cfg: Config = Config()): DataFrame = {
     val gated = docs.filter(qualityGate(col(textCol), cfg))
     // The exact-dedup output feeds both the LSH pipeline and the final
-    // collapse anti-join — persist so the corpus is scanned once.
-    val ex = exactSurvivors(gated, idCol, textCol).persist()
+    // collapse — persist so the corpus is scanned once while the
+    // (eager) pair computation runs, then materialize the survivor-ID
+    // list and release the cache before returning (same hygiene +
+    // final-plan shape as trainingRecipe: one broadcast semi-join over
+    // the raw corpus, nothing recomputed, nothing leaked).
+    val ex = exactStage(gated, idCol, textCol, cfg.exactByFingerprint).persist()
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket)
-    val out = Dedup.dedupCorpus(ex, idCol, pairs)
-    // Result is small relative to intermediates only in pathological
-    // corpora; here survivors ≈ corpus size, so hand back a lazy plan
-    // over the persisted `ex` and let the caller decide materialization
-    // (the gate query orders + dumps it immediately).
-    out
+    val keep = Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs)
+      .localCheckpoint(true)
+    ex.unpersist()
+    docs.join(broadcast(keep), Seq(idCol), "left_semi")
   }
 }

@@ -93,17 +93,34 @@ object MiscShapes {
     """SELECT doc_id, (doc_id % 3) <> 0 AS sig_valid
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
-  /** Multimodal decode pipeline (rows-only gate; semantics covered by
-    * MultimodalSpec — the decode itself is the documented stub). */
+  /** Multimodal decode pipeline, oracle-gated on PLANTED ground truth
+    * (the q58 pattern): the synthesized GRFT header is a deterministic
+    * function of the row (width = doc_id % 640 + 16, kind from lang,
+    * n_bytes = utf-8 text bytes + 8-byte header), so the oracle states
+    * those values directly while the engine must RECOVER them from the
+    * real payload bytes through the mapPartitions decode — a corrupted
+    * byte anywhere in synthesize/decode flips a group and fails the
+    * hash. The decode itself remains the documented stub (no codec
+    * libs in this container); MultimodalSpec covers the row-level
+    * semantics. */
   def mediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.synthesize(docs(s, dir))
     Multimodal.decodeStub(media).toDF()
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_width"),
-        sum(col("n_bytes")).as("total_bytes"))
+        sum(col("n_bytes")).cast("long").as("total_bytes"))
       .orderBy(col("kind"))
   }
+
+  // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
+  // dtype-sensitive compare would flag against Spark's int64.
+  val mediaDecodeSql: String =
+    """SELECT CASE WHEN lang = 'zh' THEN 'image' ELSE 'audio' END AS kind,
+      |  count(*) AS n,
+      |  avg(doc_id % 640 + 16) AS avg_width,
+      |  CAST(sum(octet_length(encode(text)) + 8) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
 
   /** String-function + null-semantics family (SC11/SC8 widening):
     * pad/reverse/translate/repeat/concat_ws and null-safe equality /
@@ -146,5 +163,6 @@ object MiscShapes {
     "q53_string_null_funcs" -> stringNullFuncsSql,
     "q36_binary_meta" -> binaryMetaSql,
     "q37_jwt_claims" -> jwtClaimsSql,
+    "q38_media_decode" -> mediaDecodeSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

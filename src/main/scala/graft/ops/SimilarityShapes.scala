@@ -53,14 +53,71 @@ object SimilarityShapes {
       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
       |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
-  /** IVF approximate top-k (scale path) — rows-only gate (the recall
-    * contract vs brute force — ≥ 0.9 @5 — is asserted in
-    * DedupSimilaritySpec). nProbe=8 of ~14 clusters + dual assignment
-    * is the tuned operating point on this corpus. */
+  /** IVF approximate top-k (scale path), FULLY oracle-gated: every
+    * stage — seeding, dual assignment, probe selection, within-probe
+    * exact rank — is deterministic (cosine with id tie-breaks), so the
+    * whole approximate pipeline is mirrored step-for-step in DuckDB
+    * below; the recall contract vs brute force (≥ 0.9 @5) is
+    * additionally asserted in DedupSimilaritySpec. nProbe=8 of ~14
+    * clusters + dual assignment is the tuned operating point. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
         col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 8, nAssign = 2)
       .orderBy(col("q_id"), col("rnk"))
+
+  /** Step-for-step DuckDB mirror of `Similarity.ivfTopK` (seedStep=37,
+    * nAssign=2, nProbe=8, k=5, queries vec_id < 5): assignment ranks
+    * every vector against every centroid (top-2, id tie-break),
+    * centroids surviving self-assignment form the probe set, probes =
+    * the 8 nearest centroids per query, candidates = DISTINCT (query,
+    * neighbor) pairs through probed clusters (dual assignment can
+    * surface a neighbor twice — dedup BEFORE scoring, as the Spark
+    * side's dropDuplicates does), then exact per-position DOUBLE
+    * cosine + rank. */
+  val ivfTopKSql: String =
+    """WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id % 37 = 0),
+      |ap AS (SELECT e.vec_id, c.c_id, e.embedding AS ve, c.ce FROM embeddings e, c),
+      |ax AS (SELECT vec_id, c_id, ve, ce, unnest(generate_series(1, len(ve))) AS i FROM ap),
+      |ad AS (SELECT vec_id, c_id,
+      |        sum(CAST(ve[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE)) AS nv2,
+      |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+      |      FROM ax GROUP BY vec_id, c_id),
+      |ar AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dot / (sqrt(nv2) * sqrt(nc2)) DESC, c_id) AS rk FROM ad),
+      |assigned AS (SELECT vec_id, c_id AS cluster_id FROM ar WHERE rk <= 2),
+      |cents AS (SELECT cluster_id AS c_id FROM assigned WHERE vec_id = cluster_id),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |pp AS (SELECT q.q_id, q.qe, cc.c_id, e2.embedding AS ce
+      |      FROM q, cents cc JOIN embeddings e2 ON e2.vec_id = cc.c_id),
+      |px AS (SELECT q_id, c_id, qe, ce, unnest(generate_series(1, len(qe))) AS i FROM pp),
+      |pd AS (SELECT q_id, c_id,
+      |        sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq2,
+      |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+      |      FROM px GROUP BY q_id, c_id),
+      |pr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY dot / (sqrt(nq2) * sqrt(nc2)) DESC, c_id) AS r FROM pd),
+      |probes AS (SELECT q_id, c_id AS cluster_id FROM pr WHERE r <= 8),
+      |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+      |      FROM probes p JOIN assigned a ON a.cluster_id = p.cluster_id
+      |      WHERE a.vec_id <> p.q_id),
+      |cv AS (SELECT cd.q_id, cd.n_id, eq.embedding AS qe, en.embedding AS ne
+      |      FROM cand cd JOIN embeddings eq ON eq.vec_id = cd.q_id
+      |                   JOIN embeddings en ON en.vec_id = cd.n_id),
+      |sx AS (SELECT q_id, n_id, qe, ne, unnest(generate_series(1, len(qe))) AS i FROM cv),
+      |sd AS (SELECT q_id, n_id,
+      |        sum(CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq2,
+      |        sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nn2
+      |      FROM sx GROUP BY q_id, n_id),
+      |sr AS (SELECT q_id, n_id, dot / (sqrt(nq2) * sqrt(nn2)) AS sim,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY dot / (sqrt(nq2) * sqrt(nn2)) DESC, n_id) AS rnk
+      |      FROM sd)
+      |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM sr
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** The IVF index itself, oracle-gated: centroid seeding and the
     * argmax-cosine assignment are deterministic (id tie-break), so the
@@ -149,6 +206,7 @@ object SimilarityShapes {
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
+    "q35_ann_ivf" -> ivfTopKSql,
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,
     "q56_ivf_assign" -> ivfAssignmentSql,
     "q62_rp_lsh_buckets" -> rpLshBucketsSql,

@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.ops.{CorpusPipeline, TextAnalysis}
+import graft.ops.{CorpusPipeline, Dedup, TextAnalysis}
 
 /** The training-data cleaning pipeline in STREAMING form — continuous
   * corpus ingest (crawl output landing as files / a topic) instead of
@@ -70,4 +71,41 @@ object CorpusStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
   }
+
+  /** Land the streaming recipe's survivors as the durable corpus
+    * table — the append-only parquet sink `compactLanded` periodically
+    * compacts. (Parquet append is the natural sink here: micro-batches
+    * write their own files, and the periodic collapse reads the whole
+    * landed set — no upsert needed because the stream already masks
+    * exact re-crawls.) */
+  def landSurvivors(recipe: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    recipe.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** The periodic NEAR-dup collapse over an accumulated survivors
+    * frame — the scheduled batch job the streaming recipe documents:
+    * the SAME capped-LSH pair generation + keep-canonical collapse the
+    * batch recipe runs (`minhashDedupCapped` + `dedupCorpus`), so
+    * recipeStream ∘ compaction reaches exactly `trainingRecipe`'s end
+    * state (asserted in CorpusStreamSpec). Idempotent: re-running over
+    * already-compacted output is a no-op. */
+  def compactNearDups(accumulated: DataFrame, idCol: String, textCol: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame = {
+    val pairs = Dedup.minhashDedupCapped(accumulated, idCol, textCol,
+      cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket)
+    Dedup.dedupCorpus(accumulated, idCol, pairs)
+  }
+
+  /** Run the compaction against the LANDED table (the scheduled-job
+    * entry point: read the stream's parquet sink, collapse near-dups,
+    * hand back the compacted corpus for the caller to overwrite-write
+    * or publish). At scale this is the daily job over each landing
+    * partition; the stream keeps running while it compacts. */
+  def compactLanded(spark: SparkSession, landedPath: String,
+      idCol: String, textCol: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame =
+    compactNearDups(spark.read.parquet(landedPath), idCol, textCol, cfg)
 }

@@ -38,6 +38,10 @@ object MicroBench {
     time("simhash32")(Dedup.simhashBits(docs, "doc_id", "text", 32).count())
     time("simhash64")(Dedup.simhashBits(docs, "doc_id", "text", 64).count())
     time("q44_full")(Dedup.simhashNearDups(docs, "doc_id", "text").count())
+    time("simhash64_fast")(Dedup.simhashBitsFast(docs, "doc_id", "text", 64).count())
+    // the production near-dup form: xxhash64 votes, 64-bit capped
+    time("q44_prod_fast")(
+      Dedup.simhashNearDupsCapped(docs, "doc_id", "text", fast = true).count())
     // bench-context replica: the SparkEntry wrapper (orderBy) plus the
     // inter-run clearCache+gc Bench performs — isolates harness effects
     // from plan cost when q44's Bench and MicroBench numbers disagree

@@ -49,6 +49,40 @@ class DedupSimilaritySpec extends SparkSpec {
       s"fast missed ${md5Pairs -- fastPairs}, extra ${fastPairs -- md5Pairs}")
   }
 
+  test("fast (xxhash64) simhash finds the same near-dup pair set as the md5 path on planted dups") {
+    // planted near-dups: every 7th doc gets a byte-identical copy at
+    // id+10000 — hamming 0 under ANY token hash, so both fingerprint
+    // families must report exactly these pairs (organic docs on this
+    // corpus sit far apart at 64 bits / hamming ≤ 3)
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val dups = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val corpus = d.unionByName(dups)
+    val md5Pairs = Dedup.simhashNearDupsCapped(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fastPairs = Dedup.simhashNearDupsCapped(corpus, "doc_id", "text", fast = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: every planted byte-identical pair MUST surface
+    // under both families (hamming 0 under any token hash)
+    val planted = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select("doc_id").as[Long].collect().map(i => (i, i + 10000)).toSet
+    assert(planted.subsetOf(md5Pairs), s"md5 missed planted ${planted -- md5Pairs}")
+    assert(planted.subsetOf(fastPairs), s"fast missed planted ${planted -- fastPairs}")
+    // beyond ground truth the two hash families legitimately disagree
+    // on BORDERLINE organic pairs (a doc at true distance ~threshold
+    // lands at hamming 3 under one token hash and 4 under another —
+    // inherent to ANN, not an implementation defect), so the contract
+    // is high agreement, not set equality
+    val agreement = (md5Pairs & fastPairs).size.toDouble / (md5Pairs ++ fastPairs).size
+    assert(agreement > 0.7, f"family agreement $agreement%.2f too low")
+    // and the fast fingerprint itself: identical docs → identical hash,
+    // 64 chars of 0/1
+    val fp = Dedup.simhashBitsFast(corpus, "doc_id", "text", 64)
+      .filter(col("id").isin(7L, 10007L)).select("simhash").as[String].collect()
+    assert(fp.length == 2 && fp(0) == fp(1) && fp(0).length == 64
+      && fp(0).forall(c => c == '0' || c == '1'))
+  }
+
   test("lshCandidatesCapped: identical to lshCandidates under the cap; star not clique above it") {
     // bucket X: 5 members (oversized at cap 3) → star around min id (4 pairs);
     // bucket Y: 2 members → exact pair; singleton bucket → nothing.

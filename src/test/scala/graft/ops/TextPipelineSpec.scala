@@ -114,6 +114,50 @@ class TextPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("exactSurvivorsByFingerprint ≡ exactSurvivors (the 100 TB form matches the window form)") {
+    // plant exact duplicates: every doc with id % 7 == 0 gets a copy at
+    // id + 10000 (same text), so min-id-per-fingerprint must keep the
+    // originals and drop every planted copy
+    val dups = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val corpus = docs.unionByName(dups)
+    val a = CorpusPipeline.exactSurvivors(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val b = CorpusPipeline.exactSurvivorsByFingerprint(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "fingerprint-only path must keep exactly the window path's survivors")
+    assert(a.forall(_ < 10000), "every planted copy must lose to its original")
+    // and the composed recipe is survivor-identical under either flag
+    val bench = docs.limit(0)
+    val w = CorpusPipeline.trainingRecipe(corpus, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val f = CorpusPipeline.trainingRecipe(corpus, bench, "doc_id", "text",
+      CorpusPipeline.RecipeConfig(base = CorpusPipeline.Config(exactByFingerprint = true)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(w == f)
+  }
+
+  test("trainingRecipe/clean leave no cached plans or persistent RDD blocks behind") {
+    // the round-4 bench defect: pipeline operators leaked persisted
+    // intermediates into the session. Contract: after evaluating the
+    // result, the only persistent RDDs are the (tiny) checkpointed
+    // pair lists — no corpus-sized cache survives, and clearing the
+    // catalog cache leaves nothing the ContextCleaner must race for
+    // except those pair checkpoints.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val bench = docs.limit(2)
+    CorpusPipeline.trainingRecipe(docs, bench, "doc_id", "text").count()
+    CorpusPipeline.clean(docs, "doc_id", "text").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pipeline operators must unpersist every plan they persist")
+    // residue = eager pair-list checkpoints only; each is a handful of
+    // rows, so their total cached size must be far below corpus scale
+    val residue = spark.sparkContext.getPersistentRDDs.values.toSeq
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(residue.size <= 6, s"unexpected persistent RDD residue: $residue")
+  }
+
   test("hashSplit is deterministic, id-stable under repartition, and near the target fraction") {
     val s1 = TextAnalysis.hashSplit(docs, "doc_id", "v1")
       .select("doc_id", "split").as[(Long, String)].collect().toMap

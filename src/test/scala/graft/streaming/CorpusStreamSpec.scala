@@ -73,6 +73,57 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recipeStream + periodic compaction reaches the batch recipe's end state") {
+    // Corpus with BOTH duplicate kinds: doc 4 is a byte-identical
+    // re-crawl of doc 1 (exact dup — masked in-stream by the
+    // watermarked fingerprint dedup), doc 5 is a NEAR-dup of doc 1
+    // (high bigram Jaccard, different bytes — survives the stream,
+    // collapsed only by the periodic compaction job).
+    val nearDup = good + " indeed"
+    val allDocs = Seq(
+      (ts("2026-01-01 00:00:00"), 1L, good),
+      (ts("2026-01-01 00:00:01"), 2L, "completely different prose about seven green turtles " +
+        "crossing a quiet winter road before dawn light arrives"),
+      (ts("2026-01-01 00:00:05"), 4L, good),
+      (ts("2026-01-01 00:00:06"), 5L, nearDup))
+    val bench = Seq((100L, "unrelated benchmark text with nothing shared here at all")).toDF("doc_id", "text")
+
+    val landed = java.nio.file.Files.createTempDirectory("graft_landed").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = memStream[Doc]
+    val q = CorpusStream.landSurvivors(
+      CorpusStream.recipeStream(in.toDF(), bench, "doc_id", "text", "ts", "1 minute"),
+      s"$landed/docs", s"$ckpt/cp")
+    try {
+      // feed in id order across two batches (first arrival = min id, so
+      // the stream's first-wins exact dedup matches batch min-id-wins)
+      in.addData(allDocs.take(2).map(Doc.tupled): _*)
+      q.processAllAvailable()
+      in.addData(allDocs.drop(2).map(Doc.tupled): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // landed survivors: exact dup masked, near-dup still present
+    val landedIds = spark.read.parquet(s"$landed/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landedIds == Set(1L, 2L, 5L), s"landed: $landedIds")
+
+    // the scheduled compaction job collapses the near-dup component
+    val compacted = CorpusStream.compactLanded(spark, s"$landed/docs", "doc_id", "text")
+    val compactedIds = compacted.select("doc_id").as[Long].collect().toSet
+
+    // batch end-state: the full trainingRecipe over the same corpus
+    val batchIds = graft.ops.CorpusPipeline.trainingRecipe(
+        allDocs.map(d => (d._2, d._3)).toDF("doc_id", "text"), bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(compactedIds == batchIds,
+      s"stream∘compaction $compactedIds != batch recipe $batchIds")
+    // compaction is idempotent
+    val again = CorpusStream.compactNearDups(compacted, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == compactedIds)
+  }
+
   test("enrich columns equal the batch operators on the same rows") {
     val d = Seq((1L, good), (2L, "el perro de la casa que los una")).toDF("doc_id", "text")
     val e = CorpusStream.enrich(d, "text")
