@@ -586,4 +586,95 @@ object Dedup {
       .filter(col("comp") =!= col("id")).select(col("id").as(idCol))
     docs.join(broadcast(drop), Seq(idCol), "left_anti")
   }
+
+  // ---- Incremental (delta) dedup: the standing-corpus shape ----
+
+  /** Compact MinHash band-key index of a corpus: (id, b, key), the
+    * table a production pipeline PERSISTS alongside the corpus. At
+    * 100 TB the index is what makes dedup incremental — a new crawl
+    * is shingled once and joined against these ~tens of bytes per
+    * document; the standing corpus text is never re-read, let alone
+    * re-shingled. Persist partitioned/bucketed by `key` so the delta
+    * join co-locates. md5 construction = the oracle-certified q31
+    * banding (use lshBandsFastFromArrays for the xxhash64 production
+    * twin). */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+    lshBandsFromArrays(docShingleArrays(wordBigrams(docs, idCol, textCol)),
+      numHashes, bandSize)
+
+  /** Dedup a NEW batch against a standing corpus without reprocessing
+    * the corpus — the per-crawl production operation. Every delta doc
+    * is classified:
+    *
+    *   - `dup_of_base`: verified near-dup (exact Jaccard ≥
+    *     `minJaccard`) of some base doc — the base copy wins, the
+    *     delta copy is dropped;
+    *   - `dup_in_delta`: not matched to base, but a non-canonical
+    *     member (id ≠ component min) of a within-delta near-dup
+    *     component — precedence is dup_of_base first, and components
+    *     are computed over ALL verified delta pairs, so a component
+    *     whose min id matched base still collapses to that min
+    *     (both rows drop: the base copy is the canonical survivor);
+    *   - `kept`: the batch's surviving documents.
+    *
+    * Dataflow: delta is shingled once (one groupBy shuffle — the
+    * delta's size, not the corpus's); band keys derive map-side; the
+    * cross join touches only (b, key) index rows; and base shingle
+    * sets for VERIFICATION are built from candidate base ids only — a
+    * broadcast semi-join prunes the base scan to the handful of docs
+    * LSH actually flagged. Within-delta pairs reuse the star-capped
+    * candidate path. Pass `baseIndex` with the persisted index table
+    * in production; omitting it derives the index from `base` (what
+    * the gate certifies). */
+  def deltaDedupStatus(base: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 8, bandSize: Int = 2,
+      minJaccard: Double = 0.5, maxBucket: Int = 10000,
+      baseIndex: Option[DataFrame] = None): DataFrame = {
+    // Delta-side shingle arrays and bands each feed ≥2 consumers —
+    // persist both, release via materializeAndFree on the way out.
+    val dSets = docShingleArrays(wordBigrams(delta, idCol, textCol)).persist()
+    val dBands = lshBandsFromArrays(dSets, numHashes, bandSize).persist()
+    val bIdx = baseIndex.getOrElse(minhashIndex(base, idCol, textCol, numHashes, bandSize))
+
+    // Candidates vs base: delta docs sharing any band bucket with the
+    // index. Only (id, b, key) rows move — never text.
+    val crossCand = dBands.select(col("b"), col("key"), col("id").as("id_d"))
+      .join(bIdx.select(col("b"), col("key"), col("id").as("id_base")), Seq("b", "key"))
+      .select(col("id_d"), col("id_base")).distinct()
+
+    // Exact-Jaccard verification against base, with base shingle sets
+    // built ONLY for flagged ids (left-semi prunes the corpus scan).
+    val candIds = crossCand.select(col("id_base").as(idCol)).distinct()
+    val bSets = docShingleArrays(wordBigrams(
+      base.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, textCol))
+    val dupOfBase = crossCand
+      .join(dSets.select(col("id").as("id_d"), col("shs").as("shs_d")), "id_d")
+      .join(bSets.select(col("id").as("id_base"), col("shs").as("shs_b")), "id_base")
+      .select(col("id_d"),
+        size(array_intersect(col("shs_d"), col("shs_b"))).cast("long").as("inter"),
+        size(col("shs_d")).cast("long").as("sz_d"),
+        size(col("shs_b")).cast("long").as("sz_b"))
+      .filter(col("inter") / (col("sz_d") + col("sz_b") - col("inter")) >= minJaccard)
+      .select(col("id_d")).distinct()
+
+    // Within-delta near-dup components → non-canonical members.
+    val withinPairs = jaccardForCandidates(dSets,
+      lshCandidatesCapped(dBands, maxBucket), minJaccard)
+    val losers = connectedComponents(withinPairs)
+      .filter(col("comp") =!= col("id")).select(col("id"))
+
+    // Both dup lists are O(actual duplicates) — broadcast them; the
+    // delta-sized side is two map-side left joins.
+    val out = delta.select(col(idCol))
+      .join(broadcast(dupOfBase.select(col("id_d").as(idCol), lit(1).as("_mb"))),
+        Seq(idCol), "left")
+      .join(broadcast(losers.select(col("id").as(idCol), lit(1).as("_ml"))),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_mb") === 1, lit("dup_of_base"))
+          .when(col("_ml") === 1, lit("dup_in_delta"))
+          .otherwise(lit("kept")).as("status"))
+    materializeAndFree(out, dSets, dBands)
+  }
 }

@@ -211,6 +211,100 @@ object DedupShapes {
        |ORDER BY e.doc_id""".stripMargin
   }
 
+  /** Prefixed variant of the shingle CTE chain, for oracles that need
+    * TWO independent shingle sources (delta vs base) in one query. */
+  private def shingleSqlP(p: String, where: String): String =
+    s"""${p}toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '${"\\s+"}') AS ts FROM documents $where),
+       |${p}pos AS (SELECT id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM ${p}toks WHERE len(ts) >= 2),
+       |${p}sh AS (SELECT DISTINCT id, ts[i] || ' ' || ts[i+1] AS sh FROM ${p}pos),
+       |${p}sz AS (SELECT id, count(*) AS sz FROM ${p}sh GROUP BY id)""".stripMargin
+
+  /** Prefixed sig/band CTE chain (8 hashes, band size 2 — the q31
+    * construction) over `${p}sh`. */
+  private def bandSqlP(p: String): String =
+    s"""${p}sig AS (SELECT id, h.i AS i, min(md5(CAST(h.i AS VARCHAR) || '|' || sh)) AS sig
+       |  FROM ${p}sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) h GROUP BY id, h.i),
+       |${p}band AS (SELECT id, i // 2 AS b, md5(string_agg(sig, '' ORDER BY i)) AS key
+       |  FROM ${p}sig GROUP BY id, i // 2)""".stripMargin
+
+  /** q70 — incremental (delta) dedup against a standing corpus: even
+    * doc_ids play the indexed base, odd doc_ids the newly-landed
+    * crawl. Certifies the full per-crawl operation — delta-vs-index
+    * band join, exact-Jaccard verification against ONLY the flagged
+    * base docs, within-delta keep-canonical collapse, and the
+    * three-way status precedence (dup_of_base > dup_in_delta >
+    * kept). */
+  def deltaDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.deltaDedupStatus(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val deltaDedupSql: String =
+    s"""WITH RECURSIVE
+       |${shingleSqlP("d", "WHERE doc_id % 2 = 1")},
+       |${shingleSqlP("b", "WHERE doc_id % 2 = 0")},
+       |${bandSqlP("d")},
+       |${bandSqlP("b")},
+       |xcand AS (SELECT DISTINCT d.id AS id_d, b.id AS id_base
+       |  FROM dband d JOIN bband b ON d.b = b.b AND d.key = b.key),
+       |xinter AS (SELECT c.id_d, c.id_base, count(*) AS inter
+       |  FROM xcand c JOIN dsh s1 ON s1.id = c.id_d
+       |  JOIN bsh s2 ON s2.id = c.id_base AND s2.sh = s1.sh GROUP BY 1, 2),
+       |dupbase AS (SELECT DISTINCT i.id_d FROM xinter i
+       |  JOIN dsz sa ON sa.id = i.id_d JOIN bsz sb ON sb.id = i.id_base
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |wcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM dband a JOIN dband b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+       |winter AS (SELECT s1.id AS id_a, s2.id AS id_b, count(*) AS inter
+       |  FROM dsh s1 JOIN dsh s2 ON s1.sh = s2.sh AND s1.id < s2.id
+       |  JOIN wcand c ON c.id_a = s1.id AND c.id_b = s2.id GROUP BY 1, 2),
+       |wpairs AS (SELECT i.id_a, i.id_b FROM winter i
+       |  JOIN dsz sa ON sa.id = i.id_a JOIN dsz sb ON sb.id = i.id_b
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM wpairs
+       |  UNION SELECT id_b, id_a FROM wpairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT dd.doc_id,
+       |  CASE WHEN db.id_d IS NOT NULL THEN 'dup_of_base'
+       |       WHEN c.mn < dd.doc_id THEN 'dup_in_delta'
+       |       ELSE 'kept' END AS status
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) dd
+       |LEFT JOIN dupbase db ON db.id_d = dd.doc_id
+       |LEFT JOIN comp c ON c.id = dd.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
+
+  /** q71 — dedup report: near-dup cluster-size histogram over the
+    * keep-canonical map (cluster_size 1 = unique docs). The analytics
+    * view a pipeline operator actually reads after a dedup run. */
+  def dedupReport(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalMap(docs(s, dir), "doc_id",
+        Dedup.minhashDedup(docs(s, dir), "doc_id", "text"))
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  val dedupReportSql: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id),
+       |canon AS (SELECT d.doc_id, coalesce(least(c.id, c.mn), d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |cl AS (SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters FROM cl
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SimHash fingerprints, aggregated into bucket counts (bucket size
     * > 1 ⇒ near-dup cluster candidate). */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =
@@ -265,7 +359,9 @@ object DedupShapes {
     "q44_simhash_neardups" -> simhashNearDups,
     "q55_dedup_canonical" -> dedupCanonical,
     "q59_corpus_pipeline" -> corpusPipeline,
-    "q69_training_recipe" -> trainingRecipe)
+    "q69_training_recipe" -> trainingRecipe,
+    "q70_delta_dedup" -> deltaDedup,
+    "q71_dedup_report" -> dedupReport)
 
   def oracles: Map[String, String] = Map(
     "q30_jaccard_pairs" -> jaccardPairsSql,
@@ -274,5 +370,7 @@ object DedupShapes {
     "q44_simhash_neardups" -> simhashNearDupsSql,
     "q55_dedup_canonical" -> dedupCanonicalSql,
     "q59_corpus_pipeline" -> corpusPipelineSql,
-    "q69_training_recipe" -> trainingRecipeSql)
+    "q69_training_recipe" -> trainingRecipeSql,
+    "q70_delta_dedup" -> deltaDedupSql,
+    "q71_dedup_report" -> dedupReportSql)
 }

@@ -275,6 +275,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L, 7L, 8L))
   }
 
+  test("deltaDedupStatus: base-dup, within-delta collapse, precedence, index path identical") {
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "unrelated base words completely different tokens here now"),
+      (4L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // = base 0
+      (3L, "one two three four five six seven eight"), // = base 4
+      (5L, "one two three four five six seven eight"), // = base 4, loser of {3,5}
+      (7L, "totally unique snowflake document text goes here"),
+      (9L, "red orange yellow green blue indigo violet pink"), // delta-only pair min
+      (11L, "red orange yellow green blue indigo violet pink")).toDF("doc_id", "text")
+    val got = Dedup.deltaDedupStatus(base, delta, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // 5 is both a base dup AND the {3,5} component's loser —
+    // dup_of_base wins (precedence); the delta-only pair {9,11}
+    // collapses to its min id, 9 survives.
+    assert(got == Map(1L -> "dup_of_base", 3L -> "dup_of_base",
+      5L -> "dup_of_base", 7L -> "kept", 9L -> "kept", 11L -> "dup_in_delta"))
+    // Production path: the persisted index table stands in for base.
+    val viaIndex = Dedup.deltaDedupStatus(base, delta, "doc_id", "text",
+        baseIndex = Some(Dedup.minhashIndex(base, "doc_id", "text")))
+      .as[(Long, String)].collect().toMap
+    assert(viaIndex == got)
+  }
+
   test("winnowing guarantee: a shared token run of >= w+k-1 yields a shared fingerprint") {
     // k=3, w=4: any shared run of >= 6 tokens must produce at least
     // one common winnowed fingerprint (the MOSS guarantee). Doc 2
