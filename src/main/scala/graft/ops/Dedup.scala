@@ -459,22 +459,51 @@ object Dedup {
     val bandBits = bits / 4
     // fast = xxhash64 token votes (production; ~10× cheaper per token),
     // default = the md5 construction the DuckDB oracle certifies.
-    val sh = (if (fast) simhashBitsFast(docs, idCol, textCol, bits)
-              else simhashBits(docs, idCol, textCol, bits)).persist()
-    val bands = sh.crossJoin(
-        sh.sparkSession.range(4).select(col("id").cast("int").as("b")).hint("broadcast"))
-      .select(sh("id"), col("b"),
-        expr(s"substring(simhash, b * $bandBits + 1, $bandBits)").as("key"))
-    val withH = lshCandidatesCapped(bands, maxBucket)
-      .join(sh.select(col("id").as("id_a"), col("simhash").as("h_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("simhash").as("h_b")), "id_b")
-    materializeAndFree(
-      withH
-        .withColumn("hamming",
-          graft.functions.HammingExpression.hamming(col("h_a"), col("h_b")))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("id_a"), col("id_b"), col("hamming")),
-      sh)
+    val sh = if (fast) simhashBitsFast(docs, idCol, textCol, bits)
+             else simhashBits(docs, idCol, textCol, bits)
+    // ONE lazy two-shuffle plan, like simhashNearDups: the packed-long
+    // fingerprint rides INTO the bucket aggregation, so the Hamming
+    // test runs inside the per-bucket array transform and nothing
+    // joins back afterward. (The previous form persisted the
+    // fingerprints, joined candidates back to them twice, and eagerly
+    // checkpointed the result — three extra job rounds that at bench
+    // scale cost more than the whole computation: 2.2s → this plan's
+    // ~0.6s, and at corpus scale two corpus-keyed shuffles are gone.)
+    val hlCol =
+      if (bits <= 32) conv(col("simhash"), 2, 10).cast("long")
+      else shiftleft(conv(substring(col("simhash"), 1, bits - 32), 2, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(col("simhash"), bits - 31, 32), 2, 10).cast("long"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        shiftright(col("hl"), (3 - b) * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+    }
+    val bands = sh.select(col("id"), hlCol.as("hl"))
+      .select(col("id"), col("hl"), explode(array(bandCols: _*)).as("_bk"))
+      .select(col("id"), col("hl"), col("_bk.b").as("b"), col("_bk.key").as("key"))
+    val buckets = bands.groupBy(col("b"), col("key"))
+      .agg(sort_array(collect_list(struct(col("id"), col("hl")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    // Under the cap: all pairs, Hamming-filtered before exploding.
+    // Above it: the min-id star (O(k), keeps the bucket connected
+    // through its min member for keep-canonical collapse), same
+    // Hamming filter — identical semantics to the join form.
+    val fullPairs = expr(
+      s"""flatten(transform(ms, (x, i) ->
+            filter(transform(slice(ms, i + 2, size(ms) - i - 1),
+                     y -> struct(x.id AS id_a, y.id AS id_b,
+                                 bit_count(x.hl ^ y.hl) AS hamming)),
+                   p -> p.hamming <= $maxHamming)))""")
+    val starPairs = expr(
+      s"""filter(transform(slice(ms, 2, size(ms) - 1),
+               y -> struct(element_at(ms, 1).id AS id_a, y.id AS id_b,
+                           bit_count(element_at(ms, 1).hl ^ y.hl) AS hamming)),
+             p -> p.hamming <= $maxHamming)""")
+    buckets
+      .select(explode(when(size(col("ms")) <= maxBucket, fullPairs)
+        .otherwise(starPairs)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .distinct()
   }
 
   /** Connected components over an undirected near-dup pair set.
