@@ -427,6 +427,72 @@ object TextAnalysis {
       .select(col(idCol), col("bucket"), col("bin"), col("n_tokens"))
   }
 
+  /** TF-IDF top terms per document (smooth idf, sklearn convention:
+    * idf = ln((N+1)/(df+1)) + 1) — the vocabulary/doc-frequency view
+    * a corpus pipeline uses for keyword extraction and topic drift
+    * monitoring. Ranking is on the ROUNDED score with a term
+    * tiebreak, so the selection is deterministic and engine-portable.
+    *
+    * Scale shape: tf is one shuffle on (id, term); df aggregates tf
+    * map-side (vocab-sized result); the tf⋈df join keys on `term`,
+    * which is Zipf-skewed — AQE's skew-join split handles the
+    * stopword keys, and a df-ceiling prefilter (drop terms in > x% of
+    * docs — they can't be anyone's top-k) is the production lever
+    * that removes the skew entirely; the final rank is one window
+    * shuffle on id. */
+  def tfidfTopTerms(docsDf: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = docsDf
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docsDf.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("term"), col("tfidf"))
+  }
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; k1/b defaults per
+    * the standard Okapi setting): score every document against a
+    * fixed term set, return the top `k`. The corpus-side work is one
+    * tokenize pass: doc lengths aggregate from it, and the tf of
+    * QUERY terms only survives the `isin` filter (pushed to the
+    * scan), so the scoring join is query-sized, the df/stats frames
+    * are broadcast-tiny, and the final top-k is a
+    * TakeOrderedAndProject — no corpus-sized shuffle but the length
+    * aggregation. Deterministic: ranked on the rounded score with an
+    * id tiebreak. */
+  def bm25Search(docsDf: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    val toks = docsDf
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
+      .filter(col("term") =!= "")
+    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id")).agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** q67 — balanced per-language sample (40 docs per lang, seed s1). */
   def balancedByLang(s: SparkSession, dir: String): DataFrame =
     balancedSample(docs(s, dir), "doc_id", "lang", 40, "s1")
@@ -530,8 +596,52 @@ object TextAnalysis {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q72 — top-3 TF-IDF terms per document. */
+  def tfidfTop3(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(docs(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("rnk"))
+
+  val tfidfTop3Sql: String =
+    s"""WITH tk AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '$WS')) AS term
+       |  FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM tk WHERE term <> '' GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT id, term,
+       |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+       |rk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY id ORDER BY tfidf DESC, term) AS rnk FROM sc)
+       |SELECT id AS doc_id, rnk, term, tfidf FROM rk WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** q73 — BM25 retrieval for a fixed 3-term keyword query, top 20. */
+  def bm25Top20(s: SparkSession, dir: String): DataFrame =
+    bm25Search(docs(s, dir), "doc_id", "text", Seq("spark", "join", "query"))
+      .withColumnRenamed("id", "doc_id")
+
+  val bm25Top20Sql: String =
+    s"""WITH tk AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '$WS')) AS term
+       |  FROM documents),
+       |tk2 AS (SELECT id, term FROM tk WHERE term <> ''),
+       |lens AS (SELECT id, count(*) AS dl FROM tk2 GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT id, term, count(*) AS tf FROM tk2
+       |  WHERE term IN ('spark', 'join', 'query') GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT id, round(sum(
+       |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+       |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+       |  FROM tf JOIN dfq USING (term) JOIN lens USING (id) CROSS JOIN stats
+       |  GROUP BY id)
+       |SELECT id AS doc_id, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
+    "q72_tfidf_terms" -> tfidfTop3,
+    "q73_bm25_search" -> bm25Top20,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
     "q66_hash_split" -> split8020,
@@ -547,6 +657,8 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q45_top_bigrams" -> topBigramsSql,
+    "q72_tfidf_terms" -> tfidfTop3Sql,
+    "q73_bm25_search" -> bm25Top20Sql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,
     "q66_hash_split" -> split8020Sql,

@@ -158,6 +158,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(residue.size <= 6, s"unexpected persistent RDD residue: $residue")
   }
 
+  test("tfidfTopTerms: hand-computed scores, rounded-score+term rank determinism") {
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "b c c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(d, "doc_id", "text")
+      .select("id", "rnk", "term", "tfidf")
+      .as[(Long, Int, String, Double)].collect().toSet
+    // N=3; df: a=2 b=2 c=2 d=1; idf = ln((N+1)/(df+1))+1:
+    // ln(4/3)+1 = 1.287682, ln(4/2)+1 = 1.693147
+    assert(got == Set(
+      (1L, 1, "a", 2.575364), (1L, 2, "b", 1.287682),
+      (2L, 1, "a", 1.287682), (2L, 2, "c", 1.287682), // tie → term asc
+      (3L, 1, "c", 2.575364), (3L, 2, "d", 1.693147), (3L, 3, "b", 1.287682)))
+  }
+
+  test("bm25Search: higher tf wins at equal length, absent docs excluded, scores descend") {
+    val d = Seq(
+      (1L, "x x y z"), (2L, "x q r s"), (3L, "q r s t")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(d, "doc_id", "text", Seq("x"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), "tf=2 doc must outrank tf=1; no-match doc absent")
+    assert(got(0)._2 > got(1)._2 && got.forall(_._2 > 0))
+  }
+
   test("hashSplit is deterministic, id-stable under repartition, and near the target fraction") {
     val s1 = TextAnalysis.hashSplit(docs, "doc_id", "v1")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
