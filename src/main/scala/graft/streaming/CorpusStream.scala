@@ -108,4 +108,58 @@ object CorpusStream {
       idCol: String, textCol: String,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config()): DataFrame =
     compactNearDups(spark.read.parquet(landedPath), idCol, textCol, cfg)
+
+  /** INLINE streaming near-dup masking — the stronger alternative to
+    * `landSurvivors` + periodic compaction: every micro-batch is
+    * classified against the corpus landed SO FAR by the incremental
+    * delta-dedup operator (`Dedup.deltaDedupStatus`), and only `kept`
+    * rows land — so near-dups are masked continuously, across batches,
+    * with no compaction window during which they accumulate.
+    *
+    * Maintains TWO tables: `corpusPath` (kept rows) and `indexPath`
+    * (their MinHash band keys — the compact standing index each next
+    * batch joins against). Per batch, the corpus TEXT is read only for
+    * the candidate ids the band join flags (semi-join-pruned scan);
+    * everything else touches the index. Both tables write one
+    * directory per micro-batch (`batch=N`) with overwrite, so a
+    * replayed batch after restart overwrites its own output instead of
+    * appending duplicates — the same replay-idempotency contract as
+    * IdempotentSink, expressed in file layout.
+    *
+    * The per-batch cost grows with the INDEX, not the corpus; at
+    * production scale the periodic compaction (`compactLanded`) still
+    * has a role — re-clustering survivors after threshold/config
+    * changes — but steady-state dedup is this operator. */
+  def landNearDupMasked(recipe: DataFrame, corpusPath: String, indexPath: String,
+      checkpoint: String, idCol: String, textCol: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): StreamingQuery =
+    recipe.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(corpusPath), spark.sparkContext.hadoopConfiguration)
+        val haveBase = fs.exists(new org.apache.hadoop.fs.Path(corpusPath))
+        val (base, idx) =
+          if (haveBase)
+            (spark.read.parquet(corpusPath).drop("batch"),
+              spark.read.parquet(indexPath).drop("batch"))
+          else
+            // first batch: empty base, empty (schema-correct) index —
+            // deltaDedupStatus degrades to the within-batch collapse
+            (batch.limit(0),
+              Dedup.minhashIndex(batch.limit(0), idCol, textCol,
+                cfg.numHashes, cfg.bandSize))
+        val status = Dedup.deltaDedupStatus(base, batch, idCol, textCol,
+          cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket,
+          baseIndex = Some(idx))
+        val kept = batch.join(
+          status.filter(col("status") === "kept").select(col(idCol)),
+          Seq(idCol), "left_semi")
+        kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+        Dedup.minhashIndex(kept, idCol, textCol, cfg.numHashes, cfg.bandSize)
+          .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+      .start()
 }

@@ -124,6 +124,39 @@ class CorpusStreamSpec extends SparkSpec {
     assert(again == compactedIds)
   }
 
+  test("landNearDupMasked: near-dups masked inline, within AND across micro-batches") {
+    val other = "completely different prose about seven green turtles " +
+      "crossing a quiet winter road before dawn light arrives"
+    val unique2 = "another entirely separate document mentioning eight blue herons " +
+      "standing beside a warm summer lake at noon today"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndmask").toString
+    val in = memStream[Doc]
+    val q = CorpusStream.landNearDupMasked(
+      CorpusStream.cleanStream(in.toDF(), "text", "ts", "1 minute"),
+      s"$dir/docs", s"$dir/idx", s"$dir/cp", "doc_id", "text")
+    try {
+      // batch 1: doc 3 is a within-batch near-dup of doc 1 → dropped
+      in.addData(
+        Doc(ts("2026-01-01 00:00:00"), 1L, good),
+        Doc(ts("2026-01-01 00:00:01"), 2L, other),
+        Doc(ts("2026-01-01 00:00:02"), 3L, good + " indeed"))
+      q.processAllAvailable()
+      // batch 2: doc 4 is a CROSS-batch near-dup of landed doc 1 →
+      // classified dup_of_base against the standing index; doc 5 lands
+      in.addData(
+        Doc(ts("2026-01-01 00:00:05"), 4L, good + " truly"),
+        Doc(ts("2026-01-01 00:00:06"), 5L, unique2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$dir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 2L, 5L), s"landed: $landed")
+    // the index tracks exactly the kept docs
+    val indexed = spark.read.parquet(s"$dir/idx")
+      .select("id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 5L), s"indexed: $indexed")
+  }
+
   test("enrich columns equal the batch operators on the same rows") {
     val d = Seq((1L, good), (2L, "el perro de la casa que los una")).toDF("doc_id", "text")
     val e = CorpusStream.enrich(d, "text")
