@@ -446,15 +446,19 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docsDf.agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
+    // df as a count-window over the tf table instead of a groupBy +
+    // self-join: same term-keyed shuffle the join would pay, minus
+    // the join's second scan and re-shuffle (plan went 6 exchanges →
+    // 3: tf groupBy, df window, rank window).
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *
         (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("id"), col("rnk"), col("term"), col("tfidf"))
   }
@@ -476,19 +480,35 @@ object TextAnalysis {
     val toks = docsDf
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
       .filter(col("term") =!= "")
-    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .join(lens, "id")
-      .crossJoin(broadcast(stats))
-      .withColumn("w",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("id")).agg(round(sum(col("w")), 6).as("score"))
+    // ONE corpus shuffle: doc length and each query term's tf come out
+    // of the same per-doc aggregation (conditional sums — the query is
+    // a constant list, so the agg is map-side combined); corpus stats
+    // and per-term dfs reduce that doc-sized frame to one broadcast
+    // row; scoring is then map-side and the top-k is a
+    // TakeOrderedAndProject. (The first form paid separate lens/tf/df
+    // aggregations plus two joins — 7 exchanges for the same math.)
+    val qts = queryTerms.distinct
+    val perDoc = toks.groupBy(col("id")).agg(
+      count(lit(1)).as("dl"),
+      qts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+      }: _*)
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      (avg(col("dl")).as("avgdl") +:
+        qts.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
+    val score = qts.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+            (col(s"df_$i") + lit(0.5)) + lit(1.0)) *
+          (col(s"tf_$i") * lit(k1 + 1.0)) /
+          (col(s"tf_$i") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(qts.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("id"), round(score, 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
