@@ -664,7 +664,16 @@ object Dedup {
     // persist both, release via materializeAndFree on the way out.
     val dSets = docShingleArrays(wordBigrams(delta, idCol, textCol)).persist()
     val dBands = lshBandsFromArrays(dSets, numHashes, bandSize).persist()
-    val bIdx = baseIndex.getOrElse(minhashIndex(base, idCol, textCol, numHashes, bandSize))
+    // With a PROVIDED index (production), the base corpus is scanned
+    // only for verification, pruned to candidate ids. Without one
+    // (the gate form), shingle the base ONCE and derive both the
+    // index and the verification sets from the persisted arrays —
+    // re-shingling for verification doubled this operator's cost.
+    val derivedBSets = if (baseIndex.isEmpty)
+      Some(docShingleArrays(wordBigrams(base, idCol, textCol)).persist())
+    else None
+    val bIdx = baseIndex.getOrElse(
+      lshBandsFromArrays(derivedBSets.get, numHashes, bandSize))
 
     // Candidates vs base: delta docs sharing any band bucket with the
     // index. Only (id, b, key) rows move — never text.
@@ -674,9 +683,13 @@ object Dedup {
 
     // Exact-Jaccard verification against base, with base shingle sets
     // built ONLY for flagged ids (left-semi prunes the corpus scan).
-    val candIds = crossCand.select(col("id_base").as(idCol)).distinct()
-    val bSets = docShingleArrays(wordBigrams(
-      base.join(broadcast(candIds), Seq(idCol), "left_semi"), idCol, textCol))
+    val candIds = crossCand.select(col("id_base").as("id")).distinct()
+    val bSets = derivedBSets match {
+      case Some(bs) => bs.join(broadcast(candIds), Seq("id"), "left_semi")
+      case None => docShingleArrays(wordBigrams(
+        base.join(broadcast(candIds.withColumnRenamed("id", idCol)),
+          Seq(idCol), "left_semi"), idCol, textCol))
+    }
     val dupOfBase = crossCand
       .join(dSets.select(col("id").as("id_d"), col("shs").as("shs_d")), "id_d")
       .join(bSets.select(col("id").as("id_base"), col("shs").as("shs_b")), "id_base")
@@ -704,6 +717,6 @@ object Dedup {
         when(col("_mb") === 1, lit("dup_of_base"))
           .when(col("_ml") === 1, lit("dup_in_delta"))
           .otherwise(lit("kept")).as("status"))
-    materializeAndFree(out, dSets, dBands)
+    materializeAndFree(out, Seq(dSets, dBands) ++ derivedBSets: _*)
   }
 }

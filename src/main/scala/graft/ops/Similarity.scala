@@ -44,21 +44,86 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Deterministic seed centroids (every `seedStep`-th vector) with
+    * norms — the frame a production deployment PERSISTS as the IVF
+    * index definition (assignments derive from it; re-deriving
+    * centroids from a grown corpus would re-cluster everything). */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      seedStep: Int): DataFrame =
+    withNorm(emb, idCol, vecCol).filter(col(idCol) % seedStep === 0)
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
+
+  /** Assignment against PROVIDED centroids — the incremental form: new
+    * vectors join the standing index without touching (or moving) the
+    * corpus that built it. Map-only against the broadcast centroid
+    * frame. */
+  def ivfAssignTo(emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, nAssign: Int = 1): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
+    n.join(broadcast(centroids))
+      .withColumn("csim", cosine(col(vecCol), col("cv"), col("norm"), col("cn")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= nAssign)
+      .select(col(idCol), col("c_id").as("cluster_id"), col(vecCol), col("norm"))
+  }
+
   /** IVF index: deterministic seed centroids (every `seedStep`-th
     * vector), each vector assigned to its `nAssign` max-cosine
     * centroids (multi-assignment trades nAssign× index size for
     * recall on boundary vectors — nAssign=1 is the classic index). */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, seedStep: Int,
-      nAssign: Int = 1): DataFrame = {
-    val n = withNorm(emb, idCol, vecCol)
-    val cents = n.filter(col(idCol) % seedStep === 0)
-      .select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
-    n.join(broadcast(cents))
-      .withColumn("csim", cosine(col(vecCol), col("cv"), col("norm"), col("cn")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= nAssign)
-      .select(col(idCol), col("c_id").as("cluster_id"), col(vecCol), col("norm"))
+      nAssign: Int = 1): DataFrame =
+    ivfAssignTo(emb, ivfCentroids(emb, idCol, vecCol, seedStep),
+      idCol, vecCol, nAssign)
+
+  /** Incremental embedding near-dup — the embedding-space twin of
+    * `Dedup.deltaDedupStatus`: classify a NEW batch of vectors against
+    * a standing corpus whose IVF index (centroids from the base's
+    * seeding) already exists. Candidates are pairs sharing an IVF
+    * cluster (both sides assigned to the BASE's centroids — the base
+    * assignment is the persisted index table in production, re-derived
+    * here for the gate); exact cosine ≥ `minSim` verifies. Every delta
+    * vector is classified `dup_of_base` (verified match to a base
+    * vector — base wins), else `dup_in_delta` (non-canonical member of
+    * a within-delta component over ALL verified delta pairs), else
+    * `kept` — same precedence contract as the text-side operator. */
+  def embeddingDeltaStatus(base: DataFrame, delta: DataFrame, idCol: String,
+      vecCol: String, minSim: Double, seedStep: Int,
+      nAssign: Int = 2): DataFrame = {
+    val cents = ivfCentroids(base, idCol, vecCol, seedStep)
+    val ab = ivfAssignTo(base, cents, idCol, vecCol, nAssign)
+      .select(col("cluster_id"), col(idCol).as("id_b"),
+        col(vecCol).as("vb"), col("norm").as("nb"))
+    val ad = ivfAssignTo(delta, cents, idCol, vecCol, nAssign)
+      .select(col("cluster_id"), col(idCol).as("id_d"),
+        col(vecCol).as("vd"), col("norm").as("nd"))
+    // shuffle-hash hints: the join key is cluster_id — a handful of
+    // distinct values — so a sort-merge join's per-partition sort buys
+    // nothing; hash lookup on the small side is strictly cheaper.
+    // (Within-cluster pair explosion is the IVF trade itself, same as
+    // cosineDupPairsIVF.)
+    val dupOfBase = ad.join(ab.hint("shuffle_hash"), Seq("cluster_id"))
+      .filter(cosine(col("vd"), col("vb"), col("nd"), col("nb")) >= minSim)
+      .select(col("id_d")).distinct()
+    val withinPairs = ad.select(col("cluster_id"), col("id_d").as("id_a"),
+        col("vd").as("va"), col("nd").as("na"))
+      .join(ad.select(col("cluster_id"), col("id_d").as("id_b"),
+        col("vd").as("vb"), col("nd").as("nb")).hint("shuffle_hash"), Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minSim)
+      .select(col("id_a"), col("id_b")).distinct()
+    val losers = Dedup.connectedComponents(withinPairs)
+      .filter(col("comp") =!= col("id")).select(col("id"))
+    delta.select(col(idCol))
+      .join(broadcast(dupOfBase.select(col("id_d").as(idCol), lit(1).as("_mb"))),
+        Seq(idCol), "left")
+      .join(broadcast(losers.select(col("id").as(idCol), lit(1).as("_ml"))),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_mb") === 1, lit("dup_of_base"))
+          .when(col("_ml") === 1, lit("dup_in_delta"))
+          .otherwise(lit("kept")).as("status"))
   }
 
   /** IVF approximate top-k: probe the nProbe nearest clusters per

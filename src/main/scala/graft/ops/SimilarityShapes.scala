@@ -196,13 +196,95 @@ object SimilarityShapes {
        |SELECT DISTINCT id_a, id_b, round(sim, 4) AS sim FROM sim
        |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** q74 — incremental embedding dedup: even vec_ids are the standing
+    * corpus (and supply the IVF centroids: % 37 of the base side), odd
+    * vec_ids the newly-arrived batch. Certifies the full per-batch
+    * operation — dual assignment of BOTH sides to the base's
+    * centroids, cluster-bucketed candidates, exact-cosine
+    * verification, within-delta keep-canonical components, and the
+    * three-way status precedence. minSim 0.44 is below this corpus's
+    * closest cross/within pairs, so all three statuses occur. */
+  def embeddingDelta(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.embeddingDeltaStatus(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", minSim = 0.44, seedStep = 37)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-side assignment CTE chain against the shared centroid CTE
+    * `c`: every vector of parity `par` ranked by double cosine against
+    * every centroid, top-2 kept (id tie-break) — the q35/q56 mirror
+    * construction, prefixed so two sides coexist in one query. */
+  private def assignSqlP(p: String, par: Int): String =
+    s"""${p}p AS (SELECT e.vec_id, c.c_id, e.embedding AS ve, c.ce
+       |  FROM embeddings e, c WHERE e.vec_id % 2 = $par),
+       |${p}x AS (SELECT vec_id, c_id, ve, ce,
+       |    unnest(generate_series(1, len(ve))) AS i FROM ${p}p),
+       |${p}d AS (SELECT vec_id, c_id,
+       |    sum(CAST(ve[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE)) AS nv2,
+       |    sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+       |  FROM ${p}x GROUP BY vec_id, c_id),
+       |${p}a AS (SELECT vec_id, cluster_id FROM (
+       |    SELECT vec_id, c_id AS cluster_id, row_number() OVER (
+       |      PARTITION BY vec_id
+       |      ORDER BY dot / (sqrt(nv2) * sqrt(nc2)) DESC, c_id) AS rk
+       |    FROM ${p}d) WHERE rk <= 2)""".stripMargin
+
+  /** Pairwise double-cosine verification CTE chain over candidate
+    * pairs `$cand(id_a, id_b)`, emitting `${p}sim(id_a, id_b, sim)`. */
+  private def verifySqlP(p: String, cand: String): String =
+    s"""${p}v AS (SELECT cd.id_a, cd.id_b, ea.embedding AS ae, eb.embedding AS be
+       |  FROM $cand cd JOIN embeddings ea ON ea.vec_id = cd.id_a
+       |                JOIN embeddings eb ON eb.vec_id = cd.id_b),
+       |${p}vx AS (SELECT id_a, id_b, ae, be,
+       |    unnest(generate_series(1, len(ae))) AS i FROM ${p}v),
+       |${p}vd AS (SELECT id_a, id_b,
+       |    sum(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na2,
+       |    sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS nb2
+       |  FROM ${p}vx GROUP BY id_a, id_b),
+       |${p}sim AS (SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim FROM ${p}vd)""".stripMargin
+
+  val embeddingDeltaSql: String =
+    s"""WITH RECURSIVE
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+       |  WHERE vec_id % 2 = 0 AND vec_id % 37 = 0),
+       |${assignSqlP("b", 0)},
+       |${assignSqlP("d", 1)},
+       |xc AS (SELECT DISTINCT d.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM da d JOIN ba b USING (cluster_id)),
+       |${verifySqlP("x", "xc")},
+       |dupbase AS (SELECT DISTINCT id_a AS id_d FROM xsim WHERE sim >= 0.44),
+       |wc AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM da a JOIN da b USING (cluster_id) WHERE a.vec_id < b.vec_id),
+       |${verifySqlP("w", "wc")},
+       |wpairs AS (SELECT id_a, id_b FROM wsim WHERE sim >= 0.44),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM wpairs
+       |  UNION SELECT id_b, id_a FROM wpairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT dd.vec_id,
+       |  CASE WHEN db.id_d IS NOT NULL THEN 'dup_of_base'
+       |       WHEN cm.mn < dd.vec_id THEN 'dup_in_delta'
+       |       ELSE 'kept' END AS status
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) dd
+       |LEFT JOIN dupbase db ON db.id_d = dd.vec_id
+       |LEFT JOIN comp cm ON cm.id = dd.vec_id
+       |ORDER BY dd.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
     "q35_ann_ivf" -> ivfTopK,
     "q56_ivf_assign" -> ivfAssignment,
     "q62_rp_lsh_buckets" -> rpLshBuckets,
-    "q63_rp_neardups" -> rpNearDupPairs)
+    "q63_rp_neardups" -> rpNearDupPairs,
+    "q74_embedding_delta" -> embeddingDelta)
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
@@ -210,5 +292,6 @@ object SimilarityShapes {
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,
     "q56_ivf_assign" -> ivfAssignmentSql,
     "q62_rp_lsh_buckets" -> rpLshBucketsSql,
-    "q63_rp_neardups" -> rpNearDupPairsSql)
+    "q63_rp_neardups" -> rpNearDupPairsSql,
+    "q74_embedding_delta" -> embeddingDeltaSql)
 }

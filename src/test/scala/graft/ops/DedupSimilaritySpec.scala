@@ -301,6 +301,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex == got)
   }
 
+  test("embeddingDeltaStatus: base-dup, within-delta collapse, kept (planted vectors)") {
+    val base = Seq((0L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq(
+      (1L, Seq(1f, 0f, 0f)), // = base 0 → dup_of_base
+      (3L, Seq(0f, 0.8f, 0.6f)), // cos vs base 2 = 0.8 < 0.95 → survives
+      (5L, Seq(0f, 0.8f, 0.6f)), // = delta 3 → loser of {3,5}
+      (7L, Seq(0.577f, 0.577f, 0.577f))) // far from everything
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDeltaStatus(base, delta, "vec_id", "embedding",
+        minSim = 0.95, seedStep = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "dup_of_base", 3L -> "kept",
+      5L -> "dup_in_delta", 7L -> "kept"))
+  }
+
   test("winnowing guarantee: a shared token run of >= w+k-1 yields a shared fingerprint") {
     // k=3, w=4: any shared run of >= 6 tokens must produce at least
     // one common winnowed fingerprint (the MOSS guarantee). Doc 2
