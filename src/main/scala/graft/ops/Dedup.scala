@@ -526,8 +526,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxDriverPairs: Long = 8L * 1000 * 1000): DataFrame = {
     val idType = pairs.schema("id_a").dataType
     val edgesRaw = pairs.select(col("id_a"), col("id_b"))
-    val n = edgesRaw.limit((maxDriverPairs + 1).toInt).count()
-    if (n <= maxDriverPairs) componentsOnDriver(edgesRaw, idType)
+    // ONE capped collect doubles as the size probe: if the limit+1
+    // rows all arrived under the cap, they ARE the complete pair list
+    // — the previous separate count() probe evaluated the (often
+    // expensive) pair plan twice per dedup query.
+    val probe = edgesRaw.limit((maxDriverPairs + 1).toInt).collect()
+    if (probe.length <= maxDriverPairs)
+      componentsOnDriver(probe, edgesRaw.sparkSession, idType)
     else componentsByPropagation(edgesRaw)
   }
 
@@ -535,7 +540,8 @@ object Dedup {
     * collected pair list; result re-distributed as a DataFrame.
     * Ids are whatever the pair columns carry — every Spark atomic id
     * type boxes to a Comparable, which supplies the min. */
-  private def componentsOnDriver(edges: DataFrame,
+  private def componentsOnDriver(collected: Array[org.apache.spark.sql.Row],
+      spark: SparkSession,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import scala.collection.mutable
     val ord: Ordering[Any] = (a: Any, b: Any) =>
@@ -551,7 +557,7 @@ object Dedup {
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    edges.collect().foreach { row =>
+    collected.foreach { row =>
       val (a, b) = (row.get(0), row.get(1))
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
@@ -560,7 +566,6 @@ object Dedup {
         if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val spark = edges.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("comp", idType)))
