@@ -658,10 +658,44 @@ object TextAnalysis {
        |SELECT id AS doc_id, score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q75 — corpus observability rollup: doc counts, token totals, and
+    * mean quality per (lang, source) with subtotals and a grand total
+    * — the dashboard every pipeline run reads. One map-side-combined
+    * aggregation pass; rollup grouping sets add no extra corpus
+    * scan. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("lang"), col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text")).as("q"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("q")), 4).as("avg_quality"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val corpusStatsSql: String = {
+    val nTok = s"""CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '$WS')) END"""
+    val nStop = rc("text", "\\b(the|a|of|and|in|to|is)\\b")
+    val nPunct = rc("text", "[^a-zA-Z0-9\\s]")
+    s"""WITH d AS (SELECT lang, source, $nTok AS n_tokens,
+       |    coalesce(round(
+       |      0.5 * least(1.0, CAST($nTok AS DOUBLE) / 50.0) +
+       |      0.3 * (1.0 - least(1.0, ($nPunct / nullif(CAST(length(text) AS DOUBLE), 0.0)) * 10.0)) +
+       |      0.2 * least(1.0, ($nStop / nullif(CAST($nTok AS DOUBLE), 0.0)) * 5.0), 6), 0.0) AS q
+       |  FROM documents)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(avg(q), 4) AS avg_quality
+       |FROM d GROUP BY ROLLUP (lang, source)
+       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
     "q73_bm25_search" -> bm25Top20,
+    "q75_corpus_stats" -> corpusStats,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
     "q66_hash_split" -> split8020,
@@ -679,6 +713,7 @@ object TextAnalysis {
     "q45_top_bigrams" -> topBigramsSql,
     "q72_tfidf_terms" -> tfidfTop3Sql,
     "q73_bm25_search" -> bm25Top20Sql,
+    "q75_corpus_stats" -> corpusStatsSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,
     "q66_hash_split" -> split8020Sql,

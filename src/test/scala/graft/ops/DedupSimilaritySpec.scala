@@ -317,6 +317,19 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> "dup_in_delta", 7L -> "kept"))
   }
 
+  test("delta ops degrade to the batch collapse when base is empty (sf0.001 corpus)") {
+    // With no standing corpus, the incremental operator IS the batch
+    // keep-canonical dedup: kept == dedupCorpus survivors.
+    val kept = Dedup.deltaDedupStatus(docs.limit(0), docs, "doc_id", "text")
+      .filter(col("status") === "kept").select("doc_id").as[Long].collect().toSet
+    val batch = Dedup.dedupCorpus(docs, "doc_id",
+        Dedup.minhashDedup(docs, "doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batch)
+    assert(Dedup.deltaDedupStatus(docs.limit(0), docs, "doc_id", "text")
+      .filter(col("status") === "dup_of_base").isEmpty)
+  }
+
   test("winnowing guarantee: a shared token run of >= w+k-1 yields a shared fingerprint") {
     // k=3, w=4: any shared run of >= 6 tokens must produce at least
     // one common winnowed fingerprint (the MOSS guarantee). Doc 2
