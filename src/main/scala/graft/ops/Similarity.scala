@@ -195,6 +195,23 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * collapse embedding-space near-duplicates to one canonical
+    * representative — cluster via IVF assignment (broadcast seeded
+    * centroids, map-only), pair only within clusters (the quadratic
+    * stays inside a cluster, exactly `cosineDupPairsIVF`), verified
+    * pairs → connected components → every vector mapped to its
+    * component's min id. Survivors are the rows where the two columns
+    * agree, so this one table certifies components AND the survivor
+    * set — the embedding-space twin of `Dedup.canonicalMap` over
+    * MinHash pairs (q55). At 100 TB the corpus is written bucketed by
+    * cluster_id, so the pair join is co-located and the collapse is
+    * one broadcast of the (tiny) component map. */
+  def semanticCanonical(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, seedStep: Int, nAssign: Int = 2): DataFrame =
+    Dedup.canonicalMap(emb, idCol,
+      cosineDupPairsIVF(emb, idCol, vecCol, minSim, seedStep, nAssign))
+
   /** Deterministic ±1 hyperplane matrix for random-projection LSH:
     * sign(i, j) = +1 iff the first hex digit of md5("i|j") ≥ '8'.
     * Reproducible from the formula alone, so the DuckDB oracle inlines

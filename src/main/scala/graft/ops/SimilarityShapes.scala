@@ -216,9 +216,9 @@ object SimilarityShapes {
     * `c`: every vector of parity `par` ranked by double cosine against
     * every centroid, top-2 kept (id tie-break) — the q35/q56 mirror
     * construction, prefixed so two sides coexist in one query. */
-  private def assignSqlP(p: String, par: Int): String =
+  private def assignSqlP(p: String, pred: String): String =
     s"""${p}p AS (SELECT e.vec_id, c.c_id, e.embedding AS ve, c.ce
-       |  FROM embeddings e, c WHERE e.vec_id % 2 = $par),
+       |  FROM embeddings e, c WHERE $pred),
        |${p}x AS (SELECT vec_id, c_id, ve, ce,
        |    unnest(generate_series(1, len(ve))) AS i FROM ${p}p),
        |${p}d AS (SELECT vec_id, c_id,
@@ -251,8 +251,8 @@ object SimilarityShapes {
     s"""WITH RECURSIVE
        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
        |  WHERE vec_id % 2 = 0 AND vec_id % 37 = 0),
-       |${assignSqlP("b", 0)},
-       |${assignSqlP("d", 1)},
+       |${assignSqlP("b", "e.vec_id % 2 = 0")},
+       |${assignSqlP("d", "e.vec_id % 2 = 1")},
        |xc AS (SELECT DISTINCT d.vec_id AS id_a, b.vec_id AS id_b
        |  FROM da d JOIN ba b USING (cluster_id)),
        |${verifySqlP("x", "xc")},
@@ -277,6 +277,38 @@ object SimilarityShapes {
        |LEFT JOIN comp cm ON cm.id = dd.vec_id
        |ORDER BY dd.vec_id""".stripMargin
 
+  /** q77 — SemDeDup-style semantic dedup over the full embedding
+    * table: IVF assignment (seedStep 37, dual assignment), within-
+    * cluster exact-cosine pairs ≥ 0.4, keep-canonical components. The
+    * oracle mirrors every stage (same construction as q74's, minus the
+    * base/delta parity split) plus the q55 recursive-CTE transitive
+    * closure, so the whole scale path — candidate pruning included —
+    * is hash-certified, not just the final survivor count. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticCanonical(emb(s, dir), "vec_id", "embedding",
+        minSim = 0.4, seedStep = 37, nAssign = 2)
+      .orderBy(col("vec_id"))
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+       |  WHERE vec_id % 37 = 0),
+       |${assignSqlP("a", "1 = 1")},
+       |wc AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM aa x JOIN aa y USING (cluster_id) WHERE x.vec_id < y.vec_id),
+       |${verifySqlP("w", "wc")},
+       |wpairs AS (SELECT id_a, id_b FROM wsim WHERE sim >= 0.4),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM wpairs
+       |  UNION SELECT id_b, id_a FROM wpairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+       |SELECT e.vec_id, coalesce(least(cm.id, cm.mn), e.vec_id) AS canonical_id
+       |FROM embeddings e LEFT JOIN comp cm ON cm.id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
@@ -284,7 +316,8 @@ object SimilarityShapes {
     "q56_ivf_assign" -> ivfAssignment,
     "q62_rp_lsh_buckets" -> rpLshBuckets,
     "q63_rp_neardups" -> rpNearDupPairs,
-    "q74_embedding_delta" -> embeddingDelta)
+    "q74_embedding_delta" -> embeddingDelta,
+    "q77_semantic_dedup" -> semanticDedup)
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
@@ -293,5 +326,6 @@ object SimilarityShapes {
     "q56_ivf_assign" -> ivfAssignmentSql,
     "q62_rp_lsh_buckets" -> rpLshBucketsSql,
     "q63_rp_neardups" -> rpNearDupPairsSql,
-    "q74_embedding_delta" -> embeddingDeltaSql)
+    "q74_embedding_delta" -> embeddingDeltaSql,
+    "q77_semantic_dedup" -> semanticDedupSql)
 }

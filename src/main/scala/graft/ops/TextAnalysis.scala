@@ -691,11 +691,75 @@ object TextAnalysis {
        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
   }
 
+  /** Temperature-scaled domain mixture planner — the table that
+    * decides WHAT a token-budgeted training run reads from each
+    * source: weight_s ∝ tokens_s^alpha (alpha < 1 upsamples small
+    * domains — the standard multilingual/multi-domain sampling rule),
+    * sampled_s = budget · weight_s, epochs_s = sampled_s / tokens_s
+    * (passes over source s; > 1 means repetition). One tiny
+    * aggregation: the corpus is scanned once for per-source token
+    * sums, everything after operates on a frame with one row per
+    * source, joined against its broadcast one-row total — no window
+    * over a single partition, no second scan, unchanged at 100 TB
+    * (sources number in the thousands at most).
+    *
+    * alpha = 0.5 routes through `sqrt`, which IEEE-754 requires to be
+    * correctly rounded (bit-identical across Spark and the DuckDB
+    * oracle); generic alpha uses `pow`, whose libm implementations may
+    * differ in the last ulp — fine for planning, not for hash gates. */
+  def mixturePlan(docsDf: DataFrame, srcCol: String, textCol: String,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    val perSrc = docsDf
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).cast("long").as("src_tokens"))
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("src_tokens").cast("double"))
+      else pow(col("src_tokens").cast("double"), lit(alpha))
+    // The normalizer is a window over the POST-AGGREGATION frame (one
+    // row per source) — a single-partition exchange of a few thousand
+    // rows at most, vs. the crossJoin-with-total form which makes
+    // Catalyst evaluate (and scan the corpus for) the aggregation
+    // twice. One corpus scan, one shuffle.
+    val weight = wRaw / sum(wRaw).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    perSrc
+      .select(col(srcCol), col("n_docs"), col("src_tokens"),
+        round(weight, 6).as("weight"),
+        round(weight * lit(budgetTokens.toDouble))
+          .cast("long").as("sampled_tokens"),
+        round(weight * lit(budgetTokens.toDouble) /
+          col("src_tokens").cast("double"), 4).as("epochs"))
+  }
+
+  /** q76 gate instance: alpha=0.5, 1M-token budget, by source. */
+  def mixture(s: SparkSession, dir: String): DataFrame =
+    mixturePlan(docs(s, dir), "source", "text", 0.5, 1000000L)
+      .orderBy(col("source"))
+
+  val mixtureSql: String = {
+    val nTok = s"""CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '$WS')) END"""
+    s"""WITH d AS (SELECT source, $nTok AS n_tokens FROM documents),
+       |s AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM d GROUP BY source),
+       |t AS (SELECT sum(sqrt(CAST(src_tokens AS DOUBLE))) AS w_tot FROM s)
+       |SELECT source, n_docs, src_tokens,
+       |  round(sqrt(CAST(src_tokens AS DOUBLE)) / w_tot, 6) AS weight,
+       |  CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) / w_tot * 1000000.0, 0) AS BIGINT)
+       |    AS sampled_tokens,
+       |  round(sqrt(CAST(src_tokens AS DOUBLE)) / w_tot * 1000000.0
+       |    / CAST(src_tokens AS DOUBLE), 4) AS epochs
+       |FROM s, t ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
     "q73_bm25_search" -> bm25Top20,
     "q75_corpus_stats" -> corpusStats,
+    "q76_mixture_plan" -> mixture,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
     "q66_hash_split" -> split8020,
@@ -714,6 +778,7 @@ object TextAnalysis {
     "q72_tfidf_terms" -> tfidfTop3Sql,
     "q73_bm25_search" -> bm25Top20Sql,
     "q75_corpus_stats" -> corpusStatsSql,
+    "q76_mixture_plan" -> mixtureSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,
     "q66_hash_split" -> split8020Sql,

@@ -132,6 +132,23 @@ class DedupSimilaritySpec extends SparkSpec {
       s"IVF bucketing missed pairs: ${exact -- bucketed}")
   }
 
+  test("semanticCanonical: min-id canonicals, idempotent map, survivors = dedupCorpus over the same pairs") {
+    val dir01 = "/root/testdata/sf0.01"
+    val e = graft.Tables.load(spark, dir01, "embeddings")
+    val cm = Similarity.semanticCanonical(e, "vec_id", "embedding",
+        minSim = 0.4, seedStep = 37)
+      .as[(Long, Long)].collect().toMap
+    assert(cm.size == e.count())
+    assert(cm.forall { case (id, c) => c <= id }, "canonical must be the component min")
+    assert(cm.values.forall(c => cm(c) == c), "canonical of a canonical is itself")
+    assert(cm.exists { case (id, c) => c < id }, "the sf0.01 corpus has semantic dups")
+    val survivors = cm.collect { case (id, c) if id == c => id }.toSet
+    val pairs = Similarity.cosineDupPairsIVF(e, "vec_id", "embedding", 0.4, seedStep = 37)
+    val viaDedup = Dedup.dedupCorpus(e, "vec_id", pairs)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == viaDedup)
+  }
+
   test("IVF recall@5 vs brute force ≥ 0.9 at the tuned operating point (sf0.001 and sf0.01)") {
     Seq(dir, "/root/testdata/sf0.01").foreach { d =>
       val exact = SimilarityShapes.cosineTopK(spark, d)

@@ -193,4 +193,33 @@ class TextPipelineSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(s1 != s3)
   }
+
+  test("mixturePlan: weights normalize, alpha=1 is proportional, alpha<1 upsamples small sources") {
+    val plan = TextAnalysis.mixturePlan(docs, "source", "text", 0.5, 1000000L)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+    assert(math.abs(plan.map(_._4).sum - 1.0) < 1e-4, "weights must sum to 1")
+    assert(math.abs(plan.map(_._5).sum - 1000000L) < plan.length,
+      "sampled tokens must sum to the budget (rounding slack only)")
+    plan.foreach { case (_, _, tok, w, sampled, epochs) =>
+      assert(math.abs(epochs - sampled.toDouble / tok) < 1e-3)
+      assert(w > 0 && epochs > 0)
+    }
+    // alpha=1 → weight exactly proportional to token share
+    val p1 = TextAnalysis.mixturePlan(docs, "source", "text", 1.0, 1000000L)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+    val totTok = p1.map(_._3).sum.toDouble
+    p1.foreach { case (_, _, tok, w, _, _) =>
+      assert(math.abs(w - tok / totTok) < 1e-5) }
+    // alpha=0.5 flattens: the largest source loses share vs alpha=1,
+    // the smallest gains
+    val w05 = plan.map(r => r._1 -> r._4).toMap
+    val w1 = p1.map(r => r._1 -> r._4).toMap
+    val bySize = p1.sortBy(_._3)
+    assert(w05(bySize.last._1) < w1(bySize.last._1))
+    assert(w05(bySize.head._1) > w1(bySize.head._1))
+    // deterministic under physical layout
+    val again = TextAnalysis.mixturePlan(docs.repartition(7), "source", "text", 0.5, 1000000L)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+    assert(again.sortBy(_._1).toSeq == plan.sortBy(_._1).toSeq)
+  }
 }
