@@ -172,4 +172,31 @@ object CorpusPipeline {
     ex.unpersist()
     docs.join(broadcast(keep), Seq(idCol), "left_semi")
   }
+
+  /** The pipeline's last mile: write a finished training set as
+    * size-bounded parquet shards — range-partitioned and sorted by id
+    * (so any id maps to one shard by its range and readers get
+    * file-level min/max pruning), each file capped at
+    * `maxRecordsPerFile` rows — and return the shard manifest
+    * (file → row count + id range) that dataset cards and resumable
+    * loaders consume. Optional hive-style `partitionCols` (e.g. the
+    * recipe's split column) layer directory partitioning on top.
+    * Scale: one range shuffle of the final corpus (the write's
+    * inherent cost); the manifest pass reads only footers' worth of
+    * columns (id), never text. */
+  def writeShards(ds: DataFrame, idCol: String, outDir: String,
+      numShards: Int, maxRecordsPerFile: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val writer = ds.repartitionByRange(numShards, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(outDir)
+    ds.sparkSession.read.parquet(outDir)
+      .select(input_file_name().as("file"), col(idCol))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+  }
 }

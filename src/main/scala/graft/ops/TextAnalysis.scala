@@ -754,12 +754,56 @@ object TextAnalysis {
        |FROM s, t ORDER BY source""".stripMargin
   }
 
+  /** Unigram language-model scoring (the CCNet/Gopher "perplexity
+    * filter" stage, with the LM trained on the corpus itself): score
+    * every document by its mean token log-probability under the
+    * corpus unigram distribution — low scores mark gibberish / rare-
+    * token soup, high scores mark stereotypical text; pipelines keep
+    * a middle band or threshold the tail. Dataflow: one explode →
+    * token-count aggregation (the LM — vocab-sized, ≪ corpus), then
+    * tokens ⋈ LM → per-doc mean. The LM side is broadcast here; at a
+    * 100 TB corpus with a huge vocab it becomes a shuffle join on the
+    * token — Zipf skew on hot tokens is exactly what AQE skew-join
+    * splits, and the per-doc aggregation is map-side partial either
+    * way. The normalizer windows over the POST-AGG vocab frame (one
+    * row per distinct token), not the corpus. */
+  def unigramLogProb(docsDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docsDf.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), WS)).as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    toks.join(broadcast(lm), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+  }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    unigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val lmScoreSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '$WS')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+       |tot AS (SELECT sum(cnt) AS total FROM f)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+       |FROM t JOIN f USING (tok), tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
     "q73_bm25_search" -> bm25Top20,
     "q75_corpus_stats" -> corpusStats,
     "q76_mixture_plan" -> mixture,
+    "q78_lm_score" -> lmScore,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
     "q66_hash_split" -> split8020,
@@ -779,6 +823,7 @@ object TextAnalysis {
     "q73_bm25_search" -> bm25Top20Sql,
     "q75_corpus_stats" -> corpusStatsSql,
     "q76_mixture_plan" -> mixtureSql,
+    "q78_lm_score" -> lmScoreSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,
     "q66_hash_split" -> split8020Sql,

@@ -194,6 +194,46 @@ class TextPipelineSpec extends SparkSpec {
     assert(s1 != s3)
   }
 
+  test("writeShards: file cap respected, disjoint id ranges, manifest covers every row") {
+    val out = "/tmp/graft-shards-spec"
+    val m = CorpusPipeline.writeShards(docs, "doc_id", out,
+        numShards = 4, maxRecordsPerFile = 10L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(m.map(_._2).sum == docs.count())
+    assert(m.forall(_._2 <= 10), "maxRecordsPerFile must bound every shard")
+    assert(m.length >= 4, "range partitioning + cap must produce multiple shards")
+    // global range partitioning + within-file sort ⇒ file id ranges
+    // are pairwise disjoint, so a reader prunes to one shard per id
+    val ranges = m.map(r => (r._3, r._4)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, amax), (bmin, _)) => assert(amax < bmin)
+      case _ =>
+    }
+    val back = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(back == docs.select("doc_id").as[Long].collect().toSet)
+    // hive partitioning on the split column composes with sharding
+    val recipe = TextAnalysis.hashSplit(docs, "doc_id", "s1")
+    CorpusPipeline.writeShards(recipe, "doc_id", out + "2",
+      numShards = 2, maxRecordsPerFile = 20L, partitionCols = Seq("split"))
+    val back2 = spark.read.parquet(out + "2")
+    assert(back2.count() == docs.count())
+    assert(back2.select("split").distinct().as[String].collect().toSet == Set("train", "val"))
+  }
+
+  test("unigramLogProb: hand-computed LM scores; rare-token docs score lower") {
+    // corpus LM: a→3, b→2, z→1, total 6
+    val d = Seq((1L, "a a b"), (2L, "a b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(got(1L) == ((3L, r4((2 * math.log(3 / 6.0) + math.log(2 / 6.0)) / 3))))
+    assert(got(2L) == ((3L, r4((math.log(3 / 6.0) + math.log(2 / 6.0) + math.log(1 / 6.0)) / 3))))
+    assert(got(2L)._2 < got(1L)._2, "the rare-token doc must score lower")
+    // empty-text docs are excluded, not scored as zero
+    val e = Seq((1L, "a a"), (2L, "   ")).toDF("doc_id", "text")
+    assert(TextAnalysis.unigramLogProb(e, "doc_id", "text").count() == 1)
+  }
+
   test("mixturePlan: weights normalize, alpha=1 is proportional, alpha<1 upsamples small sources") {
     val plan = TextAnalysis.mixturePlan(docs, "source", "text", 0.5, 1000000L)
       .as[(String, Long, Long, Double, Long, Double)].collect()
