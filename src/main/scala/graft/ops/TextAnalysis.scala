@@ -797,6 +797,116 @@ object TextAnalysis {
        |FROM t JOIN f USING (tok), tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Line-level exact dedup (the RefinedWeb/CCNet boilerplate pass):
+    * a line repeated ANYWHERE in the corpus survives only at its
+    * first occurrence — ordered by (doc id, line position) — and
+    * every other copy is cut out of its document; documents are then
+    * reassembled in original line order, and docs left with no
+    * tokens are dropped. Lines under `minLineTokens` tokens (blank
+    * separators and the like) never enter the dedup.
+    *
+    * Scale shape (the exactSurvivorsByFingerprint pattern at line
+    * granularity): pass 1 shuffles only (md5(line), id, line_no) to
+    * rank occurrences — the corpus text does NOT move; the loser
+    * list, O(#duplicate lines), broadcasts into a (id, line_no)
+    * anti-join; the reassembly groupBy is the one shuffle that moves
+    * surviving text, and it moves it exactly once. The synthetic
+    * gate corpus has no multi-line docs, so this operator is
+    * spec-certified on hand-built frames rather than oracle-gated. */
+  def lineDedup(docsDf: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minLineTokens: Int = 1): DataFrame = {
+    val lines = docsDf.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("line_no", "line")))
+    val losers = lines
+      .filter(tokenCount(col("line")) >= minLineTokens)
+      .select(md5(col("line")).as("_fp"), col(idCol), col("line_no"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+          .orderBy(col(idCol), col("line_no"))))
+      .filter(col("_rk") > 1)
+      .select(col(idCol), col("line_no"))
+    lines.join(broadcast(losers), Seq(idCol, "line_no"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x("line"))).as(textCol),
+        count(lit(1)).as("n_lines_kept"))
+      .filter(tokenCount(col(textCol)) > 0)
+  }
+
+  /** q79 — quality-decile curriculum table: docs bucketed into 10
+    * quality bands with per-band doc/token/score stats and the
+    * cumulative token counts a curriculum schedule cuts on ("train on
+    * the top-k bands first"). Scale shape: NOT ntile — a corpus-wide
+    * ntile is one global-sort partition. Boundary k is instead
+    * defined in exact integer space: the smallest score whose
+    * cumulative count reaches ceil(n·k/10), read off the score
+    * HISTOGRAM — scores are 6dp-rounded to [0,1], so the histogram
+    * is ≤ 10^6+1 rows no matter the corpus size (map-side combined),
+    * and its cumulative window is bounded work. Band assignment is
+    * then a map-side comparison against the broadcast 9-value array
+    * (`1 + |{b : q > b}|` — ties share a band, which a curriculum
+    * wants anyway). No float interpolation: interpolated percentiles
+    * (Spark `percentile` vs DuckDB `quantile_cont`) disagree in the
+    * last ulp of `(n-1)·q`, which moves real docs across bands. */
+  def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, dir).select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      qualityScore(col("text")).as("q"))
+    val cum = scored.groupBy(col("q")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("q")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val ks = scored.sparkSession.range(1, 10).select(col("id").as("k"))
+    val bounds = cum.crossJoin(broadcast(ks))
+      .filter(col("cum") >= ceil(col("n") * col("k") / lit(10.0)))
+      .groupBy(col("k")).agg(min(col("q")).as("b"))
+      .agg(array_sort(collect_list(col("b"))).as("bs"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("decile", lit(1) + size(filter(col("bs"), x => col("q") > x)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("q")), 4).as("avg_quality"))
+      .withColumn("cum_tokens", sum(col("total_tokens")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy(col("decile"))
+  }
+
+  val qualityDecilesSql: String = {
+    val nTok = s"""CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '$WS')) END"""
+    val nStop = rc("text", "\\b(the|a|of|and|in|to|is)\\b")
+    val nPunct = rc("text", "[^a-zA-Z0-9\\s]")
+    s"""WITH d AS (SELECT doc_id, $nTok AS n_tokens,
+       |    coalesce(round(
+       |      0.5 * least(1.0, CAST($nTok AS DOUBLE) / 50.0) +
+       |      0.3 * (1.0 - least(1.0, ($nPunct / nullif(CAST(length(text) AS DOUBLE), 0.0)) * 10.0)) +
+       |      0.2 * least(1.0, ($nStop / nullif(CAST($nTok AS DOUBLE), 0.0)) * 5.0), 6), 0.0) AS q
+       |  FROM documents),
+       |hist AS (SELECT q, count(*) AS c FROM d GROUP BY q),
+       |cum AS (SELECT q, sum(c) OVER (ORDER BY q
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    (SELECT sum(c) FROM hist) AS n FROM hist),
+       |ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+       |bnd AS (SELECT k, min(q) AS b FROM cum, ks
+       |  WHERE cum >= ceil(n * k / 10.0) GROUP BY k),
+       |b AS (SELECT list_sort(list(b)) AS bs FROM bnd),
+       |a AS (SELECT d.*, 1 + len(list_filter(b.bs, x -> d.q > x)) AS decile FROM d, b),
+       |g AS (SELECT decile, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    round(avg(q), 4) AS avg_quality
+       |  FROM a GROUP BY decile)
+       |SELECT decile, n_docs, total_tokens, avg_quality,
+       |  CAST(sum(total_tokens) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |FROM g ORDER BY decile""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
@@ -804,6 +914,7 @@ object TextAnalysis {
     "q75_corpus_stats" -> corpusStats,
     "q76_mixture_plan" -> mixture,
     "q78_lm_score" -> lmScore,
+    "q79_quality_deciles" -> qualityDeciles,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
     "q66_hash_split" -> split8020,
@@ -824,6 +935,7 @@ object TextAnalysis {
     "q75_corpus_stats" -> corpusStatsSql,
     "q76_mixture_plan" -> mixtureSql,
     "q78_lm_score" -> lmScoreSql,
+    "q79_quality_deciles" -> qualityDecilesSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,
     "q66_hash_split" -> split8020Sql,

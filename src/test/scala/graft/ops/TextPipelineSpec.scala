@@ -194,6 +194,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(s1 != s3)
   }
 
+  test("lineDedup: corpus-wide first occurrence wins, order preserved, emptied docs dropped") {
+    val d = Seq(
+      (1L, "shared header\nunique alpha\nshared footer"),
+      (2L, "shared header\nunique beta\nshared footer"),
+      (3L, "unique gamma\nunique gamma\nfresh line"), // within-doc repeat
+      (4L, "shared header\nshared footer")            // loses everything
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(d, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "shared header\nunique alpha\nshared footer",
+      2L -> "unique beta",
+      3L -> "unique gamma\nfresh line"))
+    // blank / sub-threshold lines are kept everywhere, not deduped
+    val b = Seq((1L, "a\n\nb"), (2L, "c\n\nd")).toDF("doc_id", "text")
+    val gotB = TextAnalysis.lineDedup(b, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(gotB == Map(1L -> "a\n\nb", 2L -> "c\n\nd"))
+    // single-line corpus degenerates to document-level exact dedup
+    val s = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val gotS = TextAnalysis.lineDedup(s, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotS == Set(1L, 3L))
+  }
+
   test("writeShards: file cap respected, disjoint id ranges, manifest covers every row") {
     val out = "/tmp/graft-shards-spec"
     val m = CorpusPipeline.writeShards(docs, "doc_id", out,
