@@ -698,10 +698,10 @@ object TextAnalysis {
     * sampled_s = budget · weight_s, epochs_s = sampled_s / tokens_s
     * (passes over source s; > 1 means repetition). One tiny
     * aggregation: the corpus is scanned once for per-source token
-    * sums, everything after operates on a frame with one row per
-    * source, joined against its broadcast one-row total — no window
-    * over a single partition, no second scan, unchanged at 100 TB
-    * (sources number in the thousands at most).
+    * sums; everything after operates on a frame with one row per
+    * source (thousands at most, at any corpus size), so its
+    * single-partition normalizer window is bounded work — see the
+    * inline note on why it beats a crossJoin with the total.
     *
     * alpha = 0.5 routes through `sqrt`, which IEEE-754 requires to be
     * correctly rounded (bit-identical across Spark and the DuckDB
