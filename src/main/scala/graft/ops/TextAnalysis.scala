@@ -907,6 +907,47 @@ object TextAnalysis {
        |FROM g ORDER BY decile""".stripMargin
   }
 
+  /** Sliding-window document chunking — the context-window prep every
+    * embedding / training pipeline runs before model input: each doc
+    * is cut into `chunkTokens`-token windows starting every
+    * `chunkTokens − overlap` tokens (the last window may be shorter;
+    * every token is covered, boundary tokens twice). Entirely
+    * map-side — tokenize once, explode the precomputed start offsets,
+    * slice; no shuffle at any corpus size beyond the gate's ORDER BY.
+    * chunk_no = start / stride, so chunk identity is a pure function
+    * of (doc, position) — stable across layouts and incremental
+    * re-chunking. */
+  def chunkDocs(docsDf: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), WS)
+    docsDf.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .as(Seq("chunk_no", "_start")))
+      .select(col(idCol), col("chunk_no"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("_toks")) - col("_start"))
+          .as("n_chunk_tokens"))
+  }
+
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(docs(s, dir), "doc_id", "text", chunkTokens = 20, overlap = 5)
+      .orderBy(col("doc_id"), col("chunk_no"))
+
+  val chunksSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '$WS') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |st AS (SELECT doc_id, toks,
+       |    unnest(generate_series(0, len(toks) - 1, 15)) AS start FROM d)
+       |SELECT doc_id, CAST(start / 15 AS INT) AS chunk_no,
+       |  array_to_string(toks[start + 1 : start + 20], ' ') AS chunk_text,
+       |  CAST(least(20, len(toks) - start) AS INT) AS n_chunk_tokens
+       |FROM st ORDER BY doc_id, chunk_no""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
@@ -915,6 +956,7 @@ object TextAnalysis {
     "q76_mixture_plan" -> mixture,
     "q78_lm_score" -> lmScore,
     "q79_quality_deciles" -> qualityDeciles,
+    "q80_chunk_docs" -> chunks,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
     "q66_hash_split" -> split8020,
@@ -936,6 +978,7 @@ object TextAnalysis {
     "q76_mixture_plan" -> mixtureSql,
     "q78_lm_score" -> lmScoreSql,
     "q79_quality_deciles" -> qualityDecilesSql,
+    "q80_chunk_docs" -> chunksSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,
     "q66_hash_split" -> split8020Sql,

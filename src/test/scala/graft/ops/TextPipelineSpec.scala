@@ -194,6 +194,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(s1 != s3)
   }
 
+  test("chunkDocs: full token coverage, window overlap, stable chunk ids") {
+    val d = Seq((1L, (1 to 47).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val c = TextAnalysis.chunkDocs(d, "doc_id", "text", chunkTokens = 20, overlap = 5)
+      .orderBy("chunk_no").as[(Long, Int, String, Int)].collect()
+    assert(c.map(_._2).toSeq == Seq(0, 1, 2, 3)) // starts 0, 15, 30, 45
+    assert(c.map(_._4).toSeq == Seq(20, 20, 17, 2))
+    assert(c(0)._3.startsWith("t1 ") && c(1)._3.startsWith("t16 "))
+    // the last `overlap` tokens of a full chunk are the next chunk's head
+    assert(c(0)._3.split(" ").takeRight(5).toSeq == c(1)._3.split(" ").take(5).toSeq)
+    // every token is covered
+    assert(c.flatMap(_._3.split(" ")).toSet == (1 to 47).map(i => s"t$i").toSet)
+    // zero-overlap degenerates to a partition of the doc
+    val p = TextAnalysis.chunkDocs(d, "doc_id", "text", chunkTokens = 20, overlap = 0)
+      .as[(Long, Int, String, Int)].collect()
+    assert(p.map(_._4).sum == 47)
+  }
+
   test("lineDedup: corpus-wide first occurrence wins, order preserved, emptied docs dropped") {
     val d = Seq(
       (1L, "shared header\nunique alpha\nshared footer"),
