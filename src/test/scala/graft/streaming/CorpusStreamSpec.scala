@@ -37,6 +37,29 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkDocs is streaming-legal (map-only) and chunk ids match the batch op across batches") {
+    val in = memStream[Doc]
+    val q = graft.ops.TextAnalysis.chunkDocs(in.toDF(), "doc_id", "text",
+        chunkTokens = 5, overlap = 1)
+      .writeStream.format("memory").queryName("stream_chunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Doc(ts("2026-01-01 00:00:00"), 1L, good))
+      q.processAllAvailable()
+      in.addData(Doc(ts("2026-01-01 00:00:01"), 2L, good + " extra trailing tokens"))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_chunks")
+        .select("doc_id", "chunk_no", "chunk_text").as[(Long, Int, String)]
+        .collect().toSet
+      val batch = graft.ops.TextAnalysis.chunkDocs(
+          Seq((1L, good), (2L, good + " extra trailing tokens")).toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 5, overlap = 1)
+        .select("doc_id", "chunk_no", "chunk_text").as[(Long, Int, String)]
+        .collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("decontaminateStreaming keeps the same survivors as batch decontaminate on static frames") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
