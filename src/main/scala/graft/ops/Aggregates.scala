@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TrimmedAggs
@@ -288,7 +288,65 @@ object Aggregates {
       |p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS pos FROM t)
       |SELECT doc_id, pos, ts[pos] AS token FROM p ORDER BY doc_id, pos""".stripMargin
 
+  /** Uniform [0, 2^32) hash shared by the KMV sketch and its oracle:
+    * the first 8 hex digits of md5 of the value's decimal string —
+    * reproducible from the formula alone, so DuckDB rebuilds the SAME
+    * integers digit by digit. */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("double")
+
+  /** q81 — KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002),
+    * ORACLE-CERTIFIED: per event_type, the exact distinct user count
+    * next to the (k−1)/h_k estimate from the k=64 smallest distinct
+    * md5-prefix hashes. HLL sketches (q41's approx_count_distinct)
+    * can never hash-match across engines — register layouts differ;
+    * KMV is a pure function of the value set, so the sketch estimate
+    * itself is gated, not just bounded. This window form is the
+    * certified baseline; `SketchAggs.kmv_distinct` is the O(k)-state
+    * Aggregator scale form (no per-group rank over all distinct
+    * hashes), spec'd equal on the same input. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ranked = Tables.load(s, dir, "events")
+      .select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("h"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("r")).as("nh"),
+        max(when(col("r") === k, col("h"))).as("hk"))
+    val exact = Tables.load(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(ranked, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        round(when(col("nh") < k, col("nh").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("hk")), 2)
+          .as("kmv_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val kmvDistinctSql: String = {
+    val digits = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(mh, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}.0"
+    }.mkString(" + ")
+    s"""WITH hsrc AS (SELECT event_type,
+       |    md5(CAST(user_id AS VARCHAR)) AS mh FROM events),
+       |h AS (SELECT DISTINCT event_type, $digits AS h FROM hsrc),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM h),
+       |a AS (SELECT event_type, max(r) AS nh,
+       |    max(CASE WHEN r = 64 THEN h END) AS hk FROM r GROUP BY event_type),
+       |e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY event_type)
+       |SELECT e.event_type, e.n_exact,
+       |  round(CASE WHEN a.nh < 64 THEN CAST(a.nh AS DOUBLE)
+       |    ELSE 63.0 * 4294967296.0 / a.hk END, 2) AS kmv_est
+       |FROM e JOIN a USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_kmv_distinct" -> kmvDistinct,
     "q47_pivot_events" -> pivotEventCounts,
     "q48_posexplode_tokens" -> posexplodeTokens,
     "q40_cube_revenue" -> cubeRevenue,
@@ -304,6 +362,7 @@ object Aggregates {
     "q57_trimmed_mean_rank" -> trimmedMeanScalable)
 
   def oracles: Map[String, String] = Map(
+    "q81_kmv_distinct" -> kmvDistinctSql,
     "q57_trimmed_mean_rank" -> trimmedMeanSql,
     "q47_pivot_events" -> pivotEventCountsSql,
     "q48_posexplode_tokens" -> posexplodeTokensSql,

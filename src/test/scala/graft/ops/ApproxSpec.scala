@@ -43,4 +43,29 @@ class ApproxSpec extends SparkSpec {
         s"$k trimmed mean: 2P $a vs exact $e")
     }
   }
+
+  test("KMV Aggregator (O(k) state) equals the gated window form; estimate within 25% of exact") {
+    val k = 64
+    val ev = graft.Tables.load(spark, dir, "events")
+    val aggForm = ev
+      .select(col("event_type"), Aggregates.kmvHash(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(round(graft.functions.SketchAggs.kmv_distinct(col("h"), k), 2).as("est"))
+      .as[(String, Double)].collect().toMap
+    val gated = Aggregates.kmvDistinct(spark, dir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(aggForm.keySet == gated.keySet)
+    gated.foreach { case (t, (_, exact, winEst)) =>
+      assert(aggForm(t) == winEst,
+        s"$t: aggregator $aggForm vs window $winEst must match exactly")
+      assert(math.abs(winEst - exact) / exact <= 0.25,
+        s"$t: KMV est $winEst too far from exact $exact at k=$k")
+    }
+    // estimator degrades to the exact count below k distinct values
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L)).toDF("g", "v")
+      .select(col("g"), Aggregates.kmvHash(col("v")).as("h"))
+      .groupBy("g").agg(graft.functions.SketchAggs.kmv_distinct(col("h"), k).as("est"))
+      .as[(String, Double)].collect().head
+    assert(tiny._2 == 3.0)
+  }
 }
