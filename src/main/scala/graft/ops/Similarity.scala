@@ -212,6 +212,32 @@ object Similarity {
     Dedup.canonicalMap(emb, idCol,
       cosineDupPairsIVF(emb, idCol, vecCol, minSim, seedStep, nAssign))
 
+  /** Dense rerank for hybrid retrieval (the standard RAG shape:
+    * lexical recall → dense precision): rerank an already-small
+    * candidate frame by cosine against one query vector. The
+    * candidate set is top-k output (≤ hundreds), so the embedding
+    * join is candidate-sized — broadcast the candidates into the
+    * embedding scan and nothing corpus-sized moves; the query vector
+    * is a broadcast single row. Ranks on the raw double cosine
+    * (same cross-engine-stable accumulation as `bruteForceTopK`). */
+  def cosineRerank(candidates: DataFrame, candIdCol: String,
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    val q = n.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qv"), col("norm").as("_qn"))
+    broadcast(candidates)
+      .join(n.withColumnRenamed(idCol, candIdCol), Seq(candIdCol))
+      .crossJoin(broadcast(q))
+      .withColumn("_cos", cosine(col(vecCol), col("_qv"), col("norm"), col("_qn")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_cos").desc, col(candIdCol))))
+      .filter(col("rank") <= k)
+      .select(col("rank") +: col(candIdCol) +:
+        candidates.columns.filterNot(_ == candIdCol).map(col) :+
+        round(col("_cos"), 4).as("cos"): _*)
+  }
+
   /** Deterministic ±1 hyperplane matrix for random-projection LSH:
     * sign(i, j) = +1 iff the first hex digit of md5("i|j") ≥ '8'.
     * Reproducible from the formula alone, so the DuckDB oracle inlines

@@ -309,6 +309,45 @@ object SimilarityShapes {
        |FROM embeddings e LEFT JOIN comp cm ON cm.id = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  /** q82 — hybrid retrieval (the RAG-standard two-stage): BM25 top-50
+    * lexical candidates (q73's scorer, same terms) reranked by dense
+    * cosine against a query-by-example vector (vec_id 0), top 10 out.
+    * Docs without an embedding row drop at the rerank join — the
+    * documented semantics when the embedding table lags the corpus.
+    * Every stage is deterministic, so the oracle mirrors the full
+    * two-stage pipeline: the shared q73 CTE, the candidate LIMIT, the
+    * per-position double cosine, and the final rank. */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val cand = graft.ops.TextAnalysis.bm25Search(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "query"), k = 50)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("score", "bm25")
+    Similarity.cosineRerank(cand, "doc_id", emb(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .orderBy(col("rank"))
+  }
+
+  val hybridSearchSql: String =
+    s"""WITH ${graft.ops.TextAnalysis.bm25ScoreCte},
+       |cand AS (SELECT id AS doc_id, score AS bm25 FROM sc
+       |  ORDER BY score DESC, id LIMIT 50),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ce AS (SELECT c.doc_id, c.bm25, e.embedding AS de, qv.qe
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, qv),
+       |cx AS (SELECT doc_id, bm25, de, qe,
+       |    unnest(generate_series(1, len(de))) AS i FROM ce),
+       |cd AS (SELECT doc_id, bm25,
+       |    sum(CAST(de[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS dot,
+       |    sum(CAST(de[i] AS DOUBLE) * CAST(de[i] AS DOUBLE)) AS nd2,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq2
+       |  FROM cx GROUP BY doc_id, bm25),
+       |cs AS (SELECT doc_id, bm25, dot / (sqrt(nd2) * sqrt(nq2)) AS c FROM cd),
+       |r AS (SELECT row_number() OVER (ORDER BY c DESC, doc_id) AS rank,
+       |    doc_id, bm25, round(c, 4) AS cos FROM cs)
+       |SELECT rank, doc_id, bm25, cos FROM r WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
@@ -317,7 +356,8 @@ object SimilarityShapes {
     "q62_rp_lsh_buckets" -> rpLshBuckets,
     "q63_rp_neardups" -> rpNearDupPairs,
     "q74_embedding_delta" -> embeddingDelta,
-    "q77_semantic_dedup" -> semanticDedup)
+    "q77_semantic_dedup" -> semanticDedup,
+    "q82_hybrid_search" -> hybridSearch)
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
@@ -327,5 +367,6 @@ object SimilarityShapes {
     "q62_rp_lsh_buckets" -> rpLshBucketsSql,
     "q63_rp_neardups" -> rpNearDupPairsSql,
     "q74_embedding_delta" -> embeddingDeltaSql,
-    "q77_semantic_dedup" -> semanticDedupSql)
+    "q77_semantic_dedup" -> semanticDedupSql,
+    "q82_hybrid_search" -> hybridSearchSql)
 }

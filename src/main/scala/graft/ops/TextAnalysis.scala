@@ -641,8 +641,11 @@ object TextAnalysis {
     bm25Search(docs(s, dir), "doc_id", "text", Seq("spark", "join", "query"))
       .withColumnRenamed("id", "doc_id")
 
-  val bm25Top20Sql: String =
-    s"""WITH tk AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '$WS')) AS term
+  /** The q73 BM25 scoring chain as a reusable CTE body ending in
+    * `sc(id, score)` — shared by the q73 gate and the q82 hybrid
+    * retrieval oracle. */
+  val bm25ScoreCte: String =
+    s"""tk AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '$WS')) AS term
        |  FROM documents),
        |tk2 AS (SELECT id, term FROM tk WHERE term <> ''),
        |lens AS (SELECT id, count(*) AS dl FROM tk2 GROUP BY 1),
@@ -654,7 +657,10 @@ object TextAnalysis {
        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
        |  FROM tf JOIN dfq USING (term) JOIN lens USING (id) CROSS JOIN stats
-       |  GROUP BY id)
+       |  GROUP BY id)""".stripMargin
+
+  val bm25Top20Sql: String =
+    s"""WITH $bm25ScoreCte
        |SELECT id AS doc_id, score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 

@@ -149,6 +149,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(survivors == viaDedup)
   }
 
+  test("hybrid retrieval: dense rerank permutes only embedded BM25 candidates, cos descending") {
+    val dir01 = "/root/testdata/sf0.01"
+    val out = SimilarityShapes.hybridSearch(spark, dir01)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(out.length == 10 && out.map(_._1).toSeq == (1 to 10))
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq, "cos must descend")
+    val cand = TextAnalysis.bm25Search(
+        graft.Tables.load(spark, dir01, "documents"), "doc_id", "text",
+        Seq("spark", "join", "query"), k = 50)
+      .select(col("id")).as[Long].collect().toSet
+    assert(out.map(_._2).toSet.subsetOf(cand),
+      "every reranked doc must come from the lexical candidate stage")
+  }
+
   test("IVF recall@5 vs brute force ≥ 0.9 at the tuned operating point (sf0.001 and sf0.01)") {
     Seq(dir, "/root/testdata/sf0.01").foreach { d =>
       val exact = SimilarityShapes.cosineTopK(spark, d)
