@@ -132,6 +132,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmv_distinct Aggregator composes with streaming windowed aggregation (complete ≡ batch)") {
+    import graft.ops.Aggregates
+    import graft.functions.SketchAggs
+    val in = memStream[Ev]
+    val sink = nextSink()
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy(window(col("ts"), "1 minute").getField("start").as("w"))
+      .agg(round(SketchAggs.kmv_distinct(
+        Aggregates.kmvHash(col("user")), 64), 2).as("est"))
+    val q = agg(in.toDF()).writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val evs = Seq(
+        Ev(ts("2026-01-01 00:00:05"), "u1", 1.0),
+        Ev(ts("2026-01-01 00:00:10"), "u2", 1.0),
+        Ev(ts("2026-01-01 00:00:20"), "u1", 1.0), // dup user, same window
+        Ev(ts("2026-01-01 00:01:10"), "u3", 1.0))
+      in.addData(evs.take(2)); q.processAllAvailable()
+      in.addData(evs.drop(2)); q.processAllAvailable()
+      val streamed = spark.table(sink).as[(Timestamp, Double)].collect().toMap
+      val batch = agg(evs.map(e => (e.ts, e.user)).toDF("ts", "user"))
+        .as[(Timestamp, Double)].collect().toMap
+      assert(streamed == batch && batch.size == 2)
+      assert(streamed(ts("2026-01-01 00:00:00")) == 2.0, "sub-k estimate is exact distinct")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals survive across batches (ST9 custom state)") {
     val in = memStream[StreamOps.KeyedEvent]
     val sink = nextSink()
