@@ -305,6 +305,43 @@ object DedupShapes {
        |SELECT cluster_size, count(*) AS n_clusters FROM cl
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q83 — split-leakage audit (eval hygiene): near-dup pairs that
+    * CROSS the train/val boundary — a val doc near-duplicating a
+    * train doc silently inflates eval scores even after exact dedup.
+    * Composes the certified q31 pair pipeline with the certified q66
+    * hash split; output is (val doc, its train near-twin, jaccard).
+    * Scale: the pair list is tiny next to the corpus, so the split
+    * stamp joins broadcast-pair-side — map-only over the split map. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashDedup(d, "doc_id", "text")
+    val split = TextAnalysis.hashSplit(d, "doc_id", "v1")
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(
+        when(col("split_a") === "val", col("id_a")).otherwise(col("id_b")).as("val_doc_id"),
+        when(col("split_a") === "val", col("id_b")).otherwise(col("id_a")).as("train_doc_id"),
+        col("jaccard"))
+      .orderBy(col("val_doc_id"), col("train_doc_id"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH $lshPairsCte,
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+       |         THEN 'train' ELSE 'val' END AS split
+       |  FROM documents)
+       |SELECT CASE WHEN sa.split = 'val' THEN p.id_a ELSE p.id_b END AS val_doc_id,
+       |  CASE WHEN sa.split = 'val' THEN p.id_b ELSE p.id_a END AS train_doc_id,
+       |  p.jaccard
+       |FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+       |             JOIN sp sb ON sb.doc_id = p.id_b
+       |WHERE sa.split <> sb.split
+       |ORDER BY val_doc_id, train_doc_id""".stripMargin
+
   /** SimHash fingerprints, aggregated into bucket counts (bucket size
     * > 1 ⇒ near-dup cluster candidate). */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame =
@@ -361,7 +398,8 @@ object DedupShapes {
     "q59_corpus_pipeline" -> corpusPipeline,
     "q69_training_recipe" -> trainingRecipe,
     "q70_delta_dedup" -> deltaDedup,
-    "q71_dedup_report" -> dedupReport)
+    "q71_dedup_report" -> dedupReport,
+    "q83_split_leakage" -> splitLeakage)
 
   def oracles: Map[String, String] = Map(
     "q30_jaccard_pairs" -> jaccardPairsSql,
@@ -372,5 +410,6 @@ object DedupShapes {
     "q59_corpus_pipeline" -> corpusPipelineSql,
     "q69_training_recipe" -> trainingRecipeSql,
     "q70_delta_dedup" -> deltaDedupSql,
-    "q71_dedup_report" -> dedupReportSql)
+    "q71_dedup_report" -> dedupReportSql,
+    "q83_split_leakage" -> splitLeakageSql)
 }
