@@ -194,6 +194,32 @@ class TextPipelineSpec extends SparkSpec {
     assert(s1 != s3)
   }
 
+  test("observability ops: deciles partition the corpus, rollup reconciles, leakage crosses the split") {
+    val dir01 = "/root/testdata/sf0.01"
+    val n = graft.Tables.load(spark, dir01, "documents").count()
+    val dec = TextAnalysis.qualityDeciles(spark, dir01)
+      .as[(Int, Long, Long, Double, Long)].collect()
+    assert(dec.map(_._2).sum == n, "every doc lands in exactly one band")
+    assert(dec.map(_._1).toSeq == dec.map(_._1).sorted.toSeq && dec.length == 10)
+    assert(dec.map(_._5).toSeq == dec.scanLeft(0L)(_ + _._3).tail.toSeq,
+      "cum_tokens must be the running total of the bands")
+    assert(dec.map(_._4).toSeq == dec.map(_._4).sorted.toSeq,
+      "mean quality must not decrease across bands")
+    val cs = TextAnalysis.corpusStats(spark, dir01).collect()
+    val grand = cs.filter(_.isNullAt(0)).head
+    assert(grand.getLong(2) == n)
+    assert(cs.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(2)).sum == n)
+    val split = TextAnalysis.hashSplit(
+        graft.Tables.load(spark, dir01, "documents"), "doc_id", "v1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val leaks = DedupShapes.splitLeakage(spark, dir01)
+      .as[(Long, Long, Double)].collect()
+    assert(leaks.nonEmpty)
+    leaks.foreach { case (v, t, _) =>
+      assert(split(v) == "val" && split(t) == "train",
+        s"leak row ($v,$t) must pair a val doc with a train doc") }
+  }
+
   test("chunkDocs: full token coverage, window overlap, stable chunk ids") {
     val d = Seq((1L, (1 to 47).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val c = TextAnalysis.chunkDocs(d, "doc_id", "text", chunkTokens = 20, overlap = 5)
