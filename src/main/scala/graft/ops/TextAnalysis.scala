@@ -954,6 +954,59 @@ object TextAnalysis {
        |  CAST(least(20, len(toks) - start) AS INT) AS n_chunk_tokens
        |FROM st ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** Bigram language-model scoring with add-k smoothing — the n-gram
+    * step up from `unigramLogProb` (production perplexity filters are
+    * n-gram LMs): score each doc by its mean ln P(w_i | w_{i−1}) where
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V). Same two-pass
+    * train-then-score dataflow as q78 — pass 1 builds the bigram and
+    * context count tables (vocab-bounded, broadcast here; shuffle
+    * join + AQE at huge vocab), pass 2 re-reads to score. Documents
+    * with fewer than 2 tokens have no bigrams and are excluded, like
+    * q78's empty docs. Bigrams come from ONE array split per doc
+    * (adjacent-pair transform), not a positional self-join. */
+  def bigramLogProb(docsDf: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val arr = split(trim(col(textCol)), WS)
+    val bg = docsDf.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), arr.as("_a"))
+      .filter(size(col("_a")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(_a)), i -> struct(element_at(_a, i - 1) AS w1, element_at(_a, i) AS w2))"))
+        .as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docsDf.filter(length(trim(col(textCol))) > 0)
+      .select(explode(arr).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + lit(k)) /
+          (col("c1") + lit(k) * col("v")))), 4).as("avg_logprob"))
+  }
+
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val bigramLmSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '$WS') AS a
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |bg AS (SELECT doc_id, a[i - 1] AS w1, a[i] AS w2 FROM (
+       |    SELECT doc_id, a, unnest(generate_series(2, len(a))) AS i
+       |    FROM d WHERE len(a) >= 2)),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM (
+       |    SELECT unnest(a) AS tok FROM d))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_logprob
+       |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
@@ -962,6 +1015,7 @@ object TextAnalysis {
     "q76_mixture_plan" -> mixture,
     "q78_lm_score" -> lmScore,
     "q79_quality_deciles" -> qualityDeciles,
+    "q84_bigram_lm" -> bigramLm,
     "q80_chunk_docs" -> chunks,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
@@ -984,6 +1038,7 @@ object TextAnalysis {
     "q76_mixture_plan" -> mixtureSql,
     "q78_lm_score" -> lmScoreSql,
     "q79_quality_deciles" -> qualityDecilesSql,
+    "q84_bigram_lm" -> bigramLmSql,
     "q80_chunk_docs" -> chunksSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,

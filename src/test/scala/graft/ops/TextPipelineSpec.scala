@@ -302,6 +302,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextAnalysis.unigramLogProb(e, "doc_id", "text").count() == 1)
   }
 
+  test("bigramLogProb: hand-computed add-k scores; sub-2-token docs excluded") {
+    // c12: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V=4 — the vocab is
+    // corpus-wide, so the bigram-less doc 3 still contributes "solo"
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    val pab = math.log(3.5 / 5.0); val pba = math.log(1.5 / 4.0); val pbc = math.log(1.5 / 4.0)
+    assert(got == Map(
+      1L -> ((3L, r4((2 * pab + pba) / 3))),
+      2L -> ((2L, r4((pab + pbc) / 2)))), "doc 3 has no bigrams and must be absent")
+  }
+
   test("mixturePlan: weights normalize, alpha=1 is proportional, alpha<1 upsamples small sources") {
     val plan = TextAnalysis.mixturePlan(docs, "source", "text", 0.5, 1000000L)
       .as[(String, Long, Long, Double, Long, Double)].collect()
