@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * Methodology: one untimed warm-up pass (JIT + codegen + OS page
   * cache — a native engine's steady state is the fair baseline), then
   * TWO timed passes per query in sorted name order; each query reports
-  * the min of its two runs. Min-of-2 because single-shot times on a
+  * the min of its two runs, with an adaptive THIRD rep for queries
+  * over 1s whose two reps disagree by >30% (at least one rep caught
+  * neighbor contention). Min-of-reps because single-shot times on a
   * shared box showed 2-30× transient outliers (C2 compilation still
   * in flight on the earliest queries, neighbor contention) that say
   * nothing about the plan. `value` is the sum of per-query minima;
@@ -68,7 +70,14 @@ object Bench {
     val pass1 = names.map(n => n -> run(n)).toMap
     val results = names.map { n =>
       val a = pass1(n); val b = run(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val m = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      // Adaptive third rep: when a heavy query's two reps disagree by
+      // >30%, at least one caught neighbor contention (this box shows
+      // up to 2× transient load bursts) — one more rep, overall min.
+      // Bounded cost: only slow AND noisy queries pay it.
+      n -> (if (m > 1.0 && a > 0 && b > 0 &&
+                math.max(a, b) / math.min(a, b) > 1.3) math.min(m, run(n))
+            else m)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
