@@ -136,30 +136,49 @@ object CorpusStream {
     recipe.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(corpusPath), spark.sparkContext.hadoopConfiguration)
-        val haveBase = fs.exists(new org.apache.hadoop.fs.Path(corpusPath))
-        val (base, idx) =
-          if (haveBase)
-            (spark.read.parquet(corpusPath).drop("batch"),
-              spark.read.parquet(indexPath).drop("batch"))
-          else
-            // first batch: empty base, empty (schema-correct) index —
-            // deltaDedupStatus degrades to the within-batch collapse
-            (batch.limit(0),
-              Dedup.minhashIndex(batch.limit(0), idCol, textCol,
-                cfg.numHashes, cfg.bandSize))
-        val status = Dedup.deltaDedupStatus(base, batch, idCol, textCol,
-          cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket,
-          baseIndex = Some(idx))
-        val kept = batch.join(
-          status.filter(col("status") === "kept").select(col(idCol)),
-          Seq(idCol), "left_semi")
-        kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
-        Dedup.minhashIndex(kept, idCol, textCol, cfg.numHashes, cfg.bandSize)
-          .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
-        ()
+        maskBatch(batch, batchId, corpusPath, indexPath, idCol, textCol, cfg)
       }
       .start()
+
+  /** One micro-batch of the inline masking — named (not an inline
+    * closure) so the replay contract is directly testable. Replay
+    * safety: the base/index reads keep only partitions with
+    * `batch < batchId`, so a RESTARTED batch N never sees its own
+    * failed attempt's `batch=N` output (which would make previously
+    * kept rows self-match at Jaccard 1.0 and then be deleted by the
+    * overwrite — silent data loss). A crash BETWEEN the corpus and
+    * index writes also heals: replay recomputes both sides from the
+    * same strictly-pre-N state, restoring consistency. */
+  def maskBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      indexPath: String, idCol: String, textCol: String,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(corpusPath), spark.sparkContext.hadoopConfiguration)
+    def priorBatches(path: String): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(spark.read.parquet(path)
+          .filter(col("batch") < lit(batchId)).drop("batch"))
+      else None
+    val (base, idx) = (priorBatches(corpusPath), priorBatches(indexPath)) match {
+      case (Some(b), Some(i)) => (b, i)
+      case _ =>
+        // first batch (or batch-0 replay after a crash mid-write):
+        // empty base, empty (schema-correct) index —
+        // deltaDedupStatus degrades to the within-batch collapse
+        (batch.limit(0),
+          Dedup.minhashIndex(batch.limit(0), idCol, textCol,
+            cfg.numHashes, cfg.bandSize))
+    }
+    val status = Dedup.deltaDedupStatus(base, batch, idCol, textCol,
+      cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket,
+      baseIndex = Some(idx))
+    val kept = batch.join(
+      status.filter(col("status") === "kept").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+    Dedup.minhashIndex(kept, idCol, textCol, cfg.numHashes, cfg.bandSize)
+      .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+    ()
+  }
 }

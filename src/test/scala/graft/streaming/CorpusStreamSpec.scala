@@ -180,6 +180,43 @@ class CorpusStreamSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L), s"indexed: $indexed")
   }
 
+  test("maskBatch replay: re-running batch N against its own failed output loses nothing") {
+    val other = "completely different prose about seven green turtles " +
+      "crossing a quiet winter road before dawn light arrives"
+    val unique2 = "another entirely separate document mentioning eight blue herons " +
+      "standing beside a warm summer lake at noon today"
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val docs = s"$dir/docs"; val idx = s"$dir/idx"
+    val b0 = Seq((1L, good), (2L, other)).toDF("doc_id", "text")
+    val b1 = Seq((3L, good + " truly"), (4L, unique2)).toDF("doc_id", "text")
+    def landedIds = spark.read.parquet(docs).select("doc_id").as[Long].collect().toSet
+    def indexIds = spark.read.parquet(idx).select("id").as[Long].collect().toSet
+
+    CorpusStream.maskBatch(b0, 0L, docs, idx, "doc_id", "text")
+    CorpusStream.maskBatch(b1, 1L, docs, idx, "doc_id", "text")
+    val committed = landedIds
+    assert(committed == Set(1L, 2L, 4L), s"landed: $committed") // 3 = near-dup of 1
+
+    // restart-replay of batch 1: its own batch=1 output already exists on
+    // disk; the kept rows (4) must NOT self-match and vanish
+    CorpusStream.maskBatch(b1, 1L, docs, idx, "doc_id", "text")
+    assert(landedIds == committed, s"replay lost rows: $landedIds")
+    assert(indexIds == committed, s"index diverged: $indexIds")
+
+    // crash BETWEEN the corpus and index writes: batch=1 corpus exists,
+    // batch=1 index missing — replay must restore consistency
+    val fsPath = new org.apache.hadoop.fs.Path(s"$idx/batch=1")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    CorpusStream.maskBatch(b1, 1L, docs, idx, "doc_id", "text")
+    assert(landedIds == committed && indexIds == committed,
+      s"crash-heal failed: docs=$landedIds idx=$indexIds")
+
+    // replay of batch 0 (reads strictly-pre-0 = empty base) is also a no-op
+    CorpusStream.maskBatch(b0, 0L, docs, idx, "doc_id", "text")
+    assert(landedIds == committed && indexIds == committed)
+  }
+
   test("enrich columns equal the batch operators on the same rows") {
     val d = Seq((1L, good), (2L, "el perro de la casa que los una")).toDF("doc_id", "text")
     val e = CorpusStream.enrich(d, "text")
