@@ -240,11 +240,13 @@ object Aggregates {
       |GROUP BY CUBE (n_name, o_orderpriority)
       |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  /** Approximate aggregates — the 100 TB substitutes for exact
-    * percentile/countDistinct. Sketch internals differ per engine, so
-    * this is a rows-only gate entry; ApproxSpec bounds the error vs
-    * the exact operators instead. */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
+  /** Engine-native approximate aggregates (HLL++ / GK quantiles) —
+    * sketch internals differ per engine so this form can never
+    * hash-match an oracle; ApproxSpec bounds its error vs the exact
+    * operators instead. The GATED q41 below replaces it with
+    * deterministic sketches (KMV + md5-bottom-k sampling) that ARE
+    * pure functions of the value set and therefore oracle-certifiable. */
+  def approxStatsNative(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
@@ -252,6 +254,75 @@ object Aggregates {
         round(expr("percentile_approx(value, 0.5, 1000)"), 4).as("approx_p50"),
         round(expr("percentile_approx(value, 0.99, 1000)"), 4).as("approx_p99"))
       .orderBy(col("event_type"))
+
+  /** q41 — approximate stats, ORACLE-CERTIFIED (the q81 precedent
+    * applied to the full approx-stats workload,
+    * bench/http_load/http_load.go:197-209's summary shape):
+    * distinct users via the KMV bottom-k estimator, and approximate
+    * quantiles as EXACT interpolated percentiles over a deterministic
+    * uniform row sample — the m rows per group with the smallest
+    * md5-prefix hash of their unique event_id. Both engines take the
+    * SAME sample (the hash is a pure function of the row key, ties
+    * broken by event_id), so the estimates hash-match, unlike
+    * HLL/GK-sketch internals which are engine-private. The window
+    * ranking is the certified baseline; at 100 TB both pieces run as
+    * O(k)-state bottom-k Aggregators (SketchAggs.kmv_distinct — the
+    * sample variant keeps (h, value) pairs), same estimates, no
+    * per-group sort. */
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64   // KMV sketch size
+    val m = 1000 // sample rows per group
+    val ev = t(s, dir, "events")
+    val kmv = ev
+      .select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("r")).as("nh"),
+        max(when(col("r") === k, col("h"))).as("hk"))
+      .select(col("event_type"),
+        round(when(col("nh") < k, col("nh").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("hk")), 2)
+          .as("approx_users"))
+    val samp = ev
+      .select(col("event_type"), col("value"), col("event_id"),
+        kmvHash(col("event_id")).as("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))))
+      .filter(col("r") <= m)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(value, 0.5)"), 6).as("approx_p50"),
+        round(expr("percentile(value, 0.99)"), 6).as("approx_p99"))
+    kmv.join(samp, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  val approxStatsSql: String = {
+    def digits(c: String) = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr($c, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}.0"
+    }.mkString(" + ")
+    s"""WITH uh AS (SELECT DISTINCT event_type,
+       |    ${digits("md5(CAST(user_id AS VARCHAR))")} AS h FROM events),
+       |ur AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM uh),
+       |ua AS (SELECT event_type, max(r) AS nh,
+       |    max(CASE WHEN r = 64 THEN h END) AS hk FROM ur GROUP BY event_type),
+       |kmv AS (SELECT event_type,
+       |    round(CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+       |      ELSE 63.0 * 4294967296.0 / hk END, 2) AS approx_users FROM ua),
+       |sh AS (SELECT event_type, value, event_id,
+       |    ${digits("md5(CAST(event_id AS VARCHAR))")} AS h FROM events),
+       |sr AS (SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS r FROM sh),
+       |samp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+       |    round(quantile_cont(value, 0.5), 6) AS approx_p50,
+       |    round(quantile_cont(value, 0.99), 6) AS approx_p99
+       |  FROM sr WHERE r <= 1000 GROUP BY event_type)
+       |SELECT kmv.event_type, approx_users, n_sample, approx_p50, approx_p99
+       |FROM kmv JOIN samp USING (event_type) ORDER BY event_type""".stripMargin
+  }
 
   /** Pivot: per-user event-type counts as columns (fixed pivot values
     * → deterministic schema; oracle mirrors with FILTER aggregates). */
@@ -362,6 +433,7 @@ object Aggregates {
     "q57_trimmed_mean_rank" -> trimmedMeanScalable)
 
   def oracles: Map[String, String] = Map(
+    "q41_approx_stats" -> approxStatsSql,
     "q81_kmv_distinct" -> kmvDistinctSql,
     "q57_trimmed_mean_rank" -> trimmedMeanSql,
     "q47_pivot_events" -> pivotEventCountsSql,

@@ -11,7 +11,7 @@ class ApproxSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.01"
 
   test("approx_count_distinct within 5% of exact; percentile_approx within p1-p99 spread") {
-    val approx = Aggregates.approxStats(spark, dir)
+    val approx = Aggregates.approxStatsNative(spark, dir)
       .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
     val exact = graft.Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))
@@ -24,6 +24,25 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(au - u).toDouble / u <= 0.05, s"$k users: $au vs $u")
       assert(math.abs(ap50 - p50) / math.max(1.0, p50) <= 0.05, s"$k p50: $ap50 vs $p50")
       assert(math.abs(ap99 - p99) / math.max(1.0, p99) <= 0.05, s"$k p99: $ap99 vs $p99")
+    }
+  }
+
+  test("certified q41: KMV users within 25% and sampled percentiles within 10%/20% of exact") {
+    val cert = Aggregates.approxStats(spark, dir)
+      .as[(String, Double, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val exact = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(cert.keySet == exact.keySet)
+    exact.foreach { case (k, (_, u, p50, p99)) =>
+      val (_, au, n, ap50, ap99) = cert(k)
+      assert(n > 0L && n <= 1000L, s"$k sample size $n")
+      assert(math.abs(au - u) / u <= 0.25, s"$k users: $au vs $u")
+      assert(math.abs(ap50 - p50) / math.max(1.0, p50) <= 0.10, s"$k p50: $ap50 vs $p50")
+      assert(math.abs(ap99 - p99) / math.max(1.0, p99) <= 0.20, s"$k p99: $ap99 vs $p99")
     }
   }
 
