@@ -262,6 +262,32 @@ class TextPipelineSpec extends SparkSpec {
     assert(gotS == Set(1L, 3L))
   }
 
+  test("bigramLogProb fused LM-build equals a naive per-table recomputation") {
+    // The operator derives c(w1·) by re-aggregating c12 and builds all
+    // LM tables off one cached tokenize pass; this recomputes each
+    // table naively (separate corpus scans, direct c1 count) and the
+    // scores must agree exactly.
+    val d = docs.filter(col("doc_id") < 100)
+    val got = TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map { case (i, n, p) => i -> ((n, p)) }.toMap
+    val arr = split(trim(col("text")), "\\s+")
+    val bg = d.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), arr.as("_a")).filter(size(col("_a")) >= 2)
+      .select(col("doc_id"), expr(
+        "explode(transform(sequence(2, size(_a)), i -> struct(element_at(_a, i - 1) AS w1, element_at(_a, i) AS w2)))").as("_b"))
+      .select(col("doc_id"), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = d.filter(length(trim(col("text"))) > 0)
+      .select(explode(arr).as("tok")).agg(countDistinct(col("tok")).as("v"))
+    val naive = bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        round(avg(log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))), 4).as("p"))
+      .as[(Long, Long, Double)].collect().map { case (i, n, p) => i -> ((n, p)) }.toMap
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("writeShards: file cap respected, disjoint id ranges, manifest covers every row") {
     val out = "/tmp/graft-shards-spec"
     val m = CorpusPipeline.writeShards(docs, "doc_id", out,
