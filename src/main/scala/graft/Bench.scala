@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   * shared box showed 2-30× transient outliers (C2 compilation still
   * in flight on the earliest queries, neighbor contention) that say
   * nothing about the plan. `value` is the sum of per-query minima;
-  * `cold_total_sec` reports the warm-up pass for reference.
+  * `cold_total_sec`/`cold_queries` report the warm-up pass in total
+  * and per query, and `load_before/after` + `jvms_before/after` stamp
+  * host load so driver-vs-local deltas are attributable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,8 +65,29 @@ object Bench {
       dt
     }
 
+    // Host-load stamps: the round-5 driver cold total disagreed ~2.3×
+    // with repeated local runs and the artifact couldn't attribute the
+    // gap. loadavg + concurrent-JVM counts before/after let a reader
+    // tell plan regressions from neighbor contention on a shared box.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    def javaProcs(): Int =
+      try new java.io.File("/proc").listFiles.count { f =>
+        f.getName.forall(_.isDigit) && {
+          try {
+            val src = scala.io.Source.fromFile(s"/proc/${f.getName}/comm")
+            try src.mkString.trim == "java" finally src.close()
+          } catch { case _: Throwable => false }
+        }
+      } catch { case _: Throwable => -1 }
+    val loadBefore = loadavg(); val jvmsBefore = javaProcs()
+
+    // Cold pass: timed PER QUERY (not just in total) so a slow cold
+    // total is attributable to specific queries, not a mystery.
     val coldT0 = System.nanoTime()
-    names.foreach(run)
+    val coldPerQ = names.map(n => n -> run(n))
     val cold = (System.nanoTime() - coldT0) / 1e9
 
     val pass1 = names.map(n => n -> run(n)).toMap
@@ -79,10 +102,15 @@ object Bench {
                 math.max(a, b) / math.min(a, b) > 1.3) math.min(m, run(n))
             else m)
     }
+    val loadAfter = loadavg(); val jvmsAfter = javaProcs()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cqs = coldPerQ.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$cold,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""cold_total_sec":$cold,"cold_queries":$cqs,""" +
+        s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
+        s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,"sf":"$sfDir"}"""
     println(json)
     // The single giant stdout line is fragile under the driver's
     // capture window (BENCH_r04 arrived truncated mid-JSON) — also

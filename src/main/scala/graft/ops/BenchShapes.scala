@@ -41,22 +41,29 @@ object BenchShapes {
       timestamp_seconds(lit(1767225600L) + col("id")).as("created_at"))
 
   /** Full e2e: generate → fan out → verify delivery (anti-join must
-    * be empty) → per-author delivery stats. */
-  def e2eFeed(s: SparkSession, dir: String): DataFrame = {
-    // follows is a constant 50-user frame: broadcast it so the fan-out
-    // join never shuffles the post side. The verification anti-join
-    // compares the delivered feed against an INDEPENDENTLY derived
-    // expected side (separate generator plan trees): an anti-join of a
-    // frame against the same plan object is empty by construction and
-    // verifies nothing — this one genuinely re-derives what should
-    // have been delivered, like the reference's per-(post, follower)
-    // poll (e2e_bench.go:175-232). Cheap: the workload is a constant
-    // 50-user frame either way.
-    // Every frame here is generated and constant-size (≤ U·F·P rows):
-    // broadcast the anti-join's lookup side and the stats join so the
-    // whole verification plans broadcast-only, no SMJ.
-    val feed = Fanout.fanout(posts(s), broadcast(follows(s)))
-    val expected = Fanout.fanout(posts(s), broadcast(follows(s)))
+    * be empty) → per-author delivery stats.
+    *
+    * The verification anti-join compares the delivered feed against an
+    * expected side derived as a RAW join expression over its own
+    * generator calls — NOT routed through `Fanout.fanout`. Routing
+    * both sides through the operator under test (the round-5 form)
+    * only proved plan determinism: a deterministic fan-out bug would
+    * produce identical wrong rows on both sides and cancel. This
+    * mirrors the reference's independent per-(post, follower)
+    * recomputation (e2e_bench.go:175-232); BenchShapesSpec plants a
+    * row-dropping fan-out bug and shows `n_undelivered` catches it.
+    * Every frame here is generated and constant-size (≤ U·F·P rows):
+    * broadcast the fan-out edge side, the anti-join's lookup side and
+    * the stats join so the whole verification plans broadcast-only,
+    * no SMJ and no shuffle of the post stream. */
+  def e2eFeedWith(s: SparkSession,
+      fanoutFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val feed = fanoutFn(posts(s), broadcast(follows(s)))
+    val pE = posts(s)
+    val fE = follows(s)
+    val expected = pE.join(broadcast(fE), pE("author_id") === fE("followee_id"))
+      .select(fE("user_id"), pE("post_id"), pE("author_id"),
+        pE("body"), pE("created_at"))
     val missing = Fanout.undelivered(expected, broadcast(feed))
       .groupBy(col("author_id")).agg(count(lit(1)).as("n_undelivered"))
     feed.groupBy(col("author_id"))
@@ -66,6 +73,9 @@ object BenchShapes {
       .withColumn("n_undelivered", coalesce(col("n_undelivered"), lit(0L)))
       .orderBy(col("author_id"))
   }
+
+  def e2eFeed(s: SparkSession, dir: String): DataFrame =
+    e2eFeedWith(s, (p, f) => Fanout.fanout(p, f))
 
   val e2eFeedSql: String =
     s"""WITH f AS (SELECT DISTINCT 'user-' || CAST(u AS VARCHAR) AS user_id,

@@ -53,6 +53,27 @@ class FanoutSpec extends SparkSpec {
     assert(!Fanout.deliveryInvariantHolds(posts, manyFollows, partial))
   }
 
+  test("e2eFeed verification leg catches a planted fan-out bug (independent expected side)") {
+    // healthy operator: zero undelivered everywhere
+    val ok = graft.ops.BenchShapes.e2eFeedWith(spark,
+      (p, f) => Fanout.fanout(p, f))
+    assert(ok.filter(col("n_undelivered") > 0).isEmpty)
+    // planted bug: fan-out silently drops every delivery to user-3 —
+    // the round-5 form (expected side routed through the same
+    // Fanout.fanout call) would cancel this; the raw-join expected
+    // side must surface it as undelivered rows
+    val buggy = graft.ops.BenchShapes.e2eFeedWith(spark,
+      (p, f) => Fanout.fanout(p, f).filter(col("user_id") =!= "user-3"))
+    val undeliveredTotal = buggy.agg(sum(col("n_undelivered"))).as[Long].head()
+    assert(undeliveredTotal > 0, "planted row-dropping bug must be caught")
+    // flag-flipped includeSelf adds self-rows: caught by the delivery
+    // invariant's reverse direction (feed ⊄ expected)
+    val posts3 = (1 to 3).map(i => Post(s"p-$i", "u-nur", s"b$i", t0)).toDS.toDF
+    val manyFollows = (1 to 5).map(i => Follow(s"u-$i", "u-nur")).toDS.toDF
+    val selfFeed = Fanout.fanout(posts3, manyFollows, includeSelf = true)
+    assert(!Fanout.deliveryInvariantHolds(posts3, manyFollows, selfFeed))
+  }
+
   test("feed top-K: newest first, limit applied, default 50, non-positive clamped (R3/R4)") {
     val feed = (1 to 60).map(i =>
       FeedEntry("u-1", f"p-$i%03d", "u-2", s"b$i",
