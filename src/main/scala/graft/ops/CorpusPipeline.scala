@@ -174,9 +174,12 @@ object CorpusPipeline {
   }
 
   /** The pipeline's last mile: write a finished training set as
-    * size-bounded parquet shards — range-partitioned and sorted by id
-    * (so any id maps to one shard by its range and readers get
-    * file-level min/max pruning), each file capped at
+    * size-bounded parquet shards — range-partitioned and sorted so an
+    * id maps to ONE shard by its range (globally with no
+    * `partitionCols`; within each hive partition otherwise — the
+    * range partitioning is over (partitionCols, id), so files in one
+    * partition directory never overlap in id range) and readers get
+    * file-level min/max pruning; each file is capped at
     * `maxRecordsPerFile` rows — and return the shard manifest
     * (file → row count + id range) that dataset cards and resumable
     * loaders consume. Optional hive-style `partitionCols` (e.g. the
@@ -187,8 +190,9 @@ object CorpusPipeline {
   def writeShards(ds: DataFrame, idCol: String, outDir: String,
       numShards: Int, maxRecordsPerFile: Long,
       partitionCols: Seq[String] = Nil): DataFrame = {
-    val writer = ds.repartitionByRange(numShards, col(idCol))
-      .sortWithinPartitions(col(idCol))
+    val rangeCols = partitionCols.map(col) :+ col(idCol)
+    val writer = ds.repartitionByRange(numShards, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)

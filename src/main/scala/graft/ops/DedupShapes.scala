@@ -233,12 +233,17 @@ object DedupShapes {
     * band join, exact-Jaccard verification against ONLY the flagged
     * base docs, within-delta keep-canonical collapse, and the
     * three-way status precedence (dup_of_base > dup_in_delta >
-    * kept). */
+    * kept). The gate instance runs UNCAPPED (maxBucket=MaxValue) so
+    * the certified plan enumerates exactly the bucket pairs the
+    * oracle does — the production default's hot-bucket star cap
+    * (maxBucket=10000) is a declared approximation certified by its
+    * own spec (DedupSimilaritySpec star-cap tests), not by this
+    * oracle. */
   def deltaDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.deltaDedupStatus(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text")
+        "doc_id", "text", maxBucket = Int.MaxValue)
       .orderBy(col("doc_id"))
   }
 

@@ -307,11 +307,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(back == docs.select("doc_id").as[Long].collect().toSet)
     // hive partitioning on the split column composes with sharding
     val recipe = TextAnalysis.hashSplit(docs, "doc_id", "s1")
-    CorpusPipeline.writeShards(recipe, "doc_id", out + "2",
-      numShards = 2, maxRecordsPerFile = 20L, partitionCols = Seq("split"))
+    val m2 = CorpusPipeline.writeShards(recipe, "doc_id", out + "2",
+        numShards = 2, maxRecordsPerFile = 20L, partitionCols = Seq("split"))
+      .as[(String, Long, Long, Long)].collect()
     val back2 = spark.read.parquet(out + "2")
     assert(back2.count() == docs.count())
     assert(back2.select("split").distinct().as[String].collect().toSet == Set("train", "val"))
+    // the one-shard-per-id claim holds WITHIN each hive partition:
+    // range partitioning over (partitionCols, id) means files in the
+    // same partition directory never overlap in id range
+    m2.groupBy(r => r._1.substring(0, r._1.lastIndexOf('/'))).foreach {
+      case (partDir, files) =>
+        val rs = files.map(r => (r._3, r._4)).sortBy(_._1)
+        rs.sliding(2).foreach {
+          case Array((_, amax), (bmin, _)) =>
+            assert(amax < bmin, s"overlapping shard ranges in $partDir")
+          case _ =>
+        }
+    }
   }
 
   test("unigramLogProb: hand-computed LM scores; rare-token docs score lower") {
