@@ -23,6 +23,7 @@ object SparkEntry {
     QueryModule(DedupShapes.queries, DedupShapes.oracles),
     QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles),
     QueryModule(MiscShapes.queries, MiscShapes.oracles),
+    QueryModule(CurationOps.queries, CurationOps.oracles),
     QueryModule(BenchShapes.queries, BenchShapes.oracles),
     QueryModule(AsOf.queries, AsOf.oracles),
     QueryModule(Temporal.queries, Temporal.oracles))

@@ -1,0 +1,422 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokenCount
+
+/** Corpus-curation operators beyond the cleaning pipeline: fuzzy
+  * (fractional) benchmark decontamination, PII auditing with Luhn
+  * checksum validation, DSIR-style importance resampling, boilerplate
+  * span detection, and token-budget mixture execution.
+  *
+  * Every float that reaches an oracle-gated output is either a ratio
+  * of exact integers or a 1e-6 fixed-point BIGINT, so the per-doc /
+  * per-group reductions are order-independent — none of these queries
+  * rides on the round(avg(double)) accepted risk.
+  */
+object CurationOps {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private val WS = "\\s+"
+
+  // ---------------------------------------------------------------- fuzzy decontamination
+
+  /** Fuzzy benchmark decontamination — the paraphrase-leak test. For
+    * every (corpus doc, benchmark doc) pair, the fraction of the
+    * BENCHMARK doc's distinct word n-grams contained in the corpus
+    * doc; pairs at or above `minFrac` are flagged. `decontaminate`
+    * (q64) counts absolute shared grams against the whole benchmark
+    * set and catches verbatim leaks; this per-item containment catches
+    * partial quotes and light paraphrases of a specific eval item.
+    *
+    * 100 TB shape: the benchmark is tiny by definition, so its gram
+    * set AND its per-item totals broadcast; the corpus side never
+    * shuffles text — the only shuffle is the (corpus id, bench id)
+    * count over MATCHED gram rows, which is contamination-sized. */
+  def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minFrac: Double = 0.5): DataFrame = {
+    val bg = TextAnalysis.ngramSets(benchmark, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("gram"))
+    val btot = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_total"))
+    TextAnalysis.ngramSets(corpus, idCol, textCol, n)
+      .join(broadcast(bg), "gram")
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(btot), "bench_id")
+      .filter(col("n_shared") / col("bench_total") >= minFrac)
+      .select(col("id"), col("bench_id"), col("n_shared"), col("bench_total"),
+        round(col("n_shared") / col("bench_total"), 6).as("overlap_frac"))
+  }
+
+  // ---------------------------------------------------------------- PII audit
+
+  /** Luhn checksum validity of a digit-string Column — what separates
+    * a real card-number detector from a naive digit-run regex. Pure
+    * array expression: from the rightmost digit, double every second
+    * digit (−9 when >9) and require the sum ≡ 0 mod 10. The lambda
+    * captures `rev`, so the reverse is re-evaluated per element
+    * (interpreted HOF) — candidates are ≤19 chars, so this stays
+    * trivially cheap, unlike the corpus-text capture pitfall
+    * documented on `dup3Frac`. */
+  def luhnValid(num: Column): Column = {
+    val rev = reverse(num)
+    val total = aggregate(
+      transform(sequence(lit(1), length(num)), i => {
+        val d = rev.substr(i, lit(1)).cast("int")
+        when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  private val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+  private val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  private val cardRe = "[0-9]{13,16}"
+
+  /** Per-document PII audit: email / phone counts by regex, card
+    * candidates by digit-run regex SPLIT into Luhn-valid vs invalid,
+    * and the aggregate has_pii flag (valid cards only — a digit run
+    * failing the checksum is noise, not PII). Map-only; composes as a
+    * pre-redaction report or a release gate. Complements q29's
+    * redaction (which rewrites) — this one measures. */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(cardRe), lit(0))
+    val nValid = size(filter(cands, n => luhnValid(n))).cast("long")
+    val nEmails = size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long")
+    val nPhones = size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long")
+    df.select(col(idCol),
+      nEmails.as("n_emails"),
+      nValid.as("n_cards_valid"),
+      (size(cands).cast("long") - nValid).as("n_cards_invalid"),
+      nPhones.as("n_phones"),
+      (nEmails > 0 || nValid > 0 || nPhones > 0).as("has_pii"))
+  }
+
+  // ---------------------------------------------------------------- DSIR importance resampling
+
+  /** DSIR-style importance resampling (Xie et al., NeurIPS 2023,
+    * "Data Selection for Language Models via Importance Resampling"),
+    * deterministic top-k variant: score every doc by
+    * log P_target(bag) − log P_raw(bag) under add-1-smoothed
+    * hashed-unigram models (256 md5-prefix buckets — md5 is the
+    * portable hash, see the verify gotchas), keep the k
+    * highest-scoring docs. The paper samples with Gumbel noise; the
+    * greedy top-k is the reproducible-pipeline form.
+    *
+    * Hash-stability: per-bucket log-ratios are rounded to 1e-6 fixed
+    * point BIGINTs computed from exact integer counts, so the per-doc
+    * score is an INTEGER sum — order-independent, unlike a float sum.
+    *
+    * 100 TB shape: model build is one corpus scan ending in a 256-row
+    * table (map-side partial agg does the heavy lifting); scoring is
+    * one more scan against the broadcast model, reduced to (id, score)
+    * pairs. Two scans total, by design — caching the exploded token
+    * frame to save the second scan would materialize something larger
+    * than the corpus. Global top-k is sort-limit (TakeOrdered), never
+    * a single-partition window over the corpus; rank is stamped on the
+    * k survivors only. */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int = 100, buckets: Int = 256): DataFrame = {
+    require(buckets == 256, "bucket key is a 2-hex-char md5 prefix (256 buckets)")
+    val tk = df.select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(split(trim(col(textCol)), WS)).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("id"), col("tgt"), substring(md5(col("t")), 1, 2).as("b"))
+    val counts = tk.groupBy(col("b")).agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = counts.agg(sum(col("n_raw")).as("raw_tot"), sum(col("n_tgt")).as("tgt_tot"))
+    val lr = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((col("n_tgt") + 1.0) / (col("tgt_tot") + lit(buckets.toDouble)))
+          - log((col("n_raw") + 1.0) / (col("raw_tot") + lit(buckets.toDouble)))) * 1e6)
+          .cast("long").as("lr"))
+    val top = tk.join(broadcast(lr), "b")
+      .groupBy(col("id")).agg(sum(col("lr")).as("iw_score"))
+      .orderBy(col("iw_score").desc, col("id"))
+      .limit(k)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("iw_score").desc, col("id"))))
+  }
+
+  // ---------------------------------------------------------------- boilerplate spans
+
+  /** Boilerplate span detection: word n-grams occurring in at least
+    * `minDocs` DISTINCT documents (nav bars, cookie banners, license
+    * tails — the C4/RefinedWeb pre-clean target). Complements q85's
+    * line-level dedup: catches templated spans that never occupy a
+    * whole line. One shuffle on the gram key; countDistinct is exact.
+    * Output is vocab-bounded (top `topK` by document frequency). */
+  def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Long = 50, topK: Int = 50): DataFrame =
+    df.select(col(idCol).as("id"), split(trim(col(textCol)), WS).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("id"),
+        explode(graft.functions.TextFunctions.ngramArray(col("ts"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
+
+  // ---------------------------------------------------------------- token-budget mixture execution
+
+  /** Token-budget mixture execution — the operator that EXECUTES a
+    * mixture plan (q76 plans token counts per domain; this draws the
+    * sample): per domain, documents are ranked by the deterministic
+    * md5(seed|id) key and taken in rank order until the domain's token
+    * budget is exhausted. The first doc that crosses the budget is
+    * KEPT (budgets are soft floors — every domain reaches its quota),
+    * matching reservoir-free deterministic sampling: a pure function
+    * of (seed, id), reproducible under any partitioning.
+    *
+    * 100 TB shape: one window per domain (cumulative sum over the
+    * rank order). Domains are typically many and the rank key is
+    * uniform, so partitions stay balanced; for a single giant domain,
+    * pre-filter by rank prefix first (the expected quota maps to a
+    * hex-prefix range, exactly like hashSplit's threshold) so the
+    * window only ever sees ~budget worth of candidate docs. */
+  def budgetSample(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgetTokens: Long, seed: String): DataFrame = {
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("rk"), col(idCol))
+    df.select(col(idCol), col(domainCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(concat(lit(seed + "|"), col(idCol).cast("string"))).as("rk"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .drop("rk")
+  }
+
+  // ---------------------------------------------------------------- corpus snapshot diff
+
+  /** Crawl-to-crawl corpus diff: per-doc status between two snapshots
+    * — added / removed / changed (text fingerprint moved) — the audit
+    * every recurring-ingest pipeline runs before re-deduping a delta.
+    *
+    * 100 TB shape: text is fingerprinted in place and ONLY (id, md5)
+    * shuffles into the full-outer join — the corpus never moves, the
+    * same discipline as `exactSurvivorsByFingerprint`. Emits only the
+    * non-unchanged rows (delta-sized, not corpus-sized). */
+  def corpusDiff(prev: DataFrame, cur: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val p = prev.select(col(idCol), md5(col(textCol)).as("_fp_prev"))
+    val c = cur.select(col(idCol), md5(col(textCol)).as("_fp_cur"))
+    p.join(c, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_fp_prev").isNull, lit("added"))
+          .when(col("_fp_cur").isNull, lit("removed"))
+          .when(col("_fp_prev") =!= col("_fp_cur"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  // ---------------------------------------------------------------- gate bindings
+
+  /** q86 — fuzzy decontamination of the documents corpus against the
+    * synthetic benchmark (docs with id % 20 == 0, the q64 convention).
+    * Gate threshold 0.03 exercises the borderline band (median random
+    * overlap on this corpus is ~0.015); production paraphrase-leak
+    * threshold is the 0.5 default. */
+  def fuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    fuzzyContamination(
+      d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 3, minFrac = 0.03)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  private def gramCte(n: Int) =
+    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '$WS') AS ts
+       |  FROM documents),
+       |grams AS (SELECT DISTINCT id, unnest(list_transform(
+       |    generate_series(1, len(ts) - ${n - 1}),
+       |    i -> array_to_string(ts[i:i+${n - 1}], ' '))) AS gram
+       |  FROM toks WHERE len(ts) >= $n)""".stripMargin
+
+  val fuzzyDecontamSql: String =
+    s"""WITH ${gramCte(3)},
+       |bench AS (SELECT id AS bench_id, gram FROM grams WHERE id % 20 = 0),
+       |btot AS (SELECT bench_id, count(*) AS bench_total FROM bench GROUP BY 1),
+       |shared AS (SELECT g.id AS doc_id, b.bench_id, count(*) AS n_shared
+       |  FROM grams g JOIN bench b ON g.gram = b.gram
+       |  WHERE g.id % 20 != 0 GROUP BY 1, 2)
+       |SELECT doc_id, bench_id, n_shared, bench_total,
+       |  round(n_shared / CAST(bench_total AS DOUBLE), 6) AS overlap_frac
+       |FROM shared JOIN btot USING (bench_id)
+       |WHERE n_shared / CAST(bench_total AS DOUBLE) >= 0.03
+       |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** q87 — PII audit over the corpus with deterministically planted
+    * PII (the corpus itself is PII-free word soup; both engines plant
+    * the identical strings, the q85/q38 synthesize-inside-the-query
+    * convention). Plants include a Luhn-VALID and a Luhn-INVALID card
+    * so the gate certifies the checksum, not just the regex. */
+  def piiAuditGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" card 4111111111111111 on file")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 3,
+        lit(" card 4111111111111112 on file")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" tel 555-0142 ext")).otherwise(lit(""))).as("text"))
+    piiAudit(planted, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  val piiAuditGateSql: String =
+    s"""WITH planted AS (SELECT doc_id, text
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111111 on file' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 3 THEN ' card 4111111111111112 on file' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' tel 555-0142 ext' ELSE '' END
+       |    AS text FROM documents),
+       |luhn AS (SELECT doc_id,
+       |    regexp_extract_all(text, '$cardRe') AS cands,
+       |    list_transform(regexp_extract_all(text, '$cardRe'), n ->
+       |      list_sum(list_transform(generate_series(1, length(n)),
+       |        i -> CASE WHEN i % 2 = 0
+       |          THEN CASE WHEN CAST(substr(reverse(n), i, 1) AS INT) * 2 > 9
+       |               THEN CAST(substr(reverse(n), i, 1) AS INT) * 2 - 9
+       |               ELSE CAST(substr(reverse(n), i, 1) AS INT) * 2 END
+       |          ELSE CAST(substr(reverse(n), i, 1) AS INT) END)) % 10 = 0) AS valid
+       |  FROM planted)
+       |SELECT p.doc_id,
+       |  CAST(len(regexp_extract_all(p.text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(list_filter(l.valid, v -> v)) AS BIGINT) AS n_cards_valid,
+       |  CAST(len(l.valid) - len(list_filter(l.valid, v -> v)) AS BIGINT) AS n_cards_invalid,
+       |  CAST(len(regexp_extract_all(p.text, '\\b[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+       |  (len(regexp_extract_all(p.text, '$emailRe')) > 0
+       |   OR len(list_filter(l.valid, v -> v)) > 0
+       |   OR len(regexp_extract_all(p.text, '\\b[0-9]{3}-[0-9]{4}\\b')) > 0) AS has_pii
+       |FROM planted p JOIN luhn l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q88 — DSIR importance resampling toward the src1/src2 "curated
+    * domains" target, top 100. On this synthetic corpus the vocabulary
+    * is domain-uniform, so selection enrichment ≈ base rate — the gate
+    * certifies the scoring/selection MECHANISM (models, fixed-point
+    * log-ratios, deterministic top-k), not a separation the data
+    * cannot exhibit; `CurationOpsSpec` demonstrates enrichment on a
+    * corpus with a real domain signal. */
+  def importanceGate(s: SparkSession, dir: String): DataFrame =
+    importanceResample(docs(s, dir), "doc_id", "text",
+      col("source").isin("src1", "src2"), k = 100)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("rnk"))
+
+  val importanceGateSql: String =
+    """WITH tk AS (SELECT doc_id AS id, source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+      |tk2 AS (SELECT id, source, substr(md5(t), 1, 2) AS b FROM tk WHERE t <> ''),
+      |counts AS (SELECT b, count(*) AS n_raw,
+      |    sum(CASE WHEN source IN ('src1', 'src2') THEN 1 ELSE 0 END) AS n_tgt
+      |  FROM tk2 GROUP BY 1),
+      |tot AS (SELECT sum(n_raw) AS raw_tot, sum(n_tgt) AS tgt_tot FROM counts),
+      |lr AS (SELECT b, CAST(round((ln((n_tgt + 1.0) / (tgt_tot + 256.0))
+      |                           - ln((n_raw + 1.0) / (raw_tot + 256.0))) * 1e6) AS BIGINT) AS lr
+      |  FROM counts CROSS JOIN tot),
+      |scores AS (SELECT id, CAST(sum(lr) AS BIGINT) AS iw_score
+      |  FROM tk2 JOIN lr USING (b) GROUP BY id)
+      |SELECT id AS doc_id, iw_score,
+      |  CAST(row_number() OVER (ORDER BY iw_score DESC, id) AS INT) AS rnk
+      |FROM scores ORDER BY iw_score DESC, id LIMIT 100""".stripMargin
+
+  /** q89 — boilerplate span report over the corpus with two planted
+    * templated tails (newsletter / terms-of-service), the q87 planting
+    * convention. minDocs=50 sits far above any organic 3-gram doc
+    * frequency on this corpus, so exactly the planted spans surface. */
+  def boilerplateGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" subscribe to our newsletter all rights reserved")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1,
+        lit(" click here to read more terms of service apply")).otherwise(lit(""))).as("text"))
+    boilerplateSpans(planted, "doc_id", "text", n = 3, minDocs = 50, topK = 50)
+  }
+
+  val boilerplateGateSql: String =
+    """WITH planted AS (SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter all rights reserved' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 1 THEN ' click here to read more terms of service apply' ELSE '' END
+      |    AS text FROM documents),
+      |toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS ts FROM planted),
+      |occ AS (SELECT id, unnest(list_transform(
+      |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS gram
+      |  FROM toks WHERE len(ts) >= 3),
+      |df AS (SELECT gram, count(DISTINCT id) AS n_docs, count(*) AS n_occurrences
+      |  FROM occ GROUP BY 1)
+      |SELECT gram, n_docs, n_occurrences FROM df WHERE n_docs >= 50
+      |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin
+
+  /** q90 — token-budget mixture execution: 800 tokens per source under
+    * seed "mix1" (each sf0.01 source holds ~1400 tokens, so the budget
+    * genuinely binds and the boundary-doc rule is exercised). */
+  def budgetGate(s: SparkSession, dir: String): DataFrame =
+    budgetSample(docs(s, dir), "doc_id", "text", "source",
+      budgetTokens = 800, seed = "mix1")
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+
+  val budgetGateSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      |    md5('mix1|' || CAST(doc_id AS VARCHAR)) AS rk
+      |  FROM documents),
+      |w AS (SELECT doc_id, source, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, source, n_tokens, cum_tokens
+      |FROM w WHERE cum_tokens - n_tokens < 800
+      |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
+  /** q91 — snapshot diff between two synthesized crawls of the corpus
+    * (prev = ids % 4 != 3; cur = ids % 4 != 0 with ids % 5 == 2
+    * edited), exercising all three statuses. */
+  def diffGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val prev = d.filter(col("doc_id") % 4 =!= 3).select(col("doc_id"), col("text"))
+    val cur = d.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 2, lit(" edited")).otherwise(lit(""))).as("text"))
+    corpusDiff(prev, cur, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  val diffGateSql: String =
+    """WITH prev AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 != 3),
+      |cur AS (SELECT doc_id,
+      |    md5(text || CASE WHEN doc_id % 5 = 2 THEN ' edited' ELSE '' END) AS fp
+      |  FROM documents WHERE doc_id % 4 != 0),
+      |j AS (SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+      |    CASE WHEN prev.fp IS NULL THEN 'added'
+      |         WHEN cur.fp IS NULL THEN 'removed'
+      |         WHEN prev.fp != cur.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id)
+      |SELECT doc_id, status FROM j WHERE status != 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_fuzzy_decontam" -> fuzzyDecontam,
+    "q87_pii_audit" -> piiAuditGate,
+    "q88_importance_resample" -> importanceGate,
+    "q89_boilerplate_spans" -> boilerplateGate,
+    "q90_budget_sample" -> budgetGate,
+    "q91_corpus_diff" -> diffGate)
+
+  val oracles: Map[String, String] = Map(
+    "q86_fuzzy_decontam" -> fuzzyDecontamSql,
+    "q87_pii_audit" -> piiAuditGateSql,
+    "q88_importance_resample" -> importanceGateSql,
+    "q89_boilerplate_spans" -> boilerplateGateSql,
+    "q90_budget_sample" -> budgetGateSql,
+    "q91_corpus_diff" -> diffGateSql)
+}

@@ -16,12 +16,27 @@ import graft.ops.CorpusPipeline
   * construction) are reported as `lsh_escape_frac` — the measured
   * recall proxy at that duplication depth.
   *
+  * At duplication depth d, every LSH band bucket holds all d replicas
+  * of a doc, so uncapped candidate enumeration is O(d²) per original —
+  * measured: 64× at sf0.1 generated >58 GB of verification-join spill
+  * and died on disk. That is exactly the workload the hot-bucket star
+  * cap exists for (`Dedup.lshCandidatesCapped`): capping converts each
+  * hot bucket to a min-id star, O(d) pairs, and since replicas carry
+  * strictly larger ids the star centers on the original — survivor
+  * invariance is unaffected (asserted here). Deep-replication probes
+  * therefore set SPARK_GRAFT_MAX_BUCKET below the duplication depth to
+  * engage the production path; the default (10000) reproduces the
+  * uncapped clique blow-up.
+  *
   * Usage: runMain graft.tools.ScaleProbe [sfDir] [scale...]
+  *        (env SPARK_GRAFT_MAX_BUCKET overrides Config.maxBucket)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cfg = CorpusPipeline.Config(maxBucket =
+      sys.env.get("SPARK_GRAFT_MAX_BUCKET").map(_.toInt).getOrElse(10000))
     val scales =
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "scale-probe")
@@ -41,7 +56,7 @@ object ScaleProbe {
       // corpus that is larger than the actual data cost.
       def once(): (Set[Long], Double) = {
         val t0 = System.nanoTime()
-        val s = CorpusPipeline.clean(corpus, "doc_id", "text")
+        val s = CorpusPipeline.clean(corpus, "doc_id", "text", cfg)
           .select(col("doc_id")).collect().map(_.getLong(0)).toSet
         (s, (System.nanoTime() - t0) / 1e9)
       }

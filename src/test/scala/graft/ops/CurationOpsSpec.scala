@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contracts for the round-6 curation operators: fuzzy
+  * decontamination, PII audit with Luhn validation, DSIR importance
+  * resampling, boilerplate span detection, and token-budget mixture
+  * execution. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("luhnValid accepts real checksums and rejects off-by-one, across lengths") {
+    val cases = Seq(
+      ("4111111111111111", true),   // 16-digit Visa test number
+      ("4111111111111112", false),  // checksum broken
+      ("4222222222222", true),      // 13-digit Visa test number
+      ("378282246310005", true),    // 15-digit Amex test number
+      ("378282246310006", false))
+    val got = cases.map(_._1).toDF("n")
+      .select(col("n"), CurationOps.luhnValid(col("n")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (n, want) => assert(got(n) == want, n) }
+  }
+
+  test("piiAudit: counts per kind; has_pii ignores Luhn-invalid digit runs") {
+    val d = Seq(
+      (1L, "mail me at a.b@x.org and c@y.io today"),
+      (2L, "cards 4111111111111111 and 4111111111111112 here"),
+      (3L, "just 4111111111111112 noise"), // invalid only → not PII
+      (4L, "call 555-0142 or 555-0199"),
+      (5L, "nothing sensitive at all")).toDF("doc_id", "text")
+    val got = CurationOps.piiAudit(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, 0L, 0L, true)))
+    assert(got(2L) == ((2L, 0L, 1L, 1L, 0L, true)))
+    assert(got(3L) == ((3L, 0L, 0L, 1L, 0L, false)))
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 2L, true)))
+    assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, false)))
+  }
+
+  test("fuzzyContamination: containment is of the BENCHMARK doc's grams; threshold filters") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text") // 2 distinct 3-grams
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta tail"),      // both grams → frac 1.0
+      (2L, "alpha beta gamma other stuff here"),// 1 of 2 → 0.5
+      (3L, "entirely different words only")).toDF("doc_id", "text")
+    val got = CurationOps.fuzzyContamination(corpus, bench, "doc_id", "text", n = 3, minFrac = 0.5)
+      .select(col("id"), col("overlap_frac")).as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.5))
+    // raising the threshold drops the partial match
+    val strict = CurationOps.fuzzyContamination(corpus, bench, "doc_id", "text", n = 3, minFrac = 0.75)
+      .select(col("id")).as[Long].collect().toSet
+    assert(strict == Set(1L))
+  }
+
+  test("importanceResample: on a corpus with a real domain signal, target-vocab docs win") {
+    // target docs speak a disjoint vocabulary; raw docs another.
+    val rows = (0 until 40).map { i =>
+      if (i % 4 == 0) (i.toLong, "tgt", "curated quality prose sentences flowing nicely here")
+      else (i.toLong, "raw", "spam junk noise garbage filler padding repeated blather")
+    }
+    val d = rows.toDF("doc_id", "dom", "text")
+    val top = CurationOps.importanceResample(d, "doc_id", "text",
+      col("dom") === "tgt", k = 10)
+    val ids = top.select(col("id")).as[Long].collect().toSet
+    assert(ids == (0 until 40 by 4).map(_.toLong).toSet) // exactly the 10 target docs
+    // rnk is 1..k, dense, ordered by score then id
+    val rnks = top.select(col("rnk")).as[Int].collect().toSeq
+    assert(rnks.sorted == (1 to 10))
+  }
+
+  test("importanceResample is deterministic under repartitioning") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = CurationOps.importanceResample(d, "doc_id", "text",
+      col("source").isin("src1"), k = 20).collect().toSeq
+    val b = CurationOps.importanceResample(d.repartition(17), "doc_id", "text",
+      col("source").isin("src1"), k = 20).collect().toSeq
+    assert(a == b)
+  }
+
+  test("boilerplateSpans surfaces only spans crossing the doc-frequency floor") {
+    val tail = "all rights reserved forever"
+    val d = (1 to 30).map { i =>
+      val base = s"unique${i}a unique${i}b unique${i}c unique${i}d"
+      (i.toLong, if (i <= 20) s"$base $tail" else base)
+    }.toDF("doc_id", "text")
+    val got = CurationOps.boilerplateSpans(d, "doc_id", "text", n = 3, minDocs = 20, topK = 50)
+      .select(col("gram"), col("n_docs")).as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("all rights reserved", "rights reserved forever"))
+    assert(got.values.toSet == Set(20L))
+  }
+
+  test("budgetSample: budget binds per domain, boundary doc kept, deterministic") {
+    val d = Seq(
+      (1L, "a", "t t t t"), (2L, "a", "t t t t"), (3L, "a", "t t t t"),
+      (4L, "b", "t t")).toDF("doc_id", "src", "text")
+    // budget 6: rank order is md5-driven; first doc (4 tokens) + second
+    // doc STARTS below 6 so it is kept (cum 8), third starts at 8 → dropped.
+    val got = CurationOps.budgetSample(d, "doc_id", "text", "src", 6L, "s1")
+    val byDom = got.select(col("src"), col("doc_id")).as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDom("a").size == 2)   // 2 of 3 docs fit under the boundary rule
+    assert(byDom("b") == Set(4L))  // under budget entirely
+    // pure function of (seed, id): same survivors under different partitioning
+    val again = CurationOps.budgetSample(d.repartition(7), "doc_id", "text", "src", 6L, "s1")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(again == byDom.values.flatten.toSet)
+    // cum_tokens is an exact prefix sum of n_tokens in output order
+    val rows = got.filter(col("src") === "a")
+      .orderBy(col("cum_tokens")).select(col("n_tokens"), col("cum_tokens"))
+      .as[(Long, Long)].collect()
+    assert(rows.scanLeft(0L)(_ + _._1).tail.sameElements(rows.map(_._2)))
+  }
+
+  test("corpusDiff: added/removed/changed statuses, unchanged suppressed, symmetric swap") {
+    val prev = Seq((1L, "same text"), (2L, "old text"), (3L, "dropped doc"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same text"), (2L, "new text"), (4L, "fresh doc"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.corpusDiff(prev, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // swapping snapshots flips added/removed and keeps changed
+    val rev = CurationOps.corpusDiff(cur, prev, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rev == Map(2L -> "changed", 3L -> "added", 4L -> "removed"))
+  }
+
+  test("piiAudit is map-only and composes onto a streaming frame") {
+    val in = memStream[(Long, String)]
+    val audited = CurationOps.piiAudit(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    assert(audited.isStreaming) // no agg/join snuck into the audit plan
+    val q = audited.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    in.addData((1L, "mail a.b@x.org"), (2L, "card 4111111111111111"), (3L, "clean"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pii_stream")
+      .select(col("doc_id"), col("has_pii")).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false))
+  }
+}
