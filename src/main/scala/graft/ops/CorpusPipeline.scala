@@ -17,7 +17,7 @@ import graft.functions.TextFunctions
   *   2. exact dedup — one shuffle keyed on md5(text), keep min id per
   *      fingerprint (removes byte-identical copies before the
   *      shingling pays for them);
-  *   3. near-dup — MinHash+LSH with the star-capped candidate join
+  *   3. near-dup — MinHash+LSH with the sorted-neighborhood-capped candidate join
   *      (`minhashDedupCapped`): one heavy shuffle for per-doc shingle
   *      arrays, map-side band keys, capped bucket join, exact-Jaccard
   *      verification of candidates only;

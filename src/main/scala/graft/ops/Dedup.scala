@@ -118,14 +118,20 @@ object Dedup {
     * through a crossJoin; this touches each shingle string numHashes
     * times inside one projection and shuffles nothing. */
   private def bandsFromArrays(docSets: DataFrame, numHashes: Int, bandSize: Int,
-      sigOf: Int => Column, keyOf: Seq[Column] => Column): DataFrame = {
+      sigOf: Int => Column, keyOf: Seq[Column] => Column,
+      skeyOf: Option[Seq[Column] => Column] = None): DataFrame = {
     val sigs = (0 until numHashes).map(sigOf)
     val bandCols = (0 until numHashes / bandSize).map { b =>
       struct(lit(b).as("b"),
         keyOf((0 until bandSize).map(j => sigs(b * bandSize + j))).as("key"))
     }
-    docSets.select(col("id"), explode(array(bandCols: _*)).as("_bk"))
-      .select(col("id"), col("_bk.b").as("b"), col("_bk.key").as("key"))
+    val bandRow = skeyOf match {
+      case Some(sk) => docSets.select(col("id"), sk(sigs).as("skey"),
+        explode(array(bandCols: _*)).as("_bk"))
+      case None => docSets.select(col("id"), explode(array(bandCols: _*)).as("_bk"))
+    }
+    bandRow.select(Seq(col("id"), col("_bk.b").as("b"), col("_bk.key").as("key")) ++
+      (if (skeyOf.isDefined) Seq(col("skey")) else Nil): _*)
   }
 
   /** md5 band keys from doc arrays — value-identical to
@@ -141,6 +147,30 @@ object Dedup {
     bandsFromArrays(docSets, numHashes, bandSize,
       i => array_min(transform(col("shs"), s => xxhash64(lit(i), s))),
       sigs => xxhash64(sigs: _*))
+
+  /** md5 band keys PLUS a per-doc signature sort key `skey`: the first
+    * 8 hex chars of every signature concatenated in hash order.
+    * Near-identical docs agree on most MinHash components, so under
+    * lexicographic order on `skey` the members of a near-dup family
+    * sort ADJACENT within a bucket — the sorted-neighborhood key that
+    * lets `lshCandidatesCapped` generate O(n) hot-bucket candidates
+    * without the min-id star's recall collapse. 8 chars/component keeps
+    * the key at numHashes·8 bytes (prefix-collision odds 2^-32 per
+    * component — locality-equivalent to the full 32-char strings). */
+  def lshBandsFromArraysKeyed(docSets: DataFrame, numHashes: Int, bandSize: Int): DataFrame =
+    bandsFromArrays(docSets, numHashes, bandSize,
+      i => array_min(transform(col("shs"), s => md5(concat(lit(s"$i|"), s)))),
+      sigs => md5(concat(sigs: _*)),
+      Some(sigs => concat(sigs.map(s => substring(s, 1, 8)): _*)))
+
+  /** xxhash64 twin of lshBandsFromArraysKeyed (fast path): skey from
+    * zero-padded hex of the long signatures — same lexicographic
+    * locality argument. */
+  def lshBandsFastFromArraysKeyed(docSets: DataFrame, numHashes: Int, bandSize: Int): DataFrame =
+    bandsFromArrays(docSets, numHashes, bandSize,
+      i => array_min(transform(col("shs"), s => xxhash64(lit(i), s))),
+      sigs => xxhash64(sigs: _*),
+      Some(sigs => concat(sigs.map(s => lpad(hex(s), 16, "0")): _*)))
 
   /** LSH band keys: md5 of the band's signatures concatenated in
     * hash order. */
@@ -168,38 +198,72 @@ object Dedup {
     * find) emits k² pairs from a single reducer. A 1M-doc bucket is
     * 10¹² pairs — the job never finishes.
     *
-    * Standard mitigation: within each oversized bucket keep a single
-    * STAR of pairs (every member vs the bucket's min id) instead of
-    * the full clique — O(k) pairs that still connect the whole bucket
-    * into one component for connected-component / keep-canonical
-    * dedup, trading only the per-pair exact Jaccard of non-
-    * representative members against each other. Buckets at or under
-    * `maxBucket` keep the exact all-pairs behavior (identical to
-    * lshCandidates). Returns (id_a, id_b). */
+    * Mitigation, two generations of it:
+    *
+    * - min-id STAR (every member vs the bucket's min id, O(k)) — the
+    *   legacy form, used when the bands carry no sort key. Its flaw,
+    *   measured by the round-6 deep-replication probe: candidates are
+    *   VERIFIED by exact Jaccard downstream, and in a heterogeneous
+    *   hot bucket (several distinct near-dup families co-bucketed —
+    *   the norm when banding is coarse) the star's edges run from the
+    *   bucket-global min to members of OTHER families, verification
+    *   rejects them, and whole families lose their internal edges:
+    *   16% of known near-dups escaped at 16× replication, 22% at 64×,
+    *   vs 0.01% uncapped.
+    *
+    * - SORTED NEIGHBORHOOD (the fix, used when the bands carry a
+    *   `skey` signature sort key from `lshBandsFromArraysKeyed`):
+    *   sort the bucket by (skey, id) and emit only CONSECUTIVE pairs
+    *   — still O(k), but near-identical docs agree on most signature
+    *   components, so a family forms a lexicographic run and its
+    *   members connect in a verified chain that keep-canonical /
+    *   connected-components closes transitively. Cross-family edges
+    *   (the run boundaries) are rejected by verification exactly as
+    *   before — they cost one wasted Jaccard each, not lost recall.
+    *
+    * Buckets at or under `maxBucket` keep the exact all-pairs
+    * behavior (identical to lshCandidates) in both forms. Returns
+    * (id_a, id_b), id_a < id_b. */
   def lshCandidatesCapped(bands: DataFrame, maxBucket: Int): DataFrame = {
     // Single-plan form: ONE shuffle (groupBy bucket) collects each
     // bucket's sorted member list, then pair generation is a map-side
-    // array expression — all pairs when the bucket is under the cap,
-    // the min-id star above it. No self-join, no window pass, no
-    // intermediate to persist; the whole thing stays lazy inside the
-    // caller's plan. (The earlier window+self-join form spent more
-    // time scheduling its extra jobs than computing.) Memory bound:
-    // one bucket's ids must fit in a row — 10⁷ ids ≈ 80 MB is the
-    // practical ceiling, far above any sane banding's bucket sizes,
-    // and the pair EXPLOSION (the actual quadratic risk) is capped
-    // regardless.
-    val buckets = bands.groupBy(col("b"), col("key"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val pairsCol = when(size(col("ids")) <= maxBucket,
-      expr("""flatten(transform(ids, (x, i) ->
-              transform(slice(ids, i + 2, size(ids) - i - 1),
-                        y -> struct(x AS id_a, y AS id_b))))"""))
-      .otherwise(expr(
-        "transform(slice(ids, 2, size(ids) - 1), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"))
-    buckets.select(explode(pairsCol).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    // array expression. No self-join, no window pass, no intermediate
+    // to persist; the whole thing stays lazy inside the caller's
+    // plan. Memory bound: one bucket's members must fit in a row —
+    // ~10⁷ bare ids (80 MB) or ~10⁶ (id, skey) structs with the
+    // 8·numHashes-byte sort key; the pair EXPLOSION (the actual
+    // quadratic risk) is capped regardless.
+    if (bands.columns.contains("skey")) {
+      val buckets = bands.groupBy(col("b"), col("key"))
+        .agg(sort_array(collect_list(struct(col("skey"), col("id")))).as("ms"))
+        .filter(size(col("ms")) >= 2)
+      val pairsCol = when(size(col("ms")) <= maxBucket,
+        expr("""flatten(transform(ms, (x, i) ->
+                transform(slice(ms, i + 2, size(ms) - i - 1),
+                          y -> struct(least(x.id, y.id) AS id_a,
+                                      greatest(x.id, y.id) AS id_b))))"""))
+        .otherwise(expr(
+          """transform(slice(ms, 1, size(ms) - 1), (x, i) ->
+             struct(least(x.id, element_at(ms, i + 2).id) AS id_a,
+                    greatest(x.id, element_at(ms, i + 2).id) AS id_b))"""))
+      buckets.select(explode(pairsCol).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+        .distinct()
+    } else {
+      val buckets = bands.groupBy(col("b"), col("key"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+      val pairsCol = when(size(col("ids")) <= maxBucket,
+        expr("""flatten(transform(ids, (x, i) ->
+                transform(slice(ids, i + 2, size(ids) - i - 1),
+                          y -> struct(x AS id_a, y AS id_b))))"""))
+        .otherwise(expr(
+          "transform(slice(ids, 2, size(ids) - 1), y -> struct(element_at(ids, 1) AS id_a, y AS id_b))"))
+      buckets.select(explode(pairsCol).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .distinct()
+    }
   }
 
   /** Production-hash MinHash signatures: xxhash64 seeded per hash
@@ -252,7 +316,8 @@ object Dedup {
   }
 
   /** minhashDedup with the corpus-scale candidate cap: buckets above
-    * `maxBucket` contribute a star (O(k)) instead of a clique (O(k²)).
+    * `maxBucket` contribute sorted-neighborhood consecutive pairs
+    * (O(k), see lshCandidatesCapped) instead of a clique (O(k²)).
     * Below the cap the output is IDENTICAL to minhashDedup — which is
     * what lets the composed pipeline (CorpusPipeline) run this exact
     * code under the DuckDB oracle at gate scale while being the plan
@@ -263,7 +328,7 @@ object Dedup {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
     materializeAndFree(
       jaccardForCandidates(sets,
-        lshCandidatesCapped(lshBandsFromArrays(sets, numHashes, bandSize), maxBucket),
+        lshCandidatesCapped(lshBandsFromArraysKeyed(sets, numHashes, bandSize), maxBucket),
         minJaccard), sets)
   }
 
@@ -425,7 +490,7 @@ object Dedup {
     // size, which multi-index keys keep small for FALSE candidates;
     // buckets of genuinely near-identical docs are output-sized by
     // definition, and a duplicate-heavy corpus where even that
-    // explodes is what the star-capped scale variant
+    // explodes is what the capped scale variant
     // (simhashNearDupsCapped) is for.
     val buckets = bands.groupBy(col("b"), col("key"))
       .agg(sort_array(collect_list(struct(col("id"), col("hl")))).as("ms"))
@@ -444,13 +509,16 @@ object Dedup {
   /** Scale-path SimHash near-dups: 64-bit fingerprints in 4×16-bit
     * bands — 2^16 band keyspace instead of the 32-bit form's 2^8, so
     * at corpus scale the expected bucket population drops ~256× —
-    * PLUS `lshCandidatesCapped` star capping on whatever oversized
+    * PLUS capping on whatever oversized
     * buckets remain (the 32-bit form's uncapped bucket self-join was
     * quadratic per bucket — the round-2 scale-killer). Candidates are
-    * then exact-Hamming-filtered, so precision is unchanged; capping
-    * only trades recall inside pathological buckets while keeping
-    * each bucket connected through its min id for dedupCorpus
-    * (semantics spec'd in DedupSimilaritySpec). */
+    * then exact-Hamming-filtered, so precision is unchanged; capped
+    * buckets generate consecutive pairs in FINGERPRINT order (Manku
+    * WWW'07's sorted-table probe: Hamming-close fingerprints agree on
+    * high bits, so they sort adjacent), which chains each near-dup
+    * family for dedupCorpus instead of the old min-id star whose
+    * cross-family edges the Hamming filter killed (semantics spec'd in
+    * DedupSimilaritySpec). */
   def simhashNearDupsCapped(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, maxHamming: Int = 3, maxBucket: Int = 256,
       fast: Boolean = false): DataFrame = {
@@ -481,27 +549,30 @@ object Dedup {
     val bands = sh.select(col("id"), hlCol.as("hl"))
       .select(col("id"), col("hl"), explode(array(bandCols: _*)).as("_bk"))
       .select(col("id"), col("hl"), col("_bk.b").as("b"), col("_bk.key").as("key"))
+    // Members sort by (hl, id) — FINGERPRINT order — so the capped
+    // branch's consecutive pairs realize Manku's sorted-table probe.
     val buckets = bands.groupBy(col("b"), col("key"))
-      .agg(sort_array(collect_list(struct(col("id"), col("hl")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("hl"), col("id")))).as("ms"))
       .filter(size(col("ms")) >= 2)
-    // Under the cap: all pairs, Hamming-filtered before exploding.
-    // Above it: the min-id star (O(k), keeps the bucket connected
-    // through its min member for keep-canonical collapse), same
-    // Hamming filter — identical semantics to the join form.
+    // Under the cap: all pairs, Hamming-filtered before exploding
+    // (id_a/id_b normalized — fingerprint order is not id order).
+    // Above it: consecutive-in-fingerprint-order pairs, same filter.
     val fullPairs = expr(
       s"""flatten(transform(ms, (x, i) ->
             filter(transform(slice(ms, i + 2, size(ms) - i - 1),
-                     y -> struct(x.id AS id_a, y.id AS id_b,
+                     y -> struct(least(x.id, y.id) AS id_a,
+                                 greatest(x.id, y.id) AS id_b,
                                  bit_count(x.hl ^ y.hl) AS hamming)),
                    p -> p.hamming <= $maxHamming)))""")
-    val starPairs = expr(
-      s"""filter(transform(slice(ms, 2, size(ms) - 1),
-               y -> struct(element_at(ms, 1).id AS id_a, y.id AS id_b,
-                           bit_count(element_at(ms, 1).hl ^ y.hl) AS hamming)),
+    val chainPairs = expr(
+      s"""filter(transform(slice(ms, 1, size(ms) - 1), (x, i) ->
+               struct(least(x.id, element_at(ms, i + 2).id) AS id_a,
+                      greatest(x.id, element_at(ms, i + 2).id) AS id_b,
+                      bit_count(x.hl ^ element_at(ms, i + 2).hl) AS hamming)),
              p -> p.hamming <= $maxHamming)""")
     buckets
       .select(explode(when(size(col("ms")) <= maxBucket, fullPairs)
-        .otherwise(starPairs)).as("p"))
+        .otherwise(chainPairs)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
   }
@@ -515,10 +586,11 @@ object Dedup {
     * collects it and runs union-find on the driver (a 10M-pair list is
     * ~160 MB of longs; one pass, no Spark jobs). Above
     * `maxDriverPairs` it falls back to distributed min-label
-    * propagation: every round is a small join over the pair set, the
-    * round count is the component diameter, and the star topology
-    * lshCandidatesCapped enforces on big buckets keeps diameters small
-    * (a capped bucket is depth 1 through its min id). Each round
+    * propagation WITH pointer jumping (each round also adopts the
+    * label OF the current label), so the round count is
+    * O(log diameter) — which matters now that sorted-neighborhood
+    * candidate generation (lshCandidatesCapped) connects hot-bucket
+    * families as linear CHAINS rather than depth-1 stars. Each round
     * localCheckpoints — lineage would otherwise double per iteration —
     * and convergence is read off a `chg` flag carried IN the
     * checkpointed frame (a scan, not a join against the previous
@@ -574,7 +646,11 @@ object Dedup {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Distributed fallback: iterative min-label propagation. */
+  /** Distributed fallback: iterative min-label propagation plus
+    * pointer jumping (comp := min(comp, comp(comp)) each round), which
+    * collapses chain components in O(log diameter) rounds — the extra
+    * self-join per round is over the label frame (node-sized), cheap
+    * next to saving diameter−log(diameter) full rounds on chains. */
   private def componentsByPropagation(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
@@ -585,10 +661,18 @@ object Dedup {
     while (!done) {
       val viaNeighbor = edges.join(labels, edges("d") === labels("id"))
         .groupBy(col("s")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(viaNeighbor, labels("id") === viaNeighbor("s"), "left")
-        .select(labels("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          coalesce(col("ncomp") < col("comp"), lit(false)).as("chg"))
+      val stepped = labels.join(viaNeighbor, labels("id") === viaNeighbor("s"), "left")
+        .select(labels("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("mid"))
+      // Jump against the PREVIOUS round's checkpointed labels (one
+      // round stale but labels only ever decrease, so any adopted
+      // label is still reachable-and-smaller) — jumping against
+      // `stepped` itself would recompute the propagation join twice.
+      val jump = labels.select(col("id").as("_jid"), col("comp").as("_jcomp"))
+      val next = stepped.join(jump, stepped("mid") === jump("_jid"), "left")
+        .select(stepped("id"),
+          least(col("mid"), coalesce(col("_jcomp"), col("mid"))).as("comp"),
+          (least(col("mid"), coalesce(col("_jcomp"), col("mid"))) < col("old")).as("chg"))
         .localCheckpoint(true)
       done = next.filter(col("chg")).isEmpty
       labels = next.select(col("id"), col("comp"))
@@ -657,8 +741,8 @@ object Dedup {
     * cross join touches only (b, key) index rows; and base shingle
     * sets for VERIFICATION are built from candidate base ids only — a
     * broadcast semi-join prunes the base scan to the handful of docs
-    * LSH actually flagged. Within-delta pairs reuse the star-capped
-    * candidate path. Pass `baseIndex` with the persisted index table
+    * LSH actually flagged. Within-delta pairs reuse the
+    * sorted-neighborhood-capped candidate path. Pass `baseIndex` with the persisted index table
     * in production; omitting it derives the index from `base` (what
     * the gate certifies). */
   def deltaDedupStatus(base: DataFrame, delta: DataFrame, idCol: String,
@@ -667,8 +751,11 @@ object Dedup {
       baseIndex: Option[DataFrame] = None): DataFrame = {
     // Delta-side shingle arrays and bands each feed ≥2 consumers —
     // persist both, release via materializeAndFree on the way out.
+    // Keyed bands: the extra skey column rides along unused through the
+    // index join (which selects b/key/id) and gives the within-delta
+    // capped candidate path sorted-neighborhood semantics.
     val dSets = docShingleArrays(wordBigrams(delta, idCol, textCol)).persist()
-    val dBands = lshBandsFromArrays(dSets, numHashes, bandSize).persist()
+    val dBands = lshBandsFromArraysKeyed(dSets, numHashes, bandSize).persist()
     // With a PROVIDED index (production), the base corpus is scanned
     // only for verification, pruned to candidate ids. Without one
     // (the gate form), shingle the base ONCE and derive both the

@@ -92,7 +92,7 @@ object DedupShapes {
   /** The end-to-end training-data pipeline (quality gate → exact
     * dedup → LSH near-dup collapse) as ONE certified dataflow: the
     * library composition `CorpusPipeline.clean` — including the
-    * star-capped candidate join, which at gate scale is pair-identical
+    * hot-bucket-capped candidate join, which at gate scale is pair-identical
     * to the uncapped form — against a DuckDB mirror of all four
     * stages. Output = surviving rows with their token counts. */
   def corpusPipeline(s: SparkSession, dir: String): DataFrame =
@@ -235,10 +235,10 @@ object DedupShapes {
     * three-way status precedence (dup_of_base > dup_in_delta >
     * kept). The gate instance runs UNCAPPED (maxBucket=MaxValue) so
     * the certified plan enumerates exactly the bucket pairs the
-    * oracle does — the production default's hot-bucket star cap
-    * (maxBucket=10000) is a declared approximation certified by its
-    * own spec (DedupSimilaritySpec star-cap tests), not by this
-    * oracle. */
+    * oracle does — the production default's hot-bucket cap
+    * (maxBucket=10000, sorted-neighborhood pairs) is a declared
+    * approximation certified by its own spec (DedupSimilaritySpec
+    * capped-candidate tests), not by this oracle. */
   def deltaDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.deltaDedupStatus(

@@ -295,6 +295,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("distributed propagation handles a long chain (sorted-neighborhood topology)") {
+    // A 40-node path: the topology capped hot buckets now produce.
+    // Pointer jumping keeps the round count logarithmic; correctness
+    // contract here is convergence to the chain min either way.
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(pairs, maxDriverPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
   test("dedupCorpus + canonicalMap: component members collapse to the min id") {
     val d = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
@@ -409,14 +419,14 @@ class DedupSimilaritySpec extends SparkSpec {
     ()
   }
 
-  test("star-capped LSH candidates yield the same dedup survivor set as exact candidates") {
+  test("capped LSH candidates (keyed) yield the same dedup survivor set as exact candidates") {
     // A 6-copy near-identical cluster lands in one LSH bucket: with
-    // maxBucket = 2 the bucket contributes a STAR around its min id
-    // instead of the 15-pair clique. Star members all verify against
-    // the representative (they're copies), so the component — and the
-    // survivor set after collapse — is the same; only the pair COUNT
-    // shrinks. (This is the semantic lshCandidatesCapped documents:
-    // capping trades non-representative pair reports, not survivors.)
+    // maxBucket = 2 the bucket contributes the sorted-neighborhood
+    // CHAIN instead of the 15-pair clique. Chain members all verify
+    // against their neighbors (they're copies), so the component — and
+    // the survivor set after collapse — is the same; only the pair
+    // COUNT shrinks. (This is the semantic lshCandidatesCapped
+    // documents: capping trades pair reports, not survivors.)
     val cluster = (1L to 6L).map(i =>
       (i, "the quick brown fox jumps over the lazy dog again and again"))
     val rest = Seq(
@@ -424,14 +434,56 @@ class DedupSimilaritySpec extends SparkSpec {
       (21L, "another distinct document on kafka feeds and workers"))
     val d = (cluster ++ rest).toDF("doc_id", "text")
     val sets = Dedup.docShingleArrays(Dedup.wordBigrams(d, "doc_id", "text"))
-    val bands = Dedup.lshBandsFromArrays(sets, 8, 2)
+    val bands = Dedup.lshBandsFromArraysKeyed(sets, 8, 2)
     def survivors(cand: org.apache.spark.sql.DataFrame): Set[Long] =
       Dedup.dedupCorpus(d, "doc_id", Dedup.jaccardForCandidates(sets, cand, 0.5))
         .as[(Long, String)].collect().map(_._1).toSet
-    val exactCand = Dedup.lshCandidates(bands)
+    val exactCand = Dedup.lshCandidates(bands.drop("skey"))
     val cappedCand = Dedup.lshCandidatesCapped(bands, maxBucket = 2)
-    assert(cappedCand.count() < exactCand.count()) // star < clique
+    assert(cappedCand.count() < exactCand.count()) // chain < clique
     assert(survivors(cappedCand) == survivors(exactCand))
     assert(survivors(exactCand) == Set(1L, 20L, 21L))
+  }
+
+  test("sorted-neighborhood capped candidates chain families a star would lose") {
+    // One hot bucket holding TWO interleaved-by-id near-dup families,
+    // separated by skey. The min-id star (legacy, no skey) pairs
+    // everything with id 1 — its family-B edges would all fail
+    // verification, orphaning family B. Consecutive pairs in skey
+    // order keep each family internally connected.
+    val bands = Seq(
+      (1L, 0, "H", "aaaa"), (3L, 0, "H", "aaab"), (5L, 0, "H", "aaac"),
+      (2L, 0, "H", "zzzx"), (4L, 0, "H", "zzzy"), (6L, 0, "H", "zzzz"))
+      .toDF("id", "b", "key", "skey")
+    val got = Dedup.lshCandidatesCapped(bands, maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (3L, 5L), (2L, 5L), (2L, 4L), (4L, 6L)))
+    // family A {1,3,5} connected via (1,3),(3,5); family B {2,4,6} via
+    // (2,4),(4,6); the lone cross-family edge (2,5) is the run
+    // boundary — the one verification will reject.
+    val star = Dedup.lshCandidatesCapped(bands.drop("skey"), maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(star == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)))
+  }
+
+  test("keyed capped dedup: replicated families keep survivor parity under a tiny cap") {
+    // The round-6 probe scenario in miniature: 3 families × 8 replicas
+    // (each replica appends a marker token — jaccard ≈ 0.9 within a
+    // family, 0 across), cap far below the family size. The
+    // sorted-neighborhood chain must reproduce the uncapped survivor
+    // set exactly.
+    val fams = (0 until 3).flatMap { f =>
+      val base = (1 to 15).map(w => s"tok${f}_$w").mkString(s"family$f start ", " ", "")
+      (0 until 8).map(r =>
+        ((f * 100 + r).toLong, if (r == 0) base else s"$base zrep$r"))
+    }
+    val d = fams.toDF("doc_id", "text")
+    def surv(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.dedupCorpus(d, "doc_id", pairs)
+        .as[(Long, String)].collect().map(_._1).toSet
+    val exact = surv(Dedup.minhashDedup(d, "doc_id", "text"))
+    val capped = surv(Dedup.minhashDedupCapped(d, "doc_id", "text", maxBucket = 4))
+    assert(capped == exact)
+    assert(exact == Set(0L, 100L, 200L))
   }
 }
