@@ -126,11 +126,18 @@ object CurationOps {
         explode(split(trim(col(textCol)), WS)).as("t"))
       .filter(col("t") =!= "")
       .select(col("id"), col("tgt"), substring(md5(col("t")), 1, 2).as("b"))
+    // Totals via a global window over the BUCKET frame (256 rows, not
+    // the corpus) — deriving them with a separate agg + crossJoin
+    // re-evaluated the token scan a third time (counts feeding both
+    // subtrees); this form keeps the model build at exactly one
+    // corpus scan.
     val counts = tk.groupBy(col("b")).agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("n_tgt"))
-    val tot = counts.agg(sum(col("n_raw")).as("raw_tot"), sum(col("n_tgt")).as("tgt_tot"))
-    val lr = counts.crossJoin(broadcast(tot))
+    val wAll = Window.partitionBy(lit(1))
+    val lr = counts
+      .withColumn("raw_tot", sum(col("n_raw")).over(wAll))
+      .withColumn("tgt_tot", sum(col("n_tgt")).over(wAll))
       .select(col("b"),
         round((log((col("n_tgt") + 1.0) / (col("tgt_tot") + lit(buckets.toDouble)))
           - log((col("n_raw") + 1.0) / (col("raw_tot") + lit(buckets.toDouble)))) * 1e6)
@@ -213,6 +220,40 @@ object CurationOps {
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
   }
+
+  // ---------------------------------------------------------------- URL audit
+
+  private val urlRe = "https?://[a-zA-Z0-9.-]+[a-zA-Z0-9./_-]*"
+
+  /** (id, url, host) for every URL in the text, host normalized
+    * (scheme stripped by extraction, leading www. removed) — the
+    * primitive under URL-based corpus filtering (RefinedWeb §3.1
+    * blocklists, host-level mixture caps). Map-only. */
+  def urlHosts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(urlRe), lit(0))).as("url"))
+      .select(col(idCol), col("url"),
+        regexp_replace(regexp_extract(col("url"), "//([a-zA-Z0-9.-]+)", 1),
+          "^www\\.", "").as("host"))
+
+  /** Host frequency report: URLs and distinct docs per host — what a
+    * curator reads before writing a blocklist. One shuffle on host;
+    * output is host-cardinality-sized. */
+  def hostFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    urlHosts(df, idCol, textCol)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col(idCol)).as("n_docs"))
+
+  /** Drop every doc containing a URL on a blocked host. The blocklist
+    * is curator-sized → broadcast anti-join; corpus text never
+    * shuffles. */
+  def dropBlockedHosts(df: DataFrame, idCol: String, textCol: String,
+      blockedHosts: DataFrame): DataFrame =
+    df.join(
+      broadcast(urlHosts(df, idCol, textCol)
+        .join(broadcast(blockedHosts), Seq("host"), "left_semi")
+        .select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
 
   // ---------------------------------------------------------------- gate bindings
 
@@ -404,13 +445,47 @@ object CurationOps {
       |SELECT doc_id, status FROM j WHERE status != 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** q92 — host-frequency report over the corpus with three planted
+    * URL families (blog / data / tracker hosts, the q87 planting
+    * convention), exercising extraction, www-stripping, and both
+    * counters. */
+  def urlGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" see https://blog.example.org/posts/"),
+          col("doc_id").cast("string"), lit(" there"))).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit(" ref http://www.data.example.net/sets/latest here")).otherwise(lit("")),
+      when(col("doc_id") % 15 === 0,
+        concat(lit(" spam https://tracker.adsite.example/click/"),
+          col("doc_id").cast("string"))).otherwise(lit(""))).as("text"))
+    hostFrequency(planted, "doc_id", "text")
+      .orderBy(col("n_urls").desc, col("host"))
+  }
+
+  val urlGateSql: String =
+    """WITH planted AS (SELECT doc_id, text
+      |    || CASE WHEN doc_id % 6 = 0 THEN ' see https://blog.example.org/posts/' || CAST(doc_id AS VARCHAR) || ' there' ELSE '' END
+      |    || CASE WHEN doc_id % 9 = 0 THEN ' ref http://www.data.example.net/sets/latest here' ELSE '' END
+      |    || CASE WHEN doc_id % 15 = 0 THEN ' spam https://tracker.adsite.example/click/' || CAST(doc_id AS VARCHAR) ELSE '' END
+      |    AS text FROM documents),
+      |urls AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, 'https?://[a-zA-Z0-9.-]+[a-zA-Z0-9./_-]*')) AS url
+      |  FROM planted),
+      |hosts AS (SELECT doc_id,
+      |    regexp_replace(regexp_extract(url, '//([a-zA-Z0-9.-]+)', 1), '^www\.', '') AS host
+      |  FROM urls)
+      |SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      |FROM hosts GROUP BY 1 ORDER BY n_urls DESC, host""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontam,
     "q87_pii_audit" -> piiAuditGate,
     "q88_importance_resample" -> importanceGate,
     "q89_boilerplate_spans" -> boilerplateGate,
     "q90_budget_sample" -> budgetGate,
-    "q91_corpus_diff" -> diffGate)
+    "q91_corpus_diff" -> diffGate,
+    "q92_url_hosts" -> urlGate)
 
   val oracles: Map[String, String] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontamSql,
@@ -418,5 +493,6 @@ object CurationOps {
     "q88_importance_resample" -> importanceGateSql,
     "q89_boilerplate_spans" -> boilerplateGateSql,
     "q90_budget_sample" -> budgetGateSql,
-    "q91_corpus_diff" -> diffGateSql)
+    "q91_corpus_diff" -> diffGateSql,
+    "q92_url_hosts" -> urlGateSql)
 }

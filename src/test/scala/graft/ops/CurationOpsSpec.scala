@@ -128,6 +128,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(rev == Map(2L -> "changed", 3L -> "added", 4L -> "removed"))
   }
 
+  test("urlHosts/hostFrequency/dropBlockedHosts: extraction, www-strip, blocklist drop") {
+    val d = Seq(
+      (1L, "intro https://www.good.example/a and https://spam.example/x end"),
+      (2L, "only https://good.example/b/page here"),
+      (3L, "no urls at all in this one")).toDF("doc_id", "text")
+    val hosts = CurationOps.urlHosts(d, "doc_id", "text")
+      .select(col("doc_id"), col("host")).as[(Long, String)].collect().toSet
+    assert(hosts == Set((1L, "good.example"), (1L, "spam.example"), (2L, "good.example")))
+    val freq = CurationOps.hostFrequency(d, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(freq == Set(("good.example", 2L, 2L), ("spam.example", 1L, 1L)))
+    val blocked = Seq("spam.example").toDF("host")
+    val kept = CurationOps.dropBlockedHosts(d, "doc_id", "text", blocked)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // doc 1 dies for ONE blocked url; url-free docs survive
+  }
+
   test("piiAudit is map-only and composes onto a streaming frame") {
     val in = memStream[(Long, String)]
     val audited = CurationOps.piiAudit(
