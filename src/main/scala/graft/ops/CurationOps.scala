@@ -221,6 +221,33 @@ object CurationOps {
       .filter(col("status") =!= "unchanged")
   }
 
+  // ---------------------------------------------------------------- epoch materialization
+
+  /** Execute the EPOCHS component of a mixture plan (the q76 planner
+    * emits per-domain `epochs`; this draws the actual repeated
+    * sample): every doc of domain s appears floor(epochs_s) times,
+    * plus once more for the deterministic md5(seed|id) fraction of
+    * docs matching frac(epochs_s) — the upsampling/repetition step of
+    * temperature-sampled training mixtures. A pure function of
+    * (plan, seed, id): reproducible under any partitioning, no RNG.
+    *
+    * 100 TB shape: the plan is domain-cardinality-sized → broadcast;
+    * the explode is the only row expansion and its multiplicity IS the
+    * epoch count — no shuffle at all (stamp epochs, write). */
+  def materializeEpochs(df: DataFrame, idCol: String, domainCol: String,
+      plan: DataFrame, seed: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit(seed + "|"), col(idCol).cast("string"))),
+      1, 4), 16, 10).cast("int")
+    val frac = col("epochs") - floor(col("epochs"))
+    df.select(col(idCol), col(domainCol))
+      .join(broadcast(plan.select(col(domainCol), col("epochs"))), Seq(domainCol))
+      .withColumn("n_copies", floor(col("epochs")).cast("long") +
+        when(u < floor(frac * 65536).cast("int"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
   // ---------------------------------------------------------------- URL audit
 
   private val urlRe = "https?://[a-zA-Z0-9.-]+[a-zA-Z0-9./_-]*"
@@ -478,6 +505,33 @@ object CurationOps {
       |SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
       |FROM hosts GROUP BY 1 ORDER BY n_urls DESC, host""".stripMargin
 
+  /** q93 — materialize the q76 mixture plan's epochs (alpha=0.5,
+    * 300k-token budget, seed "ep1"): certified-planner → certified-
+    * executor composition, the q83 pattern. */
+  def epochsGate(s: SparkSession, dir: String): DataFrame =
+    materializeEpochs(docs(s, dir), "doc_id", "source",
+      TextAnalysis.mixturePlan(docs(s, dir), "source", "text", 0.5, 300000L),
+      "ep1")
+      .orderBy(col("doc_id"), col("epoch"))
+
+  val epochsGateSql: String =
+    """WITH d0 AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens FROM documents),
+      |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM d0 GROUP BY source),
+      |t AS (SELECT sum(sqrt(CAST(src_tokens AS DOUBLE))) AS w_tot FROM s),
+      |plan AS (SELECT source,
+      |    round(sqrt(CAST(src_tokens AS DOUBLE)) / w_tot * 300000.0
+      |      / CAST(src_tokens AS DOUBLE), 4) AS epochs
+      |  FROM s CROSS JOIN t),
+      |d AS (SELECT doc_id, documents.source, epochs,
+      |    CAST(floor(epochs) AS BIGINT)
+      |    + CASE WHEN CAST('0x' || substr(md5('ep1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+      |           < CAST(floor((epochs - floor(epochs)) * 65536) AS INTEGER)
+      |      THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents JOIN plan USING (source))
+      |SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS epoch
+      |FROM d WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontam,
     "q87_pii_audit" -> piiAuditGate,
@@ -485,7 +539,8 @@ object CurationOps {
     "q89_boilerplate_spans" -> boilerplateGate,
     "q90_budget_sample" -> budgetGate,
     "q91_corpus_diff" -> diffGate,
-    "q92_url_hosts" -> urlGate)
+    "q92_url_hosts" -> urlGate,
+    "q93_epoch_mixture" -> epochsGate)
 
   val oracles: Map[String, String] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontamSql,
@@ -494,5 +549,6 @@ object CurationOps {
     "q89_boilerplate_spans" -> boilerplateGateSql,
     "q90_budget_sample" -> budgetGateSql,
     "q91_corpus_diff" -> diffGateSql,
-    "q92_url_hosts" -> urlGateSql)
+    "q92_url_hosts" -> urlGateSql,
+    "q93_epoch_mixture" -> epochsGateSql)
 }

@@ -145,6 +145,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L)) // doc 1 dies for ONE blocked url; url-free docs survive
   }
 
+  test("materializeEpochs: floor copies for all, fractional share upsampled, deterministic") {
+    val d = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b")).toDF("doc_id", "src")
+    val plan = Seq(("a", 2.5), ("b", 1.0)).toDF("src", "epochs")
+    val out = CurationOps.materializeEpochs(d, "doc_id", "src", plan, "s1")
+    val byDoc = out.groupBy(col("doc_id")).count()
+      .as[(Long, Long)].collect().toMap
+    // every doc appears at least floor(epochs) times
+    assert((1L to 100L).forall(i => byDoc(i) >= 2 && byDoc(i) <= 3))
+    assert((101L to 200L).forall(i => byDoc(i) == 1))
+    // the fractional share lands near 0.5 of domain a (md5-uniform)
+    val extra = (1L to 100L).count(i => byDoc(i) == 3)
+    assert(extra > 30 && extra < 70, s"extra=$extra")
+    // epoch stamps are dense 1..n per doc
+    val ep = out.filter(col("doc_id") === 1L).select(col("epoch"))
+      .as[Long].collect().sorted.toSeq
+    assert(ep == (1L to byDoc(1L)))
+    // pure function of (seed, id): partitioning-invariant
+    val again = CurationOps.materializeEpochs(d.repartition(13), "doc_id", "src", plan, "s1")
+      .groupBy(col("doc_id")).count().as[(Long, Long)].collect().toMap
+    assert(again == byDoc)
+  }
+
   test("piiAudit is map-only and composes onto a streaming frame") {
     val in = memStream[(Long, String)]
     val audited = CurationOps.piiAudit(
