@@ -309,4 +309,20 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .distinct()
   }
+  /** Recall@k report between two (q_id, n_id) retrieval results — the
+    * observability operator every ANN deployment runs on a sampled
+    * query set (exact side on the sample only, approximate side from
+    * the production index). Counts and the recall ratio are exact
+    * integers / a ratio of exact integers, so the report is
+    * hash-stable. Both inputs are k·|queries|-sized: everything here
+    * is sample-sized, nothing corpus-sized moves. */
+  def recallReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("_hit")),
+        Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble), 4).as("recall"))
+
 }

@@ -348,8 +348,31 @@ object SimilarityShapes {
        |SELECT rank, doc_id, bm25, cos FROM r WHERE rank <= 10
        |ORDER BY rank""".stripMargin
 
+  /** q94 — ANN recall@5 report: the certified brute-force ranking
+    * (q33) joined against the certified IVF ranking (q35), per query.
+    * Certified-exact × certified-approx composition — the
+    * DedupSimilaritySpec recall ≥ 0.9 contract, promoted to an
+    * oracle-gated OPERATOR output. */
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallReport(
+      Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
+        col("vec_id") < 5, k = 5),
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 8, nAssign = 2),
+      k = 5)
+      .orderBy(col("q_id"))
+
+  val annRecallSql: String =
+    s"""SELECT ex.q_id,
+       |  CAST(count(iv.n_id) AS BIGINT) AS n_hits,
+       |  round(count(iv.n_id) / 5.0, 4) AS recall
+       |FROM ($cosineTopKSql) ex
+       |LEFT JOIN ($ivfTopKSql) iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
+       |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
+    "q94_ann_recall" -> annRecall,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
     "q35_ann_ivf" -> ivfTopK,
     "q56_ivf_assign" -> ivfAssignment,
@@ -361,6 +384,7 @@ object SimilarityShapes {
 
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
+    "q94_ann_recall" -> annRecallSql,
     "q35_ann_ivf" -> ivfTopKSql,
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,
     "q56_ivf_assign" -> ivfAssignmentSql,

@@ -486,4 +486,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped == exact)
     assert(exact == Set(0L, 100L, 200L))
   }
+  test("recallReport: exact per-query hit counting") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L)).toDF("q_id", "n_id")
+    val got = Similarity.recallReport(exact, approx, k = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, 0.5)), 2L -> ((2L, 1.0))))
+  }
+
 }
