@@ -325,4 +325,114 @@ object Similarity {
       .select(col("q_id"), col("n_hits"),
         round(col("n_hits") / lit(k.toDouble), 4).as("recall"))
 
+  // ------------------------------------------------------------------ PQ (4th ANN family)
+
+  /** Fixed-point squared L2 between two double arrays: 1e-6 BIGINT.
+    * The aggregate runs in ARRAY ORDER (deterministic, unlike a
+    * groupBy float sum), and the fixed-point cast makes every
+    * downstream comparison/sum integer math — the q81/q88 trick that
+    * lets an approximate structure hash-match the oracle. */
+  private def d2i(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
+
+  private def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double") / l2norm(col(vecCol))).as("ve"))
+
+  private def subVectors(nrm: DataFrame, m: Int, subDim: Int): DataFrame =
+    nrm.select(col("id"), posexplode(
+        array((0 until m).map(s => slice(col("ve"), s * subDim + 1, subDim)): _*)))
+      .toDF("id", "s", "sv")
+
+  private def assignCodes(sub: DataFrame, codebooks: DataFrame): DataFrame =
+    sub.join(broadcast(codebooks), Seq("s"))
+      .select(col("id"), col("s"), col("code"), d2i(col("sv"), col("cw")).as("d2i"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d2i"), col("code"))).as("_m"))
+      .select(col("id"), col("s"), col("_m.code").as("code"))
+
+  /** Product-quantization model (Jégou et al., TPAMI 2011): vectors
+    * L2-normalized (so ADC's L2 order equals cosine order), split into
+    * `m` subspaces; per-subspace codebooks seeded from the
+    * vec_id % seedStep vectors and refined by ONE Lloyd step whose
+    * centroid means are fixed-point integer sums divided by exact
+    * counts — deterministic under any partition order, so the trained
+    * codebooks (and everything downstream) hash-match the DuckDB
+    * mirror. Returns (codebooks(s, code, cw), codes(id, s, code)).
+    *
+    * 100 TB shape: codebooks are tiny and broadcast everywhere; the
+    * codes table is m bytes-ish per vector (m=8 codes vs 64 floats =
+    * 32× memory compression) — the index a billion-vector corpus can
+    * actually hold per executor. Encode = one corpus scan per Lloyd
+    * pass + one for final codes. */
+  def pqModel(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, seedStep: Int = 7): (DataFrame, DataFrame) = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val nrm = normalized(emb, idCol, vecCol)
+    val sub = subVectors(nrm, m, subDim).persist()
+    val cb0 = sub.filter(col("id") % seedStep === 0)
+      .select(col("s"), col("id").as("code"), col("sv").as("cw"))
+    val e0 = assignCodes(sub, cb0)
+    // Lloyd step: per-(s, code, component) fixed-point mean.
+    val comp = e0.join(sub, Seq("id", "s"))
+      .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("s"), col("code"), col("i"))
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("xi"), count(lit(1)).as("n"))
+      .select(col("s"), col("code"), col("i"),
+        (col("xi").cast("double") / (col("n") * lit(1e6))).as("c"))
+    val cb1 = comp.groupBy(col("s"), col("code"))
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ics"))
+      .select(col("s"), col("code"),
+        transform(col("ics"), ic => ic.getField("c")).as("cw"))
+    val codes = assignCodes(sub, cb1)
+    val out = (cb1.localCheckpoint(true), codes.localCheckpoint(true))
+    sub.unpersist()
+    out
+  }
+
+  /** PQ retrieval: asymmetric-distance (ADC) shortlist of `shortlist`
+    * candidates per query off the codes table, then EXACT cosine
+    * rerank of the shortlist — the standard compressed-index serving
+    * pattern. Query-side distance tables are queries × m × codes rows
+    * (broadcast); the ADC scan touches only the codes table (never
+    * raw vectors); raw vectors are read back for the shortlist ids
+    * only. Integer ADC sums → deterministic ranking (id tie-break). */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 8, seedStep: Int = 7,
+      shortlist: Int = 100): DataFrame = {
+    val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStep)
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val nrm = normalized(emb, idCol, vecCol).persist()
+    val q = nrm.filter(queryPred).select(col("id").as("q_id"), col("ve").as("qe"))
+    val tab = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("s"), col("code"),
+        d2i(slice(col("qe"), col("s") * (dim / m) + 1, lit(dim / m)), col("cw")).as("d2i"))
+    val scored = codes.join(broadcast(tab), Seq("s", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("d2i")).as("ad2i"))
+    val short = scored
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ad2i"), col("id"))))
+      .filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("id").as("n_id"))
+    val rr = short
+      .join(q, Seq("q_id"))
+      .join(nrm.select(col("id").as("n_id"), col("ve").as("ne")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("qe"), col("ne"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("q_id"), col("rnk"))
+    val out = rr.localCheckpoint(true)
+    nrm.unpersist()
+    out
+  }
+
 }

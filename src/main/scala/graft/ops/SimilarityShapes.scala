@@ -370,9 +370,107 @@ object SimilarityShapes {
        |LEFT JOIN ($ivfTopKSql) iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
 
+
+  /** q95 — the PQ codes table itself (index construction certified,
+    * the q56 convention): normalize → seed codebooks (vec_id %% 7) →
+    * one fixed-point Lloyd step → re-encode. */
+  def pqCodes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqModel(emb(s, dir), "vec_id", "embedding", m = 8, seedStep = 7)
+      ._2.withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"), col("s"))
+
+  /** Step-for-step DuckDB mirror of `Similarity.pqModel` (m=8,
+    * seedStep=7, one Lloyd step; fixed-point 1e-6 distances and
+    * centroid means — integer math, order-independent). */
+  val pqCodesSql: String =
+    """WITH nrm AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ve
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, s, ve[s*8+1 : s*8+8] AS sv
+       |      FROM nrm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+       |cb0 AS (SELECT s, vec_id AS code, sv AS cw FROM sub WHERE vec_id % 7 = 0),
+       |d0 AS (SELECT sub.vec_id, sub.s AS s, cb0.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cb0 ON sub.s = cb0.s),
+       |e0 AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |comp AS (SELECT e0.s AS s, e0.code, i,
+       |      CAST(sum(CAST(round(sv[i] * 1e6) AS BIGINT)) AS DOUBLE) / (1e6 * count(*)) AS c
+       |  FROM e0 JOIN sub ON e0.vec_id = sub.vec_id AND e0.s = sub.s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+       |  GROUP BY e0.s, e0.code, i),
+       |cb1 AS (SELECT s, code, list(c ORDER BY i) AS cw FROM comp GROUP BY s, code),
+       |d1 AS (SELECT sub.vec_id, sub.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cb1 ON sub.s = cb1.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d1) WHERE rk = 1)
+       |SELECT vec_id, s, code FROM enc ORDER BY vec_id, s""".stripMargin
+
+  /** q96 — PQ ADC retrieval: integer asymmetric-distance shortlist
+    * (100) off the codes table, exact cosine rerank to top-5. Same
+    * query set as q33/q35. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(emb(s, dir), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, m = 8, seedStep = 7, shortlist = 100)
+
+  val pqTopKSql: String =
+    """WITH nrm AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ve
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, s, ve[s*8+1 : s*8+8] AS sv
+       |      FROM nrm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+       |cb0 AS (SELECT s, vec_id AS code, sv AS cw FROM sub WHERE vec_id % 7 = 0),
+       |d0 AS (SELECT sub.vec_id, sub.s AS s, cb0.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cb0 ON sub.s = cb0.s),
+       |e0 AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |comp AS (SELECT e0.s AS s, e0.code, i,
+       |      CAST(sum(CAST(round(sv[i] * 1e6) AS BIGINT)) AS DOUBLE) / (1e6 * count(*)) AS c
+       |  FROM e0 JOIN sub ON e0.vec_id = sub.vec_id AND e0.s = sub.s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+       |  GROUP BY e0.s, e0.code, i),
+       |cb1 AS (SELECT s, code, list(c ORDER BY i) AS cw FROM comp GROUP BY s, code),
+       |d1 AS (SELECT sub.vec_id, sub.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cb1 ON sub.s = cb1.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d1) WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, ve AS qe FROM nrm WHERE vec_id < 5),
+       |tab AS (SELECT q_id, cb1.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (qe[s*8+i] - cw[i]) * (qe[s*8+i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM q CROSS JOIN cb1),
+       |scored AS (SELECT t.q_id, e.vec_id AS n_id, CAST(sum(t.d2i) AS BIGINT) AS ad2i
+       |  FROM enc e JOIN tab t ON e.s = t.s AND e.code = t.code
+       |  WHERE e.vec_id <> t.q_id GROUP BY t.q_id, e.vec_id),
+       |short AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY ad2i, n_id) AS srk
+       |    FROM scored) WHERE srk <= 100),
+       |rx AS (SELECT sh.q_id, sh.n_id, q.qe, n.ve AS ne FROM short sh
+       |  JOIN q ON q.q_id = sh.q_id JOIN nrm n ON n.vec_id = sh.n_id),
+       |rd AS (SELECT q_id, n_id,
+       |      list_sum(list_transform(generate_series(1, 64), i -> qe[i] * ne[i])) AS sim
+       |  FROM rx),
+       |rr AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+       |  FROM rd)
+       |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM rr WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q94_ann_recall" -> annRecall,
+    "q95_pq_codes" -> pqCodes,
+    "q96_pq_topk" -> pqTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
     "q35_ann_ivf" -> ivfTopK,
     "q56_ivf_assign" -> ivfAssignment,
@@ -385,6 +483,8 @@ object SimilarityShapes {
   def oracles: Map[String, String] = Map(
     "q33_cosine_topk" -> cosineTopKSql,
     "q94_ann_recall" -> annRecallSql,
+    "q95_pq_codes" -> pqCodesSql,
+    "q96_pq_topk" -> pqTopKSql,
     "q35_ann_ivf" -> ivfTopKSql,
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,
     "q56_ivf_assign" -> ivfAssignmentSql,

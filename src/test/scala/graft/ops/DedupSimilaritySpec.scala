@@ -494,4 +494,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Map(1L -> ((1L, 0.5)), 2L -> ((2L, 1.0))))
   }
 
+  test("PQ: codes cover every (vector, subspace); ADC+rerank recall >= 0.9 vs brute force") {
+    val dir01 = "/root/testdata/sf0.01"
+    val e = graft.Tables.load(spark, dir01, "embeddings")
+    val (cb, codes) = Similarity.pqModel(e, "vec_id", "embedding", m = 8, seedStep = 7)
+    assert(codes.count() == e.count() * 8)
+    // every assigned code exists in the trained codebook
+    assert(codes.join(cb, Seq("s", "code"), "left_anti").isEmpty)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 5, k = 5)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(e, "vec_id", "embedding", col("vec_id") < 5,
+        k = 5, m = 8, seedStep = 7, shortlist = 100)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall@5 $recall below contract")
+  }
+
+  test("PQ retrieval is deterministic under repartitioning") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val a = Similarity.pqTopK(e, "vec_id", "embedding", col("vec_id") < 3, k = 5)
+      .collect().toSeq
+    val b = Similarity.pqTopK(e.repartition(11), "vec_id", "embedding", col("vec_id") < 3, k = 5)
+      .collect().toSeq
+    assert(a == b)
+  }
+
 }
