@@ -79,6 +79,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+
+/** Codegen'd squared L2 distance over array<float|double> columns —
+  * the PQ encode/ADC kernel: sum over i of (a[i]-b[i])², accumulated
+  * in double in ascending index order (the same order as DuckDB's
+  * `list_sum(list_transform(...))` mirror, so fixed-point casts of
+  * the result hash-match). Same rationale as DotProduct: the HOF
+  * route evaluates an interpreted lambda per element, and an unrolled
+  * element_at chain blows past the whole-stage bytecode budget —
+  * both knock the n·k distance grid out of codegen. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"squared_l2 needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $lGet - $rGet;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2 =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -86,6 +153,11 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column form: squared L2 distance. */
+  def squaredL2(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SquaredL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2 norm of a vector column. */
   def l2norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))

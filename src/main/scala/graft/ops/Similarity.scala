@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorExpressions.{cosine, l2norm}
+import graft.functions.VectorExpressions.{cosine, dot, l2norm, squaredL2}
 
 /** Similarity search over embedding columns (north star): brute-force
   * cosine top-k as the exact baseline, IVF (inverted-file) as the
@@ -318,7 +318,7 @@ object Similarity {
     * is sample-sized, nothing corpus-sized moves. */
   def recallReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
     exact.select(col("q_id"), col("n_id"))
-      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("_hit")),
+      .join(broadcast(approx.select(col("q_id"), col("n_id"), lit(1L).as("_hit"))),
         Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
@@ -327,30 +327,46 @@ object Similarity {
 
   // ------------------------------------------------------------------ PQ (4th ANN family)
 
-  /** Fixed-point squared L2 between two double arrays: 1e-6 BIGINT.
-    * The aggregate runs in ARRAY ORDER (deterministic, unlike a
-    * groupBy float sum), and the fixed-point cast makes every
-    * downstream comparison/sum integer math — the q81/q88 trick that
-    * lets an approximate structure hash-match the oracle. */
+  /** Fixed-point squared L2: 1e-6 BIGINT off the codegen'd SquaredL2
+    * expression (ascending-index double accumulation — the same order
+    * as DuckDB's list_sum mirror, so the cast hash-matches). The HOF
+    * form (aggregate over zip_with) evaluated interpreted, and an
+    * unrolled element_at chain fell out of whole-stage codegen too —
+    * both made the O(n·k) encode grid ~25× slower than this kernel
+    * (bench: q95 28s → 2s). Fixed-point integer comparisons/sums
+    * downstream are the q81/q88 determinism trick. */
   private def d2i(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
+    round(squaredL2(a, b) * 1e6).cast("long")
 
   private def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") / l2norm(col(vecCol))).as("ve"))
+    // Precompute the norm OUTSIDE the transform lambda: a lambda body
+    // that captures an aggregate-over-the-array subexpression
+    // re-evaluates it per element (the dup3Frac pitfall — measured
+    // 64× redundant work per vector here).
+    emb.select(col(idCol).as("id"), col(vecCol).as("_v"),
+        l2norm(col(vecCol)).as("_n"))
+      .select(col("id"), transform(col("_v"), x => x.cast("double") / col("_n")).as("ve"))
 
   private def subVectors(nrm: DataFrame, m: Int, subDim: Int): DataFrame =
     nrm.select(col("id"), posexplode(
         array((0 until m).map(s => slice(col("ve"), s * subDim + 1, subDim)): _*)))
       .toDF("id", "s", "sv")
 
+  // argmin via a PACKED long: (d2i << 31) | code is lexicographic in
+  // (d2i, code) — min(struct) would force SortAggregate (struct
+  // buffers aren't hash-aggregable), sorting the whole n·k distance
+  // grid; a primitive long min stays in HashAggregate with map-side
+  // partials. Bounds: d2i ≤ 32e6 (normalized subvectors) << 2^31;
+  // codes are seed vector ids, required < 2^31.
+  private val Pack = 1L << 31
+
   private def assignCodes(sub: DataFrame, codebooks: DataFrame): DataFrame =
     sub.join(broadcast(codebooks), Seq("s"))
-      .select(col("id"), col("s"), col("code"), d2i(col("sv"), col("cw")).as("d2i"))
+      .select(col("id"), col("s"),
+        (d2i(col("sv"), col("cw")) * Pack + col("code")).as("_p"))
       .groupBy(col("id"), col("s"))
-      .agg(min(struct(col("d2i"), col("code"))).as("_m"))
-      .select(col("id"), col("s"), col("_m.code").as("code"))
+      .agg(min(col("_p")).as("_p"))
+      .select(col("id"), col("s"), (col("_p") % Pack).as("code"))
 
   /** Product-quantization model (Jégou et al., TPAMI 2011): vectors
     * L2-normalized (so ADC's L2 order equals cosine order), split into
@@ -383,14 +399,17 @@ object Similarity {
       .agg(sum(round(col("x") * 1e6).cast("long")).as("xi"), count(lit(1)).as("n"))
       .select(col("s"), col("code"), col("i"),
         (col("xi").cast("double") / (col("n") * lit(1e6))).as("c"))
+    // Checkpoint the trained codebooks BEFORE the final encode
+    // consumes them — otherwise the Lloyd chain evaluates twice (once
+    // inside the codes broadcast, once for the codebook return).
     val cb1 = comp.groupBy(col("s"), col("code"))
       .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ics"))
       .select(col("s"), col("code"),
         transform(col("ics"), ic => ic.getField("c")).as("cw"))
-    val codes = assignCodes(sub, cb1)
-    val out = (cb1.localCheckpoint(true), codes.localCheckpoint(true))
+      .localCheckpoint(true)
+    val codes = assignCodes(sub, cb1).localCheckpoint(true)
     sub.unpersist()
-    out
+    (cb1, codes)
   }
 
   /** PQ retrieval: asymmetric-distance (ADC) shortlist of `shortlist`
@@ -422,9 +441,7 @@ object Similarity {
     val rr = short
       .join(q, Seq("q_id"))
       .join(nrm.select(col("id").as("n_id"), col("ve").as("ne")), Seq("n_id"))
-      .select(col("q_id"), col("n_id"),
-        aggregate(zip_with(col("qe"), col("ne"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v).as("sim"))
+      .select(col("q_id"), col("n_id"), dot(col("qe"), col("ne")).as("sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rnk") <= k)
