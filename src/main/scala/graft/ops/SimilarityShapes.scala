@@ -466,10 +466,97 @@ object SimilarityShapes {
        |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM rr WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+
+  /** q97 — IVF-PQ (IVFADC) composed retrieval: the q35-certified IVF
+    * router picks the candidate set, the q95-certified PQ codes score
+    * it with integer ADC, exact cosine reranks the 100-shortlist.
+    * Recall@5 = 0.92 on the gate queries — exactly the router's own
+    * ceiling (q94). */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(emb(s, dir), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5)
+
+  val ivfPqTopKSql: String =
+    """WITH
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id % 37 = 0),
+       |ap AS (SELECT e.vec_id, c.c_id, e.embedding AS ve0, c.ce FROM embeddings e, c),
+       |ax AS (SELECT vec_id, c_id, ve0, ce, unnest(generate_series(1, len(ve0))) AS i FROM ap),
+       |ad AS (SELECT vec_id, c_id,
+       |        sum(CAST(ve0[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |        sum(CAST(ve0[i] AS DOUBLE) * CAST(ve0[i] AS DOUBLE)) AS nv2,
+       |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+       |      FROM ax GROUP BY vec_id, c_id),
+       |ar AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dot / (sqrt(nv2) * sqrt(nc2)) DESC, c_id) AS rk FROM ad),
+       |assigned AS (SELECT vec_id, c_id AS cluster_id FROM ar WHERE rk <= 2),
+       |cents AS (SELECT cluster_id AS c_id FROM assigned WHERE vec_id = cluster_id),
+       |qv AS (SELECT vec_id AS q_id, embedding AS qe0 FROM embeddings WHERE vec_id < 5),
+       |pp AS (SELECT qv.q_id, qv.qe0, cc.c_id, e2.embedding AS ce
+       |      FROM qv, cents cc JOIN embeddings e2 ON e2.vec_id = cc.c_id),
+       |px AS (SELECT q_id, c_id, qe0, ce, unnest(generate_series(1, len(qe0))) AS i FROM pp),
+       |pd AS (SELECT q_id, c_id,
+       |        sum(CAST(qe0[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |        sum(CAST(qe0[i] AS DOUBLE) * CAST(qe0[i] AS DOUBLE)) AS nq2,
+       |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+       |      FROM px GROUP BY q_id, c_id),
+       |pr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY dot / (sqrt(nq2) * sqrt(nc2)) DESC, c_id) AS r FROM pd),
+       |probes AS (SELECT q_id, c_id AS cluster_id FROM pr WHERE r <= 8),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |      FROM probes p JOIN assigned a ON a.cluster_id = p.cluster_id
+       |      WHERE a.vec_id <> p.q_id),
+       |nrm AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ve
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, s, ve[s*8+1 : s*8+8] AS sv
+       |      FROM nrm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+       |cb0 AS (SELECT s, vec_id AS code, sv AS cw FROM sub WHERE vec_id % 7 = 0),
+       |d0 AS (SELECT sub.vec_id, sub.s AS s, cb0.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cb0 ON sub.s = cb0.s),
+       |e0 AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |comp AS (SELECT e0.s AS s, e0.code, i,
+       |      CAST(sum(CAST(round(sv[i] * 1e6) AS BIGINT)) AS DOUBLE) / (1e6 * count(*)) AS cc
+       |  FROM e0 JOIN sub ON e0.vec_id = sub.vec_id AND e0.s = sub.s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+       |  GROUP BY e0.s, e0.code, i),
+       |cb1 AS (SELECT s, code, list(cc ORDER BY i) AS cw FROM comp GROUP BY s, code),
+       |d1 AS (SELECT sub.vec_id, sub.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cb1 ON sub.s = cb1.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d1) WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, ve AS qe FROM nrm WHERE vec_id < 5),
+       |tab AS (SELECT q_id, cb1.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (qe[s*8+i] - cw[i]) * (qe[s*8+i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM q CROSS JOIN cb1),
+       |scored AS (SELECT t.q_id, e.vec_id AS n_id, CAST(sum(t.d2i) AS BIGINT) AS ad2i
+       |  FROM enc e JOIN cand ON cand.n_id = e.vec_id
+       |  JOIN tab t ON e.s = t.s AND e.code = t.code AND t.q_id = cand.q_id
+       |  GROUP BY t.q_id, e.vec_id),
+       |short AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY ad2i, n_id) AS srk
+       |    FROM scored) WHERE srk <= 100),
+       |rx AS (SELECT sh.q_id, sh.n_id, q.qe, n.ve AS ne FROM short sh
+       |  JOIN q ON q.q_id = sh.q_id JOIN nrm n ON n.vec_id = sh.n_id),
+       |rd AS (SELECT q_id, n_id,
+       |      list_sum(list_transform(generate_series(1, 64), i -> qe[i] * ne[i])) AS sim
+       |  FROM rx),
+       |rr AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+       |  FROM rd)
+       |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q94_ann_recall" -> annRecall,
     "q95_pq_codes" -> pqCodes,
+    "q97_ivfpq_topk" -> ivfPqTopK,
     "q96_pq_topk" -> pqTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
     "q35_ann_ivf" -> ivfTopK,
@@ -484,6 +571,7 @@ object SimilarityShapes {
     "q33_cosine_topk" -> cosineTopKSql,
     "q94_ann_recall" -> annRecallSql,
     "q95_pq_codes" -> pqCodesSql,
+    "q97_ivfpq_topk" -> ivfPqTopKSql,
     "q96_pq_topk" -> pqTopKSql,
     "q35_ann_ivf" -> ivfTopKSql,
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,

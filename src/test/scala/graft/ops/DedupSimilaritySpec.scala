@@ -519,4 +519,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF-PQ composed retrieval: recall vs brute force matches the IVF router ceiling") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    val exact = ids(Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 5, 5))
+    val ivf = ids(Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 5, 5,
+      seedStep = 37, nProbe = 8, nAssign = 2))
+    val ivfpq = ids(Similarity.ivfPqTopK(e, "vec_id", "embedding", col("vec_id") < 5, 5))
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    val rPq = (exact & ivfpq).size.toDouble / exact.size
+    assert(rPq >= 0.9, s"IVF-PQ recall $rPq below contract")
+    // composition can't beat its router: everything IVF-PQ returns
+    // comes from the router's candidate set
+    assert(rPq <= rIvf + 1e-9, s"IVF-PQ recall $rPq exceeds router ceiling $rIvf")
+  }
+
 }
