@@ -224,7 +224,20 @@ object Dedup {
     * Buckets at or under `maxBucket` keep the exact all-pairs
     * behavior (identical to lshCandidates) in both forms. Returns
     * (id_a, id_b), id_a < id_b. */
-  def lshCandidatesCapped(bands: DataFrame, maxBucket: Int): DataFrame = {
+  def lshCandidatesCapped(bands: DataFrame, maxBucket: Int): DataFrame =
+    lshCandidatesCapped(bands, maxBucket,
+      sortedNeighborhood = bands.columns.contains("skey"))
+
+  /** Explicit-mode form: callers on the keyed band builders pass
+    * `sortedNeighborhood = true` so the capped semantics are a stated
+    * choice, not an inference from a column name (an unrelated `skey`
+    * column riding along would otherwise silently change candidate
+    * topology). */
+  def lshCandidatesCapped(bands: DataFrame, maxBucket: Int,
+      sortedNeighborhood: Boolean): DataFrame = {
+    require(!sortedNeighborhood || bands.columns.contains("skey"),
+      "sortedNeighborhood candidate generation needs the skey column " +
+        "(build bands with lshBandsFromArraysKeyed)")
     // Single-plan form: ONE shuffle (groupBy bucket) collects each
     // bucket's sorted member list, then pair generation is a map-side
     // array expression. No self-join, no window pass, no intermediate
@@ -233,7 +246,7 @@ object Dedup {
     // ~10⁷ bare ids (80 MB) or ~10⁶ (id, skey) structs with the
     // 8·numHashes-byte sort key; the pair EXPLOSION (the actual
     // quadratic risk) is capped regardless.
-    if (bands.columns.contains("skey")) {
+    if (sortedNeighborhood) {
       val buckets = bands.groupBy(col("b"), col("key"))
         .agg(sort_array(collect_list(struct(col("skey"), col("id")))).as("ms"))
         .filter(size(col("ms")) >= 2)
@@ -328,7 +341,8 @@ object Dedup {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol)).persist()
     materializeAndFree(
       jaccardForCandidates(sets,
-        lshCandidatesCapped(lshBandsFromArraysKeyed(sets, numHashes, bandSize), maxBucket),
+        lshCandidatesCapped(lshBandsFromArraysKeyed(sets, numHashes, bandSize), maxBucket,
+          sortedNeighborhood = true),
         minJaccard), sets)
   }
 
@@ -794,7 +808,7 @@ object Dedup {
 
     // Within-delta near-dup components → non-canonical members.
     val withinPairs = jaccardForCandidates(dSets,
-      lshCandidatesCapped(dBands, maxBucket), minJaccard)
+      lshCandidatesCapped(dBands, maxBucket, sortedNeighborhood = true), minJaccard)
     val losers = connectedComponents(withinPairs)
       .filter(col("comp") =!= col("id")).select(col("id"))
 

@@ -325,7 +325,10 @@ object Similarity {
       nAssign: Int = 2, m: Int = 8, seedStepPq: Int = 7,
       shortlist: Int = 100): DataFrame = {
     // Router: probe selection + candidate ids (the ivfTopK front half).
-    val assigned = ivfAssign(emb, idCol, vecCol, seedStepIvf, nAssign)
+    // The assignment grid (corpus × centroids cosine ranking) feeds
+    // both the centroid frame and the candidate join — persist it or
+    // the subtree plans twice.
+    val assigned = ivfAssign(emb, idCol, vecCol, seedStepIvf, nAssign).persist()
     val cents = assigned.filter(col(idCol) === col("cluster_id"))
       .select(col("cluster_id").as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
     val qv = withNorm(emb, idCol, vecCol).filter(queryPred)
@@ -371,6 +374,7 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
     val out = rr.localCheckpoint(true)
     nrm.unpersist()
+    assigned.unpersist()
     out
   }
 
@@ -380,10 +384,14 @@ object Similarity {
     * the production index). Counts and the recall ratio are exact
     * integers / a ratio of exact integers, so the report is
     * hash-stable. Both inputs are k·|queries|-sized: everything here
-    * is sample-sized, nothing corpus-sized moves. */
+    * is sample-sized, nothing corpus-sized moves. Inputs are deduped
+    * on (q_id, n_id) first, so a frame carrying a neighbor twice
+    * (e.g. the union of two retrieval runs) can neither double-count
+    * a hit nor push recall past 1.0. */
   def recallReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
-    exact.select(col("q_id"), col("n_id"))
-      .join(broadcast(approx.select(col("q_id"), col("n_id"), lit(1L).as("_hit"))),
+    exact.select(col("q_id"), col("n_id")).dropDuplicates("q_id", "n_id")
+      .join(broadcast(approx.select(col("q_id"), col("n_id"), lit(1L).as("_hit"))
+          .dropDuplicates("q_id", "n_id")),
         Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))

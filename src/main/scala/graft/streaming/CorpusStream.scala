@@ -153,13 +153,18 @@ object CorpusStream {
       indexPath: String, idCol: String, textCol: String,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config()): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(corpusPath), spark.sparkContext.hadoopConfiguration)
-    def priorBatches(path: String): Option[DataFrame] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // Resolve the FileSystem PER PATH: corpus and index tables may live
+    // on different schemes (file: vs object store), and probing one
+    // through the other's FileSystem misreports non-existence — which
+    // here would silently degrade batch N to within-batch-only dedup.
+    def priorBatches(path: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
         Some(spark.read.parquet(path)
           .filter(col("batch") < lit(batchId)).drop("batch"))
       else None
+    }
     val (base, idx) = (priorBatches(corpusPath), priorBatches(indexPath)) match {
       case (Some(b), Some(i)) => (b, i)
       case _ =>

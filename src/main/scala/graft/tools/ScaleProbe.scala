@@ -19,14 +19,17 @@ import graft.ops.CorpusPipeline
   * At duplication depth d, every LSH band bucket holds all d replicas
   * of a doc, so uncapped candidate enumeration is O(d²) per original —
   * measured: 64× at sf0.1 generated >58 GB of verification-join spill
-  * and died on disk. That is exactly the workload the hot-bucket star
-  * cap exists for (`Dedup.lshCandidatesCapped`): capping converts each
-  * hot bucket to a min-id star, O(d) pairs, and since replicas carry
-  * strictly larger ids the star centers on the original — survivor
-  * invariance is unaffected (asserted here). Deep-replication probes
-  * therefore set SPARK_GRAFT_MAX_BUCKET below the duplication depth to
-  * engage the production path; the default (10000) reproduces the
-  * uncapped clique blow-up.
+  * and died on disk. That is exactly the workload the hot-bucket cap
+  * exists for (`Dedup.lshCandidatesCapped`): capped buckets emit
+  * consecutive pairs in full-signature (skey) order — O(d) pairs, and
+  * each near-dup family forms a lexicographic run whose verified chain
+  * keep-canonical closes transitively, so scale-1 survivors are never
+  * evicted (asserted here; the legacy min-id star lost 16–22% of known
+  * near-dups to verification-rejected cross-family edges —
+  * docs/SCALE_PROBE_r6.jsonl holds all three configurations).
+  * Deep-replication probes therefore set SPARK_GRAFT_MAX_BUCKET below
+  * the duplication depth to engage the production path; the default
+  * (10000) reproduces the uncapped clique blow-up.
   *
   * Usage: runMain graft.tools.ScaleProbe [sfDir] [scale...]
   *        (env SPARK_GRAFT_MAX_BUCKET overrides Config.maxBucket)
