@@ -309,6 +309,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .distinct()
   }
+  /** Encode vectors against a STANDING PQ model — the incremental
+    * form, the PQ twin of `deltaDedupStatus`/`embeddingDeltaStatus`:
+    * a recurring-crawl pipeline trains codebooks once, persists them,
+    * and encodes each delta map-side against their broadcast — no
+    * retraining, and the standing corpus is never touched. Returns
+    * (id, s, code), append-ready onto the standing codes table. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int = 8): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    assignCodes(subVectors(normalized(emb, idCol, vecCol), m, dim / m), codebooks)
+  }
+
   /** IVF-PQ (IVFADC — the composed serving architecture): the IVF
     * router (q35's certified construction) selects each query's probe
     * clusters and thus its candidate set; the PQ codes table scores

@@ -552,11 +552,58 @@ object SimilarityShapes {
        |  FROM rd)
        |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+
+  /** q98 — incremental PQ encode: codebooks trained on the standing
+    * corpus (vec_id %% 4 != 1), the delta (vec_id %% 4 == 1) encoded
+    * against them — the per-crawl form; mirrors train-on-base,
+    * encode-delta step for step. */
+  def pqDeltaCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (cb, _) = Similarity.pqModel(e.filter(col("vec_id") % 4 =!= 1),
+      "vec_id", "embedding", m = 8, seedStep = 7)
+    Similarity.pqEncode(e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", cb)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"), col("s"))
+  }
+
+  val pqDeltaCodesSql: String =
+    """WITH
+       |nrm AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ve
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, s, ve[s*8+1 : s*8+8] AS sv
+       |      FROM nrm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+       |bsub AS (SELECT * FROM sub WHERE vec_id % 4 != 1),
+       |cb0 AS (SELECT s, vec_id AS code, sv AS cw FROM bsub WHERE vec_id % 7 = 0),
+       |d0 AS (SELECT bsub.vec_id, bsub.s AS s, cb0.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM bsub JOIN cb0 ON bsub.s = cb0.s),
+       |e0 AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |comp AS (SELECT e0.s AS s, e0.code, i,
+       |      CAST(sum(CAST(round(sv[i] * 1e6) AS BIGINT)) AS DOUBLE) / (1e6 * count(*)) AS cc
+       |  FROM e0 JOIN bsub ON e0.vec_id = bsub.vec_id AND e0.s = bsub.s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+       |  GROUP BY e0.s, e0.code, i),
+       |cb1 AS (SELECT s, code, list(cc ORDER BY i) AS cw FROM comp GROUP BY s, code),
+       |dsub AS (SELECT * FROM sub WHERE vec_id % 4 = 1),
+       |d1 AS (SELECT dsub.vec_id, dsub.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM dsub JOIN cb1 ON dsub.s = cb1.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d1) WHERE rk = 1)
+       |SELECT vec_id, s, code FROM enc ORDER BY vec_id, s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> cosineTopK,
     "q94_ann_recall" -> annRecall,
     "q95_pq_codes" -> pqCodes,
     "q97_ivfpq_topk" -> ivfPqTopK,
+    "q98_pq_delta_codes" -> pqDeltaCodes,
     "q96_pq_topk" -> pqTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
     "q35_ann_ivf" -> ivfTopK,
@@ -572,6 +619,7 @@ object SimilarityShapes {
     "q94_ann_recall" -> annRecallSql,
     "q95_pq_codes" -> pqCodesSql,
     "q97_ivfpq_topk" -> ivfPqTopKSql,
+    "q98_pq_delta_codes" -> pqDeltaCodesSql,
     "q96_pq_topk" -> pqTopKSql,
     "q35_ann_ivf" -> ivfTopKSql,
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,

@@ -535,4 +535,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rPq <= rIvf + 1e-9, s"IVF-PQ recall $rPq exceeds router ceiling $rIvf")
   }
 
+  test("pqEncode against a standing model reproduces the model's own codes") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val (cb, codes) = Similarity.pqModel(e, "vec_id", "embedding", m = 8, seedStep = 7)
+    val re = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(re == codes.as[(Long, Int, Long)].collect().toSet)
+    // and a disjoint delta encodes without touching base codes
+    val delta = e.filter(col("vec_id") % 4 === 1)
+    val dc = Similarity.pqEncode(delta, "vec_id", "embedding", cb)
+    assert(dc.count() == delta.count() * 8)
+  }
+
 }
