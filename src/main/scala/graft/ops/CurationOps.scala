@@ -15,7 +15,8 @@ import graft.functions.TextFunctions.tokenCount
   * Every float that reaches an oracle-gated output is either a ratio
   * of exact integers or a 1e-6 fixed-point BIGINT, so the per-doc /
   * per-group reductions are order-independent — none of these queries
-  * rides on the round(avg(double)) accepted risk.
+  * rides on float partial-sum ordering (the recipe the q75/q78/q79/
+  * q84 means adopted in round 7, closing the old accepted risk).
   */
 object CurationOps {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
@@ -75,16 +76,26 @@ object CurationOps {
 
   private val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
   private val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
-  private val cardRe = "[0-9]{13,16}"
+  private val cardRe = "[0-9]{13,}"
 
   /** Per-document PII audit: email / phone counts by regex, card
     * candidates by digit-run regex SPLIT into Luhn-valid vs invalid,
     * and the aggregate has_pii flag (valid cards only — a digit run
     * failing the checksum is noise, not PII). Map-only; composes as a
     * pre-redaction report or a release gate. Complements q29's
-    * redaction (which rewrites) — this one measures. */
+    * redaction (which rewrites) — this one measures.
+    *
+    * Card candidates are MAXIMAL digit runs length-filtered to 13–16:
+    * a 17+-digit run (order id, timestamp, hash) is rejected whole
+    * rather than scanned as its 16-digit prefix, which Luhn-validates
+    * by chance ~10% of the time (round-6 ADVICE). The greedy `{13,}`
+    * run + list filter is expressible identically in Java regex and
+    * RE2 — lookarounds are not (RE2 has none), so this form keeps the
+    * two engines' semantics provably aligned. */
   def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cands = regexp_extract_all(col(textCol), lit(cardRe), lit(0))
+    val cands = filter(
+      regexp_extract_all(col(textCol), lit(cardRe), lit(0)),
+      n => length(n) <= 16)
     val nValid = size(filter(cands, n => luhnValid(n))).cast("long")
     val nEmails = size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long")
     val nPhones = size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long")
@@ -347,8 +358,8 @@ object CurationOps {
        |    || CASE WHEN doc_id % 11 = 0 THEN ' tel 555-0142 ext' ELSE '' END
        |    AS text FROM documents),
        |luhn AS (SELECT doc_id,
-       |    regexp_extract_all(text, '$cardRe') AS cands,
-       |    list_transform(regexp_extract_all(text, '$cardRe'), n ->
+       |    list_filter(regexp_extract_all(text, '$cardRe'), n -> length(n) <= 16) AS cands,
+       |    list_transform(list_filter(regexp_extract_all(text, '$cardRe'), n -> length(n) <= 16), n ->
        |      list_sum(list_transform(generate_series(1, length(n)),
        |        i -> CASE WHEN i % 2 = 0
        |          THEN CASE WHEN CAST(substr(reverse(n), i, 1) AS INT) * 2 > 9

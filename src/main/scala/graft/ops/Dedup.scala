@@ -126,12 +126,12 @@ object Dedup {
         keyOf((0 until bandSize).map(j => sigs(b * bandSize + j))).as("key"))
     }
     val bandRow = skeyOf match {
-      case Some(sk) => docSets.select(col("id"), sk(sigs).as("skey"),
+      case Some(sk) => docSets.select(col("id"), sk(sigs).as("_skey"),
         explode(array(bandCols: _*)).as("_bk"))
       case None => docSets.select(col("id"), explode(array(bandCols: _*)).as("_bk"))
     }
     bandRow.select(Seq(col("id"), col("_bk.b").as("b"), col("_bk.key").as("key")) ++
-      (if (skeyOf.isDefined) Seq(col("skey")) else Nil): _*)
+      (if (skeyOf.isDefined) Seq(col("_skey")) else Nil): _*)
   }
 
   /** md5 band keys from doc arrays — value-identical to
@@ -148,10 +148,10 @@ object Dedup {
       i => array_min(transform(col("shs"), s => xxhash64(lit(i), s))),
       sigs => xxhash64(sigs: _*))
 
-  /** md5 band keys PLUS a per-doc signature sort key `skey`: the first
+  /** md5 band keys PLUS a per-doc signature sort key `_skey`: the first
     * 8 hex chars of every signature concatenated in hash order.
     * Near-identical docs agree on most MinHash components, so under
-    * lexicographic order on `skey` the members of a near-dup family
+    * lexicographic order on `_skey` the members of a near-dup family
     * sort ADJACENT within a bucket — the sorted-neighborhood key that
     * lets `lshCandidatesCapped` generate O(n) hot-bucket candidates
     * without the min-id star's recall collapse. 8 chars/component keeps
@@ -212,7 +212,7 @@ object Dedup {
     *   vs 0.01% uncapped.
     *
     * - SORTED NEIGHBORHOOD (the fix, used when the bands carry a
-    *   `skey` signature sort key from `lshBandsFromArraysKeyed`):
+    *   `_skey` signature sort key from `lshBandsFromArraysKeyed`):
     *   sort the bucket by (skey, id) and emit only CONSECUTIVE pairs
     *   — still O(k), but near-identical docs agree on most signature
     *   components, so a family forms a lexicographic run and its
@@ -223,20 +223,24 @@ object Dedup {
     *
     * Buckets at or under `maxBucket` keep the exact all-pairs
     * behavior (identical to lshCandidates) in both forms. Returns
-    * (id_a, id_b), id_a < id_b. */
+    * (id_a, id_b), id_a < id_b.
+    *
+    * Topology inference keys on the RESERVED column `_skey`, emitted
+    * only by the keyed band builders (`lshBandsFromArraysKeyed` /
+    * `lshBandsFastFromArraysKeyed`) — the underscore prefix marks it
+    * internal, so an unrelated user column can no longer silently
+    * switch candidate topology (round-6 ADVICE). */
   def lshCandidatesCapped(bands: DataFrame, maxBucket: Int): DataFrame =
     lshCandidatesCapped(bands, maxBucket,
-      sortedNeighborhood = bands.columns.contains("skey"))
+      sortedNeighborhood = bands.columns.contains("_skey"))
 
   /** Explicit-mode form: callers on the keyed band builders pass
     * `sortedNeighborhood = true` so the capped semantics are a stated
-    * choice, not an inference from a column name (an unrelated `skey`
-    * column riding along would otherwise silently change candidate
-    * topology). */
+    * choice, not an inference from a column name. */
   def lshCandidatesCapped(bands: DataFrame, maxBucket: Int,
       sortedNeighborhood: Boolean): DataFrame = {
-    require(!sortedNeighborhood || bands.columns.contains("skey"),
-      "sortedNeighborhood candidate generation needs the skey column " +
+    require(!sortedNeighborhood || bands.columns.contains("_skey"),
+      "sortedNeighborhood candidate generation needs the _skey column " +
         "(build bands with lshBandsFromArraysKeyed)")
     // Single-plan form: ONE shuffle (groupBy bucket) collects each
     // bucket's sorted member list, then pair generation is a map-side
@@ -248,7 +252,7 @@ object Dedup {
     // quadratic risk) is capped regardless.
     if (sortedNeighborhood) {
       val buckets = bands.groupBy(col("b"), col("key"))
-        .agg(sort_array(collect_list(struct(col("skey"), col("id")))).as("ms"))
+        .agg(sort_array(collect_list(struct(col("_skey"), col("id")))).as("ms"))
         .filter(size(col("ms")) >= 2)
       val pairsCol = when(size(col("ms")) <= maxBucket,
         expr("""flatten(transform(ms, (x, i) ->

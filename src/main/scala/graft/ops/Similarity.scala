@@ -314,12 +314,18 @@ object Similarity {
     * a recurring-crawl pipeline trains codebooks once, persists them,
     * and encodes each delta map-side against their broadcast — no
     * retraining, and the standing corpus is never touched. Returns
-    * (id, s, code), append-ready onto the standing codes table. */
+    * (id, s, code), append-ready onto the standing codes table.
+    *
+    * The subspace width comes from the MODEL (size of its centroid
+    * sub-vectors), not from scanning the delta — so an EMPTY delta (a
+    * crawl with nothing new, realistic for the recurring pipeline this
+    * targets) yields an empty codes frame instead of throwing on
+    * `.first()` (round-6 ADVICE). Delta vectors of the wrong
+    * dimensionality are a caller error, as with any standing index. */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int = 8): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
-    assignCodes(subVectors(normalized(emb, idCol, vecCol), m, dim / m), codebooks)
+    val subDim = codebooks.select(size(col("cw"))).first().getInt(0)
+    assignCodes(subVectors(normalized(emb, idCol, vecCol), m, subDim), codebooks)
   }
 
   /** IVF-PQ (IVFADC — the composed serving architecture): the IVF
@@ -400,16 +406,21 @@ object Similarity {
     * is sample-sized, nothing corpus-sized moves. Inputs are deduped
     * on (q_id, n_id) first, so a frame carrying a neighbor twice
     * (e.g. the union of two retrieval runs) can neither double-count
-    * a hit nor push recall past 1.0. */
-  def recallReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    * a hit nor push recall past 1.0. The denominator is the PER-QUERY
+    * exact count, not a fixed k — so a query with fewer than k exact
+    * neighbors (tiny corpus, filtered sample) still reads 1.0 when the
+    * approximate side found everything there was to find (round-6
+    * ADVICE). */
+  def recallReport(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("n_id")).dropDuplicates("q_id", "n_id")
       .join(broadcast(approx.select(col("q_id"), col("n_id"), lit(1L).as("_hit"))
           .dropDuplicates("q_id", "n_id")),
         Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"),
+        count(lit(1L)).as("_n_exact"))
       .select(col("q_id"), col("n_hits"),
-        round(col("n_hits") / lit(k.toDouble), 4).as("recall"))
+        round(col("n_hits") / col("_n_exact"), 4).as("recall"))
 
   // ------------------------------------------------------------------ PQ (4th ANN family)
 

@@ -358,14 +358,13 @@ object SimilarityShapes {
       Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
         col("vec_id") < 5, k = 5),
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
-        col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 8, nAssign = 2),
-      k = 5)
+        col("vec_id") < 5, k = 5, seedStep = 37, nProbe = 8, nAssign = 2))
       .orderBy(col("q_id"))
 
   val annRecallSql: String =
     s"""SELECT ex.q_id,
        |  CAST(count(iv.n_id) AS BIGINT) AS n_hits,
-       |  round(count(iv.n_id) / 5.0, 4) AS recall
+       |  round(count(iv.n_id) / CAST(count(*) AS DOUBLE), 4) AS recall
        |FROM ($cosineTopKSql) ex
        |LEFT JOIN ($ivfTopKSql) iv ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id
        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin

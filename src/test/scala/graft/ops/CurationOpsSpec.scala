@@ -29,7 +29,10 @@ class CurationOpsSpec extends SparkSpec {
       (2L, "cards 4111111111111111 and 4111111111111112 here"),
       (3L, "just 4111111111111112 noise"), // invalid only → not PII
       (4L, "call 555-0142 or 555-0199"),
-      (5L, "nothing sensitive at all")).toDF("doc_id", "text")
+      (5L, "nothing sensitive at all"),
+      // 17-digit run whose 16-digit prefix Luhn-validates: must be
+      // rejected WHOLE, not scanned as a card (round-6 ADVICE fix).
+      (6L, "order 41111111111111113 shipped")).toDF("doc_id", "text")
     val got = CurationOps.piiAudit(d, "doc_id", "text")
       .as[(Long, Long, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
@@ -38,6 +41,7 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 0L, 1L, 0L, false)))
     assert(got(4L) == ((4L, 0L, 0L, 0L, 2L, true)))
     assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, false)))
+    assert(got(6L) == ((6L, 0L, 0L, 0L, 0L, false)))
   }
 
   test("fuzzyContamination: containment is of the BENCHMARK doc's grams; threshold filters") {

@@ -438,7 +438,7 @@ class DedupSimilaritySpec extends SparkSpec {
     def survivors(cand: org.apache.spark.sql.DataFrame): Set[Long] =
       Dedup.dedupCorpus(d, "doc_id", Dedup.jaccardForCandidates(sets, cand, 0.5))
         .as[(Long, String)].collect().map(_._1).toSet
-    val exactCand = Dedup.lshCandidates(bands.drop("skey"))
+    val exactCand = Dedup.lshCandidates(bands.drop("_skey"))
     val cappedCand = Dedup.lshCandidatesCapped(bands, maxBucket = 2)
     assert(cappedCand.count() < exactCand.count()) // chain < clique
     assert(survivors(cappedCand) == survivors(exactCand))
@@ -454,14 +454,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val bands = Seq(
       (1L, 0, "H", "aaaa"), (3L, 0, "H", "aaab"), (5L, 0, "H", "aaac"),
       (2L, 0, "H", "zzzx"), (4L, 0, "H", "zzzy"), (6L, 0, "H", "zzzz"))
-      .toDF("id", "b", "key", "skey")
+      .toDF("id", "b", "key", "_skey")
     val got = Dedup.lshCandidatesCapped(bands, maxBucket = 3)
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 3L), (3L, 5L), (2L, 5L), (2L, 4L), (4L, 6L)))
     // family A {1,3,5} connected via (1,3),(3,5); family B {2,4,6} via
     // (2,4),(4,6); the lone cross-family edge (2,5) is the run
     // boundary — the one verification will reject.
-    val star = Dedup.lshCandidatesCapped(bands.drop("skey"), maxBucket = 3)
+    val star = Dedup.lshCandidatesCapped(bands.drop("_skey"), maxBucket = 3)
       .as[(Long, Long)].collect().toSet
     assert(star == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)))
   }
@@ -486,12 +486,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped == exact)
     assert(exact == Set(0L, 100L, 200L))
   }
-  test("recallReport: exact per-query hit counting") {
+  test("recallReport: exact per-query hit counting; per-query denominator") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("q_id", "n_id")
     val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L)).toDF("q_id", "n_id")
-    val got = Similarity.recallReport(exact, approx, k = 2)
+    val got = Similarity.recallReport(exact, approx)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == Map(1L -> ((1L, 0.5)), 2L -> ((2L, 1.0))))
+    // A query with fewer exact neighbors than the approx side's k can
+    // still reach recall 1.0 — the round-6 ADVICE defect (dividing by
+    // a fixed k under-reported such queries forever).
+    val short = Seq((3L, 30L)).toDF("q_id", "n_id")
+    val gotShort = Similarity.recallReport(short, approx.union(short))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(gotShort == Map(3L -> 1.0))
+  }
+
+  test("pqEncode: empty delta yields an empty codes frame (dim from model, not delta)") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cb, _) = Similarity.pqModel(e, "vec_id", "embedding", m = 8, seedStep = 7)
+    val empty = e.filter(col("vec_id") < 0)
+    assert(Similarity.pqEncode(empty, "vec_id", "embedding", cb, m = 8).count() == 0L)
   }
 
   test("PQ: codes cover every (vector, subspace); ADC+rerank recall >= 0.9 vs brute force") {
