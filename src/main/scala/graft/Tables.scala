@@ -16,20 +16,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
+  }
 
-  /** `events` with its TIMESTAMP(NANOS) `ts` exposed both as exact
-    * nanos (`ts`, LongType when nanosAsLong is set) and as a usable
-    * micros timestamp (`ts_utc`). If the session reads nanos natively
-    * as TimestampType (nanosAsLong off), `ts` is passed through and
-    * `ts_utc` aliases it. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "events")
+  /** Canonicalize `events.ts` to epoch-NANOS LongType regardless of
+    * how the driver generated the parquet column. Generations have
+    * shipped both TIMESTAMP(NANOS) (read as LongType nanos under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ,
+    * where `nanosAsLong` is a no-op) — downstream operators and the
+    * DuckDB mirrors both assume the nanos contract (`ts div 1000` =
+    * micros = `epoch_us(ts)`), so the unit is pinned HERE, once, and
+    * every consumer stays encoding-agnostic. Session TZ is pinned UTC
+    * (GraftSession/Verify/Bench), so the NTZ→TZ cast is the identity
+    * wall-clock mapping DuckDB applies too. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-      case _ => df.withColumn("ts_utc", col("ts"))
+      case LongType => df // TIMESTAMP(NANOS) under nanosAsLong — already epoch nanos
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other => sys.error(s"unexpected events.ts type: $other")
     }
   }
+
+  /** `events` with exact nanos (`ts`, LongType — see `normalizeTs`)
+    * plus a usable micros timestamp (`ts_utc`). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
 }

@@ -145,8 +145,8 @@ object CorpusPipeline {
     // checkpointed distributed frame either way.
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       cfg.base.numHashes, cfg.base.bandSize, cfg.base.minJaccard, cfg.base.maxBucket)
-    val keep = Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs)
-      .localCheckpoint(true)
+    val keep = graft.PlanCapture.checkpoint(
+      Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs), "recipe-keep-ids")
     gated.unpersist()
     ex.unpersist()
     TextAnalysis.hashSplit(docs.join(broadcast(keep), Seq(idCol), "left_semi"),
@@ -167,8 +167,8 @@ object CorpusPipeline {
     val ex = exactStage(gated, idCol, textCol, cfg.exactByFingerprint).persist()
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket)
-    val keep = Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs)
-      .localCheckpoint(true)
+    val keep = graft.PlanCapture.checkpoint(
+      Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs), "clean-keep-ids")
     ex.unpersist()
     docs.join(broadcast(keep), Seq(idCol), "left_semi")
   }

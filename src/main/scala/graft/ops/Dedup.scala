@@ -33,7 +33,7 @@ object Dedup {
     * checkpointed result is the near-dup pair list — tiny next to the
     * intermediates it replaces. */
   private def materializeAndFree(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val out = graft.PlanCapture.checkpoint(result, "neardup-pairs")
     cached.foreach(_.unpersist())
     out
   }
@@ -670,11 +670,13 @@ object Dedup {
     * self-join per round is over the label frame (node-sized), cheap
     * next to saving diameter−log(diameter) full rounds on chains. */
   private def componentsByPropagation(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
-      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    val edges = graft.PlanCapture.checkpoint(
+      pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+        .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+        .distinct(), "cc-edges")
+    var labels = graft.PlanCapture.checkpoint(
+      edges.select(col("s").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")), "cc-labels-init")
     var done = false
     while (!done) {
       val viaNeighbor = edges.join(labels, edges("d") === labels("id"))
@@ -687,11 +689,12 @@ object Dedup {
       // label is still reachable-and-smaller) — jumping against
       // `stepped` itself would recompute the propagation join twice.
       val jump = labels.select(col("id").as("_jid"), col("comp").as("_jcomp"))
-      val next = stepped.join(jump, stepped("mid") === jump("_jid"), "left")
-        .select(stepped("id"),
-          least(col("mid"), coalesce(col("_jcomp"), col("mid"))).as("comp"),
-          (least(col("mid"), coalesce(col("_jcomp"), col("mid"))) < col("old")).as("chg"))
-        .localCheckpoint(true)
+      val next = graft.PlanCapture.checkpoint(
+        stepped.join(jump, stepped("mid") === jump("_jid"), "left")
+          .select(stepped("id"),
+            least(col("mid"), coalesce(col("_jcomp"), col("mid"))).as("comp"),
+            (least(col("mid"), coalesce(col("_jcomp"), col("mid"))) < col("old")).as("chg")),
+        "cc-round")
       done = next.filter(col("chg")).isEmpty
       labels = next.select(col("id"), col("comp"))
     }

@@ -391,7 +391,7 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("q_id"), col("rnk"))
-    val out = rr.localCheckpoint(true)
+    val out = graft.PlanCapture.checkpoint(rr, "ivf-retrieve")
     nrm.unpersist()
     assigned.unpersist()
     out
@@ -501,12 +501,14 @@ object Similarity {
     // inside the codes broadcast, once for the codebook return).
     val cb1 = comp.groupBy(col("s"), col("code"))
       .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("ics"))
-      .select(col("s"), col("code"),
-        transform(col("ics"), ic => ic.getField("c")).as("cw"))
-      .localCheckpoint(true)
-    val codes = assignCodes(sub, cb1).localCheckpoint(true)
+    val cb1ck = graft.PlanCapture.checkpoint(
+      cb1.select(col("s"), col("code"),
+        transform(col("ics"), ic => ic.getField("c")).as("cw")),
+      "pq-codebooks")
+    val codes = graft.PlanCapture.checkpoint(
+      assignCodes(sub, cb1ck), "pq-codes")
     sub.unpersist()
-    (cb1, codes)
+    (cb1ck, codes)
   }
 
   /** PQ retrieval: asymmetric-distance (ADC) shortlist of `shortlist`
@@ -520,12 +522,28 @@ object Similarity {
       queryPred: Column, k: Int, m: Int = 8, seedStep: Int = 7,
       shortlist: Int = 100): DataFrame = {
     val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStep)
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    pqServe(emb, idCol, vecCol, queryPred, k, cb, codes, shortlist)
+  }
+
+  /** PQ SERVING path against a STANDING model — ADC shortlist + exact
+    * rerank only, no training. This is what a production deployment
+    * runs per query batch: `pqModel` trains once (offline, amortized
+    * over every retrieval), codebooks/codes persist as tables, and
+    * retrieval touches the m-byte codes plus `shortlist` raw vectors
+    * per query. Byte-identical to `pqTopK` at the same model
+    * (PqServeSpec pins it); split out so training cost is measured
+    * separately from serving cost (round-6 verdict residual #2 —
+    * MICRO_r7 `pq_serve` row). Subspace width comes from the model,
+    * like `pqEncode`. */
+  def pqServe(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, cb: DataFrame, codes: DataFrame,
+      shortlist: Int = 100): DataFrame = {
+    val subDim = cb.select(size(col("cw"))).first().getInt(0)
     val nrm = normalized(emb, idCol, vecCol).persist()
     val q = nrm.filter(queryPred).select(col("id").as("q_id"), col("ve").as("qe"))
     val tab = q.crossJoin(broadcast(cb))
       .select(col("q_id"), col("s"), col("code"),
-        d2i(slice(col("qe"), col("s") * (dim / m) + 1, lit(dim / m)), col("cw")).as("d2i"))
+        d2i(slice(col("qe"), col("s") * subDim + 1, lit(subDim)), col("cw")).as("d2i"))
     val scored = codes.join(broadcast(tab), Seq("s", "code"))
       .filter(col("id") =!= col("q_id"))
       .groupBy(col("q_id"), col("id"))
@@ -544,7 +562,7 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
       .orderBy(col("q_id"), col("rnk"))
-    val out = rr.localCheckpoint(true)
+    val out = graft.PlanCapture.checkpoint(rr, "pq-adc-retrieve")
     nrm.unpersist()
     out
   }

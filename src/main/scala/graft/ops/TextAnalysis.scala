@@ -1027,10 +1027,12 @@ object TextAnalysis {
     // times (c12 agg, c1 agg, vocab count, scoring join), which is the
     // term that dominates at 100×.
     val cached = arrDf.persist()
-    val c12 = bgOf(cached).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12")).localCheckpoint(true)
-    val v = cached.select(explode(col("_a")).as("tok"))
-      .agg(countDistinct(col("tok")).as("v")).localCheckpoint(true)
+    val c12 = graft.PlanCapture.checkpoint(
+      bgOf(cached).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")), "bigram-c12")
+    val v = graft.PlanCapture.checkpoint(
+      cached.select(explode(col("_a")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")), "bigram-vocab")
     cached.unpersist()
     // c(w1·) by RE-AGGREGATING c12 (sum over w2) — vocab-sized input,
     // not another corpus scan; equals the direct bigram count by w1.

@@ -1,10 +1,20 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.{GraftSession, PlanCapture, SparkEntry}
 
 /** Physical-plan sweep over every gate query: shuffle counts, join
   * strategies, scan pruning. The per-round "would this survive a
   * 100× scale-up" checklist.
+  *
+  * Queries that eagerly `localCheckpoint` intermediates (connected
+  * components, the PQ family, q84) truncate lineage, so their FINAL
+  * plan is a bare `Scan ExistingRDD`. Each query is therefore built
+  * under [[PlanCapture.audited]], which records every pre-checkpoint
+  * sub-plan; counts here are over final plan + all sub-plans, so the
+  * expensive pre-checkpoint stages are audited too (round-6 verdict
+  * residual #1). `ck` = number of checkpointed sub-plans merged in.
+  * A query whose merged plan still has 0 parquet scans is flagged
+  * `NO-SCAN!` and counted in the exit summary.
   *
   * Usage: runMain graft.tools.PlanAudit [sfDir]
   */
@@ -13,11 +23,13 @@ object PlanAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local("8", "plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"${"query"}%-24s ${"exch"}%4s ${"bhj"}%4s ${"smj"}%4s ${"bnlj"}%5s ${"scans"}%5s ${"pushed"}%7s  flags")
+    var noScan = List.empty[String]
+    var failed = List.empty[String]
+    println(f"${"query"}%-24s ${"exch"}%4s ${"bhj"}%4s ${"smj"}%4s ${"bnlj"}%5s ${"scans"}%5s ${"pushed"}%7s ${"ck"}%3s  flags")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, dir)
-        val plan = df.queryExecution.executedPlan.toString
+        val (df, subPlans) = PlanCapture.audited(name)(fn(spark, dir))
+        val plan = (df.queryExecution.executedPlan.toString +: subPlans).mkString("\n")
         def c(s: String) = s.r.findAllIn(plan).length
         val exch = c("Exchange ") - c("BroadcastExchange ")
         val bhj = c("BroadcastHashJoin")
@@ -29,11 +41,19 @@ object PlanAudit {
         if (smj > 0) flags.append(" SMJ!")
         if (plan.contains("CartesianProduct")) flags.append(" CARTESIAN!")
         if (exch > 6) flags.append(" MANY-SHUFFLES!")
-        println(f"$name%-24s $exch%4d $bhj%4d $smj%4d $bnlj%5d $scans%5d $pushed%7d  ${flags.toString}")
+        if (scans == 0) { flags.append(" NO-SCAN!"); noScan ::= name }
+        println(f"$name%-24s $exch%4d $bhj%4d $smj%4d $bnlj%5d $scans%5d $pushed%7d ${subPlans.size}%3d  ${flags.toString}")
       } catch {
-        case e: Throwable => println(f"$name%-24s FAILED: ${e.getMessage.take(60)}")
+        case e: Throwable =>
+          failed ::= name
+          println(f"$name%-24s FAILED: ${e.getMessage.take(60)}")
       }
     }
+    println(s"# audited=${SparkEntry.queries.size} zero-scan=${noScan.size}" +
+      (if (noScan.nonEmpty) noScan.sorted.mkString(" [", ",", "]") else "") +
+      s" failed=${failed.size}" +
+      (if (failed.nonEmpty) failed.sorted.mkString(" [", ",", "]") else ""))
     spark.stop()
+    if (noScan.nonEmpty || failed.nonEmpty) sys.exit(1)
   }
 }

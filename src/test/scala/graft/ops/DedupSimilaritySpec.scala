@@ -501,6 +501,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(gotShort == Map(3L -> 1.0))
   }
 
+  test("pqServe off a persisted model is row-identical to self-contained pqTopK") {
+    // The serving/training split (MICRO_r7 pq_serve row): train once,
+    // round-trip the model through parquet as production would, serve
+    // against the standing tables — results must pin to the q96 gate's
+    // self-contained form exactly (same model ⇒ same retrieval).
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val (cb, codes) = Similarity.pqModel(e, "vec_id", "embedding", m = 8, seedStep = 7)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_model_").toString
+    cb.write.mode("overwrite").parquet(s"$tmp/codebooks")
+    codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    val cbT = spark.read.parquet(s"$tmp/codebooks")
+    val codesT = spark.read.parquet(s"$tmp/codes")
+    val served = Similarity.pqServe(e, "vec_id", "embedding",
+        col("vec_id") < 5, k = 5, cbT, codesT, shortlist = 100)
+      .collect().map(_.toSeq).toSet
+    val self = Similarity.pqTopK(e, "vec_id", "embedding",
+        col("vec_id") < 5, k = 5, m = 8, seedStep = 7, shortlist = 100)
+      .collect().map(_.toSeq).toSet
+    assert(served == self)
+  }
+
   test("pqEncode: empty delta yields an empty codes frame (dim from model, not delta)") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (cb, _) = Similarity.pqModel(e, "vec_id", "embedding", m = 8, seedStep = 7)
