@@ -13,8 +13,9 @@ import graft.{GraftSession, PlanCapture, SparkEntry}
   * sub-plan; counts here are over final plan + all sub-plans, so the
   * expensive pre-checkpoint stages are audited too (round-6 verdict
   * residual #1). `ck` = number of checkpointed sub-plans merged in.
-  * A query whose merged plan still has 0 parquet scans is flagged
-  * `NO-SCAN!` and counted in the exit summary.
+  * A query whose merged plan has neither a parquet scan nor a Range
+  * source (q39 synthesizes its workload from spark.range by design)
+  * is flagged `NO-SCAN!` and counted in the failing exit summary.
   *
   * Usage: runMain graft.tools.PlanAudit [sfDir]
   */
@@ -41,7 +42,7 @@ object PlanAudit {
         if (smj > 0) flags.append(" SMJ!")
         if (plan.contains("CartesianProduct")) flags.append(" CARTESIAN!")
         if (exch > 6) flags.append(" MANY-SHUFFLES!")
-        if (scans == 0) { flags.append(" NO-SCAN!"); noScan ::= name }
+        if (scans == 0 && c("Range \\(") == 0) { flags.append(" NO-SCAN!"); noScan ::= name }
         println(f"$name%-24s $exch%4d $bhj%4d $smj%4d $bnlj%5d $scans%5d $pushed%7d ${subPlans.size}%3d  ${flags.toString}")
       } catch {
         case e: Throwable =>
