@@ -153,6 +153,82 @@ object CorpusPipeline {
       idCol, cfg.splitSeed, cfg.trainFrac)
   }
 
+  /** Knobs for the four curation stages `curationRecipe` layers onto
+    * `trainingRecipe` (round-6 verdict ask #5): PII release gate,
+    * fuzzy (per-item fractional) decontamination, boilerplate-heavy
+    * doc drop, and per-domain token-budget sampling. Defaults match
+    * the standalone gates (q86/q87/q89/q90). `budgetTokens = None`
+    * disables the budget stage. */
+  final case class CurationConfig(
+      base: RecipeConfig = RecipeConfig(),
+      piiGate: Boolean = true,
+      fuzzyN: Int = 3,
+      fuzzyMinFrac: Double = 0.5,
+      bpN: Int = 3,
+      bpMinDocs: Long = 50,
+      bpMaxFrac: Double = 0.5,
+      budgetTokens: Option[Long] = None,
+      budgetSeed: String = "mix1")
+
+  /** The FULL curation recipe — `trainingRecipe`'s certified chain
+    * with the round-6 curation family composed in as recipe stages,
+    * every stage the individually-certified operator (q99 gates the
+    * composition):
+    *
+    *   quality gate → repetition filter (Gopher) → PII release gate →
+    *   exact benchmark decontamination → fuzzy decontamination →
+    *   boilerplate-heavy drop → exact dedup → near-dup collapse
+    *   (capped LSH) → per-domain token-budget sample → train/val
+    *   split.
+    *
+    * Stage shape at 100 TB: stages 1–3 are map-only predicates fused
+    * into the scan; exact+fuzzy decontamination broadcast
+    * benchmark-sized gram sets; the boilerplate stage is one gram
+    * scan to a vocab-bounded set plus one to a doc-sized coverage
+    * frame; the dedup stages run as in `clean`; the budget stage is
+    * one window over the (already tiny) survivor set. The corpus
+    * text itself never shuffles before the exact-dedup stage. */
+  def curationRecipe(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, domainCol: String,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val b = cfg.base
+    val gated0 = docs.filter(
+      qualityGate(col(textCol), b.base) &&
+        !TextAnalysis.repetitiveFlag(col(textCol), b.maxDup3Frac, b.maxTopTokFrac))
+    val gated =
+      (if (cfg.piiGate) gated0.filter(!CurationOps.hasPii(col(textCol))) else gated0)
+        .persist()
+    val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
+      b.decontamN, b.decontamMinShared)
+    val defuzz = decon.join(
+        broadcast(CurationOps.fuzzyContaminatedIds(decon, benchmark, idCol, textCol,
+          cfg.fuzzyN, cfg.fuzzyMinFrac)),
+        Seq(idCol), "left_anti")
+      .persist()
+    val debp = CurationOps.dropBoilerplateHeavy(defuzz, idCol, textCol,
+      CurationOps.boilerplateGramSet(defuzz, idCol, textCol, cfg.bpN, cfg.bpMinDocs),
+      cfg.bpN, cfg.bpMaxFrac)
+    val ex = exactStage(debp, idCol, textCol, b.base.exactByFingerprint).persist()
+    val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
+      b.base.numHashes, b.base.bandSize, b.base.minJaccard, b.base.maxBucket)
+    val keep0 = graft.PlanCapture.checkpoint(
+      Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs), "curation-keep-ids")
+    val keep = cfg.budgetTokens match {
+      case Some(budget) =>
+        graft.PlanCapture.checkpoint(
+          CurationOps.budgetSample(
+            ex.join(broadcast(keep0), Seq(idCol), "left_semi"),
+            idCol, textCol, domainCol, budget, cfg.budgetSeed)
+            .select(col(idCol)), "curation-budget-ids")
+      case None => keep0
+    }
+    gated.unpersist()
+    defuzz.unpersist()
+    ex.unpersist()
+    TextAnalysis.hashSplit(docs.join(broadcast(keep), Seq(idCol), "left_semi"),
+      idCol, b.splitSeed, b.trainFrac)
+  }
+
   /** The full pipeline: returns the cleaned, deduplicated corpus
     * (all original columns of the surviving rows). */
   def clean(docs: DataFrame, idCol: String, textCol: String,

@@ -52,6 +52,67 @@ object CurationOps {
         round(col("n_shared") / col("bench_total"), 6).as("overlap_frac"))
   }
 
+  /** Ids of corpus docs fuzzily contaminated against `benchmark` —
+    * the drop-list form of `fuzzyContamination`, for recipe
+    * composition (anti-join side). Contamination-sized output. */
+  def fuzzyContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minFrac: Double = 0.5): DataFrame =
+    fuzzyContamination(corpus, benchmark, idCol, textCol, n, minFrac)
+      .select(col("id").as(idCol)).distinct()
+
+  /** Streaming-composable fuzzy decontamination: drops every doc the
+    * batch `fuzzyContaminatedIds` would drop, but the per-doc test
+    * runs MAP-SIDE against the benchmark's per-item gram sets carried
+    * as ONE broadcast array of (grams, total) structs — the
+    * aggregate-then-anti-join shape of the batch form is illegal on a
+    * streaming frame (same constraint as `decontaminateStreaming`).
+    * Per-row cost is |bench items| array-intersects; benchmarks are
+    * tiny by definition. The doc's gram set is projected into a real
+    * column FIRST so the `exists` lambda reads a bound attribute —
+    * capturing the split/slide expression tree would re-evaluate it
+    * per bench item (the dup3Frac pitfall). Survivor set spec'd
+    * identical to the batch form (CorpusStreamSpec). */
+  def fuzzyDecontamStreaming(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minFrac: Double = 0.5): DataFrame = {
+    val benchItems = TextAnalysis.ngramSets(benchmark, idCol, textCol, n)
+      .groupBy(col("id")).agg(collect_set(col("gram")).as("grams"))
+      .agg(collect_list(struct(col("grams"),
+        size(col("grams")).as("total"))).as("_bench_items"))
+    val ts = split(trim(col(textCol)), WS)
+    val gs = when(size(ts) >= n,
+      array_distinct(graft.functions.TextFunctions.ngramArray(ts, n)))
+      .otherwise(array().cast("array<string>"))
+    corpus.crossJoin(broadcast(benchItems))
+      .withColumn("_gs", gs)
+      .filter(!exists(col("_bench_items"), b =>
+        size(array_intersect(col("_gs"), b.getField("grams")))
+          / b.getField("total") >= minFrac))
+      .drop("_bench_items", "_gs")
+  }
+
+  /** Streaming-composable boilerplate-heavy drop against a STANDING
+    * gram set (from `boilerplateGramSet` over the accumulated corpus,
+    * or a curator blocklist): the doc-frequency aggregation cannot run
+    * on the live stream (unbounded state), so — like the near-dup
+    * index in `landNearDupMasked` — the SET is maintained by the
+    * periodic batch job and each micro-batch is tested map-side
+    * against its broadcast. Coverage semantics identical to the batch
+    * `dropBoilerplateHeavy` at the same gram set (CorpusStreamSpec). */
+  def dropBoilerplateHeavyStreaming(docs: DataFrame, textCol: String,
+      bpGrams: DataFrame, n: Int = 3, maxFrac: Double = 0.5): DataFrame = {
+    val bset = bpGrams.agg(collect_set(col("gram")).as("_bpset"))
+    val ts = split(trim(col(textCol)), WS)
+    val gs = when(size(ts) >= n, graft.functions.TextFunctions.ngramArray(ts, n))
+      .otherwise(array().cast("array<string>"))
+    docs.crossJoin(broadcast(bset))
+      .withColumn("_gs", gs)
+      .filter(!(size(filter(col("_gs"), g => array_contains(col("_bpset"), g))) >
+        size(col("_gs")) * maxFrac))
+      .drop("_bpset", "_gs")
+  }
+
   // ---------------------------------------------------------------- PII audit
 
   /** Luhn checksum validity of a digit-string Column — what separates
@@ -74,9 +135,9 @@ object CurationOps {
     total % 10 === 0
   }
 
-  private val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
-  private val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
-  private val cardRe = "[0-9]{13,}"
+  private[ops] val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+  private[ops] val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  private[ops] val cardRe = "[0-9]{13,}"
 
   /** Per-document PII audit: email / phone counts by regex, card
     * candidates by digit-run regex SPLIT into Luhn-valid vs invalid,
@@ -93,9 +154,7 @@ object CurationOps {
     * RE2 — lookarounds are not (RE2 has none), so this form keeps the
     * two engines' semantics provably aligned. */
   def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cands = filter(
-      regexp_extract_all(col(textCol), lit(cardRe), lit(0)),
-      n => length(n) <= 16)
+    val cands = cardCandidates(col(textCol))
     val nValid = size(filter(cands, n => luhnValid(n))).cast("long")
     val nEmails = size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long")
     val nPhones = size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long")
@@ -106,6 +165,17 @@ object CurationOps {
       nPhones.as("n_phones"),
       (nEmails > 0 || nValid > 0 || nPhones > 0).as("has_pii"))
   }
+
+  private def cardCandidates(t: Column): Column =
+    filter(regexp_extract_all(t, lit(cardRe), lit(0)), n => length(n) <= 16)
+
+  /** The `has_pii` decision as a map-only predicate — the release-gate
+    * form (`curationRecipe` stage 3): fuses into the scan, no audit
+    * frame materialized. Same semantics as `piiAudit.has_pii`. */
+  def hasPii(t: Column): Column =
+    size(regexp_extract_all(t, lit(emailRe), lit(0))) > 0 ||
+      size(filter(cardCandidates(t), n => luhnValid(n))) > 0 ||
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))) > 0
 
   // ---------------------------------------------------------------- DSIR importance resampling
 
@@ -180,6 +250,45 @@ object CurationOps {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(topK)
+
+  /** The corpus-wide boilerplate gram SET (no top-K cap, no ordering)
+    * — the broadcastable blocklist `dropBoilerplateHeavy` and the
+    * streaming twin consume. Vocab-bounded after the `minDocs` cut. */
+  def boilerplateGramSet(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Long = 50): DataFrame =
+    df.select(col(idCol).as("id"), split(trim(col(textCol)), WS).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("id"),
+        explode(graft.functions.TextFunctions.ngramArray(col("ts"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"))
+
+  /** Drop documents whose boilerplate n-gram COVERAGE (fraction of the
+    * doc's gram positions matching `bpGrams`) exceeds `maxFrac` — the
+    * RefinedWeb-style doc-level cut for template-dominated pages,
+    * complementing q85's line dedup (which strips) and q89's report
+    * (which measures). Docs too short to have grams are kept
+    * (coverage 0). `bpGrams` is the vocab-bounded set from
+    * `boilerplateGramSet` (or a curator-supplied blocklist) →
+    * broadcast; the corpus text never shuffles — one gram scan
+    * reduced to a doc-sized (id, coverage) frame, then a broadcast
+    * anti-join of the heavy ids. */
+  def dropBoilerplateHeavy(df: DataFrame, idCol: String, textCol: String,
+      bpGrams: DataFrame, n: Int = 3, maxFrac: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol).as("_bid"), split(trim(col(textCol)), WS).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("_bid"),
+        explode(graft.functions.TextFunctions.ngramArray(col("ts"), n)).as("gram"))
+    val heavy = toks
+      .join(broadcast(bpGrams.select(col("gram"), lit(1L).as("_bp"))), Seq("gram"), "left")
+      .groupBy(col("_bid"))
+      .agg(sum(coalesce(col("_bp"), lit(0L))).as("n_bp"), count(lit(1)).as("n_tot"))
+      .filter(col("n_bp") > col("n_tot") * maxFrac)
+      .select(col("_bid").as(idCol))
+    df.join(broadcast(heavy), Seq(idCol), "left_anti")
+  }
 
   // ---------------------------------------------------------------- token-budget mixture execution
 
@@ -543,6 +652,148 @@ object CurationOps {
       |SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS epoch
       |FROM d WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin
 
+  /** q99 — the FULL curation recipe as one certified dataflow (the
+    * q69 pattern, extended): quality gate → repetition filter → PII
+    * release gate → exact 6-gram decontamination → fuzzy 3-gram
+    * decontamination → boilerplate-heavy drop → exact dedup →
+    * capped-LSH near-dup collapse → per-source 300-token budget →
+    * train/val split. PII and boilerplate are exercised via planted
+    * tails (q87/q89 conventions: emails on doc_id %% 5 == 0, a
+    * newsletter tail on %% 3 == 0); thresholds (fuzzy 0.03, coverage
+    * 0.06, budget 300) are set where each stage genuinely fires on
+    * this corpus. */
+  def curationGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 20 =!= 0).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit(" subscribe to our newsletter all rights reserved")).otherwise(lit("")))
+        .as("text"),
+      col("lang"), col("source"))
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    CorpusPipeline.curationRecipe(planted, bench, "doc_id", "text", "source",
+      CorpusPipeline.CurationConfig(
+        fuzzyN = 3, fuzzyMinFrac = 0.03, bpN = 3, bpMinDocs = 50,
+        bpMaxFrac = 0.06, budgetTokens = Some(300L), budgetSeed = "mix1"))
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationGateSql: String = {
+    val ws = "\\s+"
+    val nTok =
+      s"""CASE WHEN length(trim(text)) = 0 THEN 0
+         | ELSE len(string_split_regex(trim(text), '$ws')) END""".stripMargin
+    val nStop = s"len(regexp_extract_all(text, '${"\\b(the|a|of|and|in|to|is)\\b"}'))"
+    val nPunct = s"len(regexp_extract_all(text, '${"[^a-zA-Z0-9\\s]"}'))"
+    val g3 = "list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))"
+    s"""WITH RECURSIVE
+       |planted AS (SELECT doc_id, lang, source, text
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter all rights reserved' ELSE '' END
+       |    AS text FROM documents WHERE doc_id % 20 != 0),
+       |qsrc AS (SELECT doc_id, lang, text, $nTok AS n_tokens,
+       |    $nStop AS n_stop, $nPunct AS n_punct
+       |  FROM planted),
+       |qscore AS (SELECT *, coalesce(round(
+       |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) +
+       |    0.3 * (1.0 - least(1.0, (n_punct / nullif(CAST(length(text) AS DOUBLE), 0.0)) * 10.0)) +
+       |    0.2 * least(1.0, (n_stop / nullif(CAST(n_tokens AS DOUBLE), 0.0)) * 5.0), 6), 0.0) AS score
+       |  FROM qsrc),
+       |filt0 AS (SELECT doc_id, lang, text, n_tokens FROM qscore
+       |  WHERE n_tokens >= 5 AND score >= 0.3),
+       |rl AS (SELECT doc_id, string_split_regex(trim(text), '$ws') AS ts FROM filt0),
+       |rg AS (SELECT doc_id, ts, CASE WHEN len(ts) >= 3
+       |    THEN $g3 ELSE [] END AS gs FROM rl),
+       |rep AS (SELECT doc_id FROM rg WHERE
+       |  (CASE WHEN len(gs) > 0
+       |     THEN round((len(gs) - len(list_distinct(gs))) / CAST(len(gs) AS DOUBLE), 6)
+       |     ELSE 0.0 END) > 0.5
+       |  OR round(list_max(list_transform(list_distinct(ts),
+       |       t -> len(list_filter(ts, x -> x = t)))) / CAST(len(ts) AS DOUBLE), 6) > 0.2),
+       |filt1 AS (SELECT f.* FROM filt0 f LEFT JOIN rep r ON f.doc_id = r.doc_id
+       |  WHERE r.doc_id IS NULL),
+       |luhnv AS (SELECT doc_id,
+       |    list_transform(list_filter(regexp_extract_all(text, '$cardRe'), n -> length(n) <= 16), n ->
+       |      list_sum(list_transform(generate_series(1, length(n)),
+       |        i -> CASE WHEN i % 2 = 0
+       |          THEN CASE WHEN CAST(substr(reverse(n), i, 1) AS INT) * 2 > 9
+       |               THEN CAST(substr(reverse(n), i, 1) AS INT) * 2 - 9
+       |               ELSE CAST(substr(reverse(n), i, 1) AS INT) * 2 END
+       |          ELSE CAST(substr(reverse(n), i, 1) AS INT) END)) % 10 = 0) AS valid
+       |  FROM filt1),
+       |pii AS (SELECT f.doc_id FROM filt1 f JOIN luhnv l ON f.doc_id = l.doc_id
+       |  WHERE len(regexp_extract_all(f.text, '$emailRe')) > 0
+       |     OR len(list_filter(l.valid, v -> v)) > 0
+       |     OR len(regexp_extract_all(f.text, '$phoneRe')) > 0),
+       |filt AS (SELECT f.* FROM filt1 f LEFT JOIN pii p ON f.doc_id = p.doc_id
+       |  WHERE p.doc_id IS NULL),
+       |btoks AS (SELECT string_split_regex(trim(text), '$ws') AS ts
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |bgrams AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(ts) - 5),
+       |    i -> array_to_string(ts[i:i+5], ' '))) AS gram FROM btoks WHERE len(ts) >= 6),
+       |ctoks AS (SELECT doc_id AS id, string_split_regex(trim(text), '$ws') AS ts FROM filt),
+       |cgrams AS (SELECT DISTINCT id, unnest(list_transform(generate_series(1, len(ts) - 5),
+       |    i -> array_to_string(ts[i:i+5], ' '))) AS gram FROM ctoks WHERE len(ts) >= 6),
+       |contam AS (SELECT DISTINCT c.id FROM cgrams c JOIN bgrams b ON c.gram = b.gram),
+       |decon AS (SELECT f.* FROM filt f LEFT JOIN contam c ON f.doc_id = c.id
+       |  WHERE c.id IS NULL),
+       |fbg AS (SELECT DISTINCT doc_id AS bench_id, unnest($g3) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '$ws') AS ts
+       |        FROM documents WHERE doc_id % 20 = 0) WHERE len(ts) >= 3),
+       |fbtot AS (SELECT bench_id, count(*) AS bench_total FROM fbg GROUP BY 1),
+       |fcg AS (SELECT DISTINCT doc_id AS id, unnest($g3) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '$ws') AS ts FROM decon)
+       |  WHERE len(ts) >= 3),
+       |fshared AS (SELECT c.id, b.bench_id, count(*) AS n_shared
+       |  FROM fcg c JOIN fbg b ON c.gram = b.gram GROUP BY 1, 2),
+       |fuzzy AS (SELECT DISTINCT s.id FROM fshared s JOIN fbtot t USING (bench_id)
+       |  WHERE s.n_shared / CAST(t.bench_total AS DOUBLE) >= 0.03),
+       |defz AS (SELECT d.* FROM decon d LEFT JOIN fuzzy z ON d.doc_id = z.id
+       |  WHERE z.id IS NULL),
+       |bpocc AS (SELECT doc_id AS id, unnest($g3) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '$ws') AS ts FROM defz)
+       |  WHERE len(ts) >= 3),
+       |bpset AS (SELECT gram FROM bpocc GROUP BY gram HAVING count(DISTINCT id) >= 50),
+       |bpcov AS (SELECT o.id, count(*) AS n_tot, count(s.gram) AS n_bp
+       |  FROM bpocc o LEFT JOIN bpset s ON o.gram = s.gram GROUP BY o.id),
+       |heavy AS (SELECT id FROM bpcov WHERE n_bp > n_tot * 0.06),
+       |debp AS (SELECT d.* FROM defz d LEFT JOIN heavy h ON d.doc_id = h.id
+       |  WHERE h.id IS NULL),
+       |ex AS (SELECT doc_id, lang, text, n_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS fp_min FROM debp)
+       |  WHERE doc_id = fp_min),
+       |${DedupShapes.lshPairsCteFrom("ex")},
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id),
+       |surv AS (SELECT e.doc_id, e.lang, e.n_tokens
+       |  FROM ex e LEFT JOIN comp c ON c.id = e.doc_id
+       |  WHERE c.id IS NULL OR least(c.id, c.mn) = e.doc_id),
+       |bd AS (SELECT s.doc_id, p.source, s.lang, s.n_tokens,
+       |    md5('mix1|' || CAST(s.doc_id AS VARCHAR)) AS rk
+       |  FROM surv s JOIN planted p USING (doc_id)),
+       |bw AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM bd)
+       |SELECT doc_id, lang, n_tokens,
+       |  CASE WHEN substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+       |       THEN 'train' ELSE 'val' END AS split
+       |FROM bw WHERE cum - n_tokens < 300
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontam,
     "q87_pii_audit" -> piiAuditGate,
@@ -551,7 +802,8 @@ object CurationOps {
     "q90_budget_sample" -> budgetGate,
     "q91_corpus_diff" -> diffGate,
     "q92_url_hosts" -> urlGate,
-    "q93_epoch_mixture" -> epochsGate)
+    "q93_epoch_mixture" -> epochsGate,
+    "q99_curation_recipe" -> curationGate)
 
   val oracles: Map[String, String] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontamSql,
@@ -561,5 +813,6 @@ object CurationOps {
     "q90_budget_sample" -> budgetGateSql,
     "q91_corpus_diff" -> diffGateSql,
     "q92_url_hosts" -> urlGateSql,
-    "q93_epoch_mixture" -> epochsGateSql)
+    "q93_epoch_mixture" -> epochsGateSql,
+    "q99_curation_recipe" -> curationGateSql)
 }

@@ -42,7 +42,7 @@ object DedupShapes {
     * shared by the q31 pair report, the q55 canonical collapse, and
     * (sourced from the filtered/exact-deduped `ex` CTE) the q59
     * end-to-end pipeline. */
-  private def lshPairsCteFrom(src: String): String =
+  private[ops] def lshPairsCteFrom(src: String): String =
     s"""${shingleSql("", src)},
        |sig AS (SELECT id, h.i AS i, min(md5(CAST(h.i AS VARCHAR) || '|' || sh)) AS sig
        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) h GROUP BY id, h.i),

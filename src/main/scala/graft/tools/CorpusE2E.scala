@@ -39,6 +39,22 @@ object CorpusE2E {
     }
     val nKept = recipe.count()
 
+    // The EXTENDED pipeline (q99's composition): + PII gate, fuzzy
+    // decontamination, boilerplate-heavy drop, per-source token budget.
+    // Run on the same corpus so the two rows are directly comparable;
+    // budget sized ~20% under the base recipe's survivor tokens so the
+    // stage binds at any sf.
+    val (curated, curatedSec) = timed {
+      val perSource = recipe.select(
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+        .agg(sum(col("n"))).first().getLong(0) / 25 // ≈0.8×/source at 20 sources
+      CorpusPipeline.curationRecipe(corpus, bench, "doc_id", "text", "source",
+          CorpusPipeline.CurationConfig(fuzzyMinFrac = 0.03, bpMaxFrac = 0.06,
+            budgetTokens = Some(perSource)))
+        .localCheckpoint(true)
+    }
+    val nCurated = curated.count()
+
     val outDir = Files.createTempDirectory("corpus-e2e-shards").toString
     val (manifest, writeSec) = timed {
       CorpusPipeline.writeShards(recipe, "doc_id", outDir,
@@ -57,6 +73,7 @@ object CorpusE2E {
     println(s"""{"metric":"corpus_e2e","sf":"$dir","docs_in":$nDocs,""" +
       s""""survivors":$nKept,"recipe_sec":${"%.2f".format(recipeSec)},""" +
       s""""docs_per_sec":${"%.1f".format(nDocs / recipeSec)},""" +
+      s""""curated":$nCurated,"curated_sec":${"%.2f".format(curatedSec)},""" +
       s""""shards":$nFiles,"write_sec":${"%.2f".format(writeSec)},""" +
       s""""mixture_sources":${plan.length},"mixture_sec":${"%.2f".format(planSec)},""" +
       s""""out":"$outDir"}""")

@@ -1,32 +1,71 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.ops.TextAnalysis
+import graft.ops.{CurationOps, TextAnalysis}
 
 /** Dataset-card generator: one JSON document summarizing a corpus the
   * way a dataset release documents itself — composition (docs/tokens
   * per lang × source, from the q75 rollup), the temperature-scaled
   * mixture a 1M-token run would sample (q76), the quality-decile
-  * curriculum table (q79), and the train/val split fractions (q66).
-  * Every number comes from an oracle-gated operator, so the card is
-  * a certified artifact, not a best-effort summary.
+  * curriculum table (q79), the train/val split fractions (q66), and —
+  * since round 7 — the release-gate observability: PII exposure
+  * (q87's audit), boilerplate span coverage (q89), and the URL host
+  * distribution (q92). Every number comes from an oracle-gated
+  * operator, so the card is a certified artifact, not a best-effort
+  * summary.
   *
   * Usage: runMain graft.tools.DatasetCard [sfDir]
   */
 object DatasetCard {
+
+  /** PII exposure rollup off the q87-certified per-doc audit: docs
+    * flagged, and total finds per kind. One map-only scan + a 1-row
+    * aggregate. */
+  def piiSummary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    CurationOps.piiAudit(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_cards_valid")).as("n_cards_valid"),
+        sum(col("n_phones")).as("n_phones"))
+
+  /** Boilerplate coverage off the q89-certified span report: spans
+    * crossing the doc-frequency floor, their total occurrences, and
+    * the distinct docs they touch. */
+  def boilerplateSummary(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Long = 50): DataFrame = {
+    val spans = CurationOps.boilerplateSpans(docs, idCol, textCol, n, minDocs,
+      topK = Int.MaxValue)
+    spans.agg(count(lit(1)).as("n_spans"),
+      coalesce(sum(col("n_occurrences")), lit(0L)).as("n_occurrences"),
+      coalesce(max(col("n_docs")), lit(0L)).as("max_span_docs"))
+  }
+
+  /** Top URL hosts off the q92-certified host-frequency report. */
+  def hostSummary(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 10): DataFrame =
+    CurationOps.hostFrequency(docs, idCol, textCol)
+      .orderBy(col("n_urls").desc, col("host"))
+      .limit(topK)
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "dataset-card")
     spark.sparkContext.setLogLevel("ERROR")
+    println(card(spark, dir))
+    spark.stop()
+  }
 
+  def card(spark: SparkSession, dir: String): String = {
     def js(v: Any): String = v match {
       case null => "null"
       case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case x => x.toString
     }
-    def rowsJson(df: org.apache.spark.sql.DataFrame): String =
+    def rowsJson(df: DataFrame): String =
       df.collect().map(r =>
         df.columns.zipWithIndex.map { case (c, i) => s"${js(c)}:${js(r.get(i))}" }
           .mkString("{", ",", "}")).mkString("[", ",", "]")
@@ -37,12 +76,14 @@ object DatasetCard {
     val splits = TextAnalysis.hashSplit(docs, "doc_id", "v1")
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
 
-    println(s"""{"dataset":${js(dir)},"n_docs":${total.getLong(2)},""" +
+    s"""{"dataset":${js(dir)},"n_docs":${total.getLong(2)},""" +
       s""""total_tokens":${total.getLong(3)},""" +
       s""""composition":${rowsJson(TextAnalysis.corpusStats(spark, dir).filter(col("lang").isNotNull && col("source").isNotNull))},""" +
       s""""mixture_1m_alpha05":${rowsJson(TextAnalysis.mixture(spark, dir))},""" +
       s""""quality_deciles":${rowsJson(TextAnalysis.qualityDeciles(spark, dir))},""" +
-      s""""split":${rowsJson(splits)}}""")
-    spark.stop()
+      s""""split":${rowsJson(splits)},""" +
+      s""""pii":${rowsJson(piiSummary(docs, "doc_id", "text"))},""" +
+      s""""boilerplate":${rowsJson(boilerplateSummary(docs, "doc_id", "text"))},""" +
+      s""""top_hosts":${rowsJson(hostSummary(docs, "doc_id", "text"))}}"""
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tools.DatasetCard
+
+/** The dataset card's release-gate sections (round-7 additions): each
+  * summary is the certified operator's rollup, so plant the signals
+  * the q87/q89/q92 gates plant and assert the card surfaces them. */
+class DatasetCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "plain words only here nothing sensitive at all today"),
+    (2L, "mail me at a.b@example.org and card 4111111111111111 thanks"),
+    (3L, "call 555-0142 soon or mail c.d@example.org please"),
+    (4L, "see https://blog.example.org/a and https://www.data.example.net/b"),
+    (5L, "also https://blog.example.org/c appears twice here")
+  ).toDF("doc_id", "text")
+
+  test("piiSummary counts flagged docs and finds per kind") {
+    val r = DatasetCard.piiSummary(base, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_docs_with_pii") == 2L)
+    assert(r.getAs[Long]("n_emails") == 2L)
+    assert(r.getAs[Long]("n_cards_valid") == 1L)
+    assert(r.getAs[Long]("n_phones") == 1L)
+  }
+
+  test("boilerplateSummary reports spans over the doc-frequency floor") {
+    val tailed = base.select(col("doc_id"),
+      concat(col("text"), lit(" all rights reserved today")).as("text"))
+    val r = DatasetCard.boilerplateSummary(tailed, "doc_id", "text", n = 3, minDocs = 5).head()
+    // every doc carries the 4-token tail → 2 shared 3-grams at df=5,
+    // each occurring once per doc
+    assert(r.getAs[Long]("n_spans") == 2L)
+    assert(r.getAs[Long]("n_occurrences") == 10L)
+    assert(r.getAs[Long]("max_span_docs") == 5L)
+    val clean = DatasetCard.boilerplateSummary(base, "doc_id", "text", n = 3, minDocs = 5).head()
+    assert(clean.getAs[Long]("n_spans") == 0L) // empty-report aggregate is 0s, not nulls
+  }
+
+  test("hostSummary ranks hosts with www stripped") {
+    val got = DatasetCard.hostSummary(base, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toList
+    assert(got.head == (("blog.example.org", 2L, 2L)))
+    assert(got.map(_._1).contains("data.example.net")) // www. stripped
+  }
+}

@@ -171,6 +171,51 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == byDoc)
   }
 
+  test("curationRecipe with all extra stages disabled equals trainingRecipe") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val base = CorpusPipeline.trainingRecipe(corpus, bench, "doc_id", "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val curated = CorpusPipeline.curationRecipe(corpus, bench, "doc_id", "text", "source",
+        CorpusPipeline.CurationConfig(piiGate = false, fuzzyMinFrac = 2.0,
+          bpMinDocs = Long.MaxValue, budgetTokens = None))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(curated == base)
+  }
+
+  test("curationRecipe: PII, fuzzy, boilerplate, and budget stages each drop docs") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val planted = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" reach me a.b@example.org ok")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit(" subscribe to our newsletter all rights reserved")).otherwise(lit("")))
+        .as("text"),
+      col("lang"), col("source"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    def run(cfg: CorpusPipeline.CurationConfig): Set[Long] =
+      CorpusPipeline.curationRecipe(planted, bench, "doc_id", "text", "source", cfg)
+        .select("doc_id").as[Long].collect().toSet
+    val off = CorpusPipeline.CurationConfig(piiGate = false, fuzzyMinFrac = 2.0,
+      bpMinDocs = Long.MaxValue, budgetTokens = None)
+    // Earlier drops can change which duplicate becomes a component's
+    // canonical survivor, so stage-on survivor sets are NOT subsets of
+    // the stage-off set — assert each stage removes its targets and
+    // genuinely changes the outcome instead.
+    val all = run(off)
+    assert(all.exists(_ % 5 == 0), "planted-PII docs survive with the gate off")
+    val pii = run(off.copy(piiGate = true))
+    assert(pii.nonEmpty && pii.forall(_ % 5 != 0), "PII gate drops every planted doc")
+    val fuzzy = run(off.copy(fuzzyMinFrac = 0.03))
+    assert(fuzzy.nonEmpty && (all -- fuzzy).nonEmpty)
+    val bp = run(off.copy(bpMinDocs = 20L, bpMaxFrac = 0.02))
+    assert(bp.nonEmpty && bp.forall(_ % 3 != 0), "coverage cut drops every tailed doc")
+    val budget = run(off.copy(budgetTokens = Some(100L)))
+    assert(budget.nonEmpty && (all -- budget).nonEmpty)
+  }
+
   test("piiAudit is map-only and composes onto a streaming frame") {
     val in = memStream[(Long, String)]
     val audited = CurationOps.piiAudit(

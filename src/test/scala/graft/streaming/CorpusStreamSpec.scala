@@ -73,6 +73,74 @@ class CorpusStreamSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyDecontamStreaming keeps the same survivors as the batch drop on static frames") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    for ((n, minFrac) <- Seq((3, 0.03), (3, 0.5), (4, 0.1))) {
+      val batch = corpus.join(
+          broadcast(graft.ops.CurationOps.fuzzyContaminatedIds(
+            corpus, bench, "doc_id", "text", n, minFrac)),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      val streamForm = graft.ops.CurationOps.fuzzyDecontamStreaming(
+          corpus, bench, "doc_id", "text", n, minFrac)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamForm == batch, s"n=$n minFrac=$minFrac")
+    }
+  }
+
+  test("dropBoilerplateHeavyStreaming matches the batch drop at the same standing gram set") {
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // plant a templated tail on a third of the docs so a real gram set exists
+    val docs = base.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(" subscribe to our newsletter all rights reserved")).otherwise(lit(""))).as("text"))
+    val bp = graft.ops.CurationOps.boilerplateGramSet(docs, "doc_id", "text", 3, 20L)
+    assert(bp.count() > 0, "planted tail must surface boilerplate grams")
+    for (maxFrac <- Seq(0.03, 0.06, 0.5)) {
+      val batch = graft.ops.CurationOps.dropBoilerplateHeavy(
+          docs, "doc_id", "text", bp, 3, maxFrac)
+        .select("doc_id").as[Long].collect().toSet
+      val streamForm = graft.ops.CurationOps.dropBoilerplateHeavyStreaming(
+          docs, "text", bp, 3, maxFrac)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamForm == batch, s"maxFrac=$maxFrac")
+    }
+  }
+
+  test("fuzzy + boilerplate streaming twins run on a live stream and match the batch ops") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val bpTail = " subscribe to our newsletter all rights reserved"
+    val bp = Seq("subscribe to our", "to our newsletter", "our newsletter all",
+      "newsletter all rights", "all rights reserved").toDF("gram")
+    val paraphrase = "alpha beta gamma delta epsilon more words beyond the quote here"
+    val boiler = ("page body word soup " * 2) + bpTail // tail dominates → heavy
+    val in = memStream[Doc]
+    val piped = graft.ops.CurationOps.dropBoilerplateHeavyStreaming(
+      graft.ops.CurationOps.fuzzyDecontamStreaming(
+        in.toDF(), bench, "doc_id", "text", 3, 0.3),
+      "text", bp, 3, 0.3)
+    val q = piped.writeStream.format("memory").queryName("curation_twins")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Doc(ts("2026-01-01 00:00:00"), 1L, good),
+        Doc(ts("2026-01-01 00:00:01"), 2L, paraphrase), // fuzzy-contaminated
+        Doc(ts("2026-01-01 00:00:02"), 3L, boiler))     // boilerplate-heavy
+      q.processAllAvailable()
+      val streamed = spark.table("curation_twins").select("doc_id").as[Long].collect().toSet
+      val static = Seq((1L, good), (2L, paraphrase), (3L, boiler)).toDF("doc_id", "text")
+      val batch = graft.ops.CurationOps.dropBoilerplateHeavy(
+          graft.ops.CurationOps.fuzzyDecontamStreaming(
+            static, bench, "doc_id", "text", 3, 0.3),
+          "doc_id", "text", bp, 3, 0.3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == Set(1L))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("recipeStream: repetitive and benchmark-leaking docs gated, split stamped, dups masked") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
     val repetitive = Seq.fill(20)("spam").mkString(" ")           // top_tok_frac = 1
