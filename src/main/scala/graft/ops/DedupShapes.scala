@@ -89,6 +89,41 @@ object DedupShapes {
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q100 — near-dup cluster-size statistics: the observability
+    * report every dedup deployment reads before trusting a collapse
+    * (how much duplication, at what family sizes, how many docs
+    * affected). Composes the q55-certified canonical map: per
+    * canonical id the member count, then the size histogram
+    * (cluster_size, n_clusters, n_docs). Exact integer counts —
+    * hash-stable by construction. Scale shape: the component map is
+    * tiny (pair-derived) and broadcast onto the corpus id list; both
+    * aggregations are cluster-cardinality-sized. */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalMap(docs(s, dir), "doc_id",
+        Dedup.minhashDedup(docs(s, dir), "doc_id", "text"))
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id),
+       |canon AS (SELECT d.doc_id, coalesce(least(c.id, c.mn), d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   /** The end-to-end training-data pipeline (quality gate → exact
     * dedup → LSH near-dup collapse) as ONE certified dataflow: the
     * library composition `CorpusPipeline.clean` — including the
@@ -400,6 +435,7 @@ object DedupShapes {
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
     "q55_dedup_canonical" -> dedupCanonical,
+    "q100_cluster_stats" -> dedupClusterStats,
     "q59_corpus_pipeline" -> corpusPipeline,
     "q69_training_recipe" -> trainingRecipe,
     "q70_delta_dedup" -> deltaDedup,
@@ -412,6 +448,7 @@ object DedupShapes {
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,
     "q55_dedup_canonical" -> dedupCanonicalSql,
+    "q100_cluster_stats" -> dedupClusterStatsSql,
     "q59_corpus_pipeline" -> corpusPipelineSql,
     "q69_training_recipe" -> trainingRecipeSql,
     "q70_delta_dedup" -> deltaDedupSql,

@@ -328,6 +328,38 @@ object Similarity {
     assignCodes(subVectors(normalized(emb, idCol, vecCol), m, subDim), codebooks)
   }
 
+  /** Streaming-composable PQ encode against a STANDING model — the
+    * continuous-ingest twin of `pqEncode` (the map-side analog of
+    * `decontaminateStreaming`/`fuzzyDecontamStreaming`): the batch
+    * form's argmin is a join + groupBy, illegal on a streaming frame,
+    * so the codebooks are carried as ONE broadcast array of
+    * (s, code, cw) structs and each row computes its per-subspace
+    * argmin with an `aggregate` HOF over the same packed
+    * (d2i << 31 | code) minimum the batch form uses — so codes are
+    * IDENTICAL to `pqEncode` at the same model (spec-pinned).
+    * Per-row cost is m × k interpreted squared-L2 evals (HOFs don't
+    * codegen): right for micro-batch ingest; bulk re-encodes should
+    * use the batch `pqEncode`. */
+  def pqEncodeStreaming(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val subDim = codebooks.select(size(col("cw"))).first().getInt(0)
+    val m = codebooks.agg(countDistinct(col("s")).cast("int")).first().getInt(0)
+    val cb = codebooks.agg(
+      collect_list(struct(col("s"), col("code"), col("cw"))).as("_cb"))
+    normalized(emb, idCol, vecCol)
+      .crossJoin(broadcast(cb))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          aggregate(
+            filter(col("_cb"), e => e.getField("s") === s),
+            lit(Long.MaxValue),
+            (acc, e) => least(acc,
+              round(squaredL2(slice(col("ve"), s * subDim + 1, lit(subDim)),
+                e.getField("cw")) * 1e6).cast("long") * Pack + e.getField("code"))))))
+      .select(col("id"), col("pos").cast("int").as("s"),
+        (col("col") % Pack).as("code"))
+  }
+
   /** IVF-PQ (IVFADC — the composed serving architecture): the IVF
     * router (q35's certified construction) selects each query's probe
     * clusters and thus its candidate set; the PQ codes table scores
@@ -509,6 +541,97 @@ object Similarity {
       assignCodes(sub, cb1ck), "pq-codes")
     sub.unpersist()
     (cb1ck, codes)
+  }
+
+  // ---------------------------------------------------- persisted IVF-PQ index
+
+  /** Materialize the IVF-PQ serving index as a TABLE LAYOUT — the
+    * 100 TB shape the in-memory `ivfPqTopK` describes: `codes/` and
+    * `vectors/` are hive-partitioned by `cluster_id`, so a query
+    * batch's probed clusters become PARTITION PRUNING on both reads
+    * (`PartitionFilters` in the scan — asserted in
+    * DedupSimilaritySpec); `centroids/` and `codebooks/` are the tiny
+    * broadcast-side tables. Multi-assignment replicates a vector's
+    * rows into each of its `nAssign` clusters (the standard IVF
+    * trade: nAssign× index size for boundary recall). Vectors are
+    * stored L2-NORMALIZED (`ve`) — the form rerank consumes. */
+  def writeIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      outDir: String, seedStepIvf: Int = 37, nAssign: Int = 2,
+      m: Int = 8, seedStepPq: Int = 7): Unit = {
+    val assigned = ivfAssign(emb, idCol, vecCol, seedStepIvf, nAssign).persist()
+    assigned.filter(col(idCol) === col("cluster_id"))
+      .select(col("cluster_id").as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStepPq)
+    cb.write.mode("overwrite").parquet(s"$outDir/codebooks")
+    val clusters = assigned.select(col(idCol).as("id"), col("cluster_id"))
+    codes.join(clusters, Seq("id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/codes")
+    normalized(emb, idCol, vecCol).join(clusters, Seq("id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/vectors")
+    assigned.unpersist()
+    ()
+  }
+
+  /** Serve IVF-PQ retrieval OFF the persisted index — expression-for-
+    * expression the `ivfPqTopK` dataflow (so results pin row-identical
+    * at the same parameters, spec'd), but every corpus-sized read is
+    * file-pruned: the query batch's probed cluster set (collected at
+    * the driver — |queries| × nProbe ids) becomes an `isin` partition
+    * filter on `codes/` and `vectors/`. `queryVecs` carries RAW
+    * vectors (q_id, qv) — norms and normalization are re-derived with
+    * the same expressions as the index side, keeping every double
+    * bit-identical to the self-contained form. */
+  def servePqIndex(spark: SparkSession, indexDir: String,
+      queryVecs: DataFrame, k: Int, nProbe: Int = 8,
+      shortlist: Int = 100): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val subDim = cb.select(size(col("cw"))).first().getInt(0)
+    val q0 = queryVecs.select(col("q_id"), col("qv"), l2norm(col("qv")).as("qn"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
+    val probes = broadcast(q0).join(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <= nProbe)
+      .select(col("q_id"), col("c_id").as("cluster_id"))
+    val probedClusters = probes.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val q = q0.select(col("q_id"), col("qv").as("_v"), col("qn").as("_n"))
+      .select(col("q_id"),
+        transform(col("_v"), x => x.cast("double") / col("_n")).as("qe"))
+    val tab = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("s"), col("code"),
+        d2i(slice(col("qe"), col("s") * subDim + 1, lit(subDim)), col("cw")).as("d2i"))
+    // partition-column type inference reads the dir values as INT;
+    // pin back to the id type so the probe join keys match exactly
+    val candCodes = spark.read.parquet(s"$indexDir/codes")
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .filter(col("cluster_id").isin(probedClusters: _*))
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("q_id") =!= col("id"))
+      .dropDuplicates("q_id", "id", "s")
+    val scored = candCodes.join(broadcast(tab), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("id")).agg(sum(col("d2i")).as("ad2i"))
+    val short = scored
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ad2i"), col("id"))))
+      .filter(col("srk") <= shortlist)
+      .select(col("q_id"), col("id").as("n_id"))
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .filter(col("cluster_id").isin(probedClusters: _*))
+      .select(col("id").as("n_id"), col("ve").as("ne"))
+      .dropDuplicates("n_id")
+    short
+      .join(q, Seq("q_id"))
+      .join(vecs, Seq("n_id"))
+      .select(col("q_id"), col("n_id"), dot(col("qe"), col("ne")).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 
   /** PQ retrieval: asymmetric-distance (ADC) shortlist of `shortlist`

@@ -177,6 +177,15 @@ object MicroBench {
       time("pq_serve")(
         Similarity.pqServe(emb, "vec_id", "embedding",
           col("vec_id") < 5, k = 5, cbT, codesT, shortlist = 100).count())
+      // the cluster-partitioned layout: probed clusters prune the
+      // codes/vectors reads (the per-query serving shape at 100 TB)
+      val idxDir = "/tmp/graft_ivfpq_index"
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idxDir)
+      time("ivfpq_serve_indexed")(
+        Similarity.servePqIndex(spark, idxDir,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          k = 5, nProbe = 8, shortlist = 100).count())
       time("q96_selfcontained")(
         Similarity.pqTopK(emb, "vec_id", "embedding",
           col("vec_id") < 5, k = 5, m = 8, seedStep = 7, shortlist = 100).count())

@@ -522,6 +522,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(served == self)
   }
 
+  test("servePqIndex off the persisted layout pins to ivfPqTopK; probed clusters prune files") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx_").toString
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx,
+      seedStepIvf = 37, nAssign = 2, m = 8, seedStepPq = 7)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val served = Similarity.servePqIndex(spark, idx, queries, k = 5,
+      nProbe = 8, shortlist = 100)
+    val self = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, seedStepIvf = 37, nProbe = 8, nAssign = 2,
+      m = 8, seedStepPq = 7, shortlist = 100)
+    assert(served.collect().map(_.toSeq).toSet == self.collect().map(_.toSeq).toSet)
+    // the probed-cluster isin reaches the scan as a partition filter
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("cluster_id"), "codes/vectors reads must be partition-pruned")
+  }
+
+  test("pqEncodeStreaming matches batch pqEncode at the same model and runs on a live stream") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val (cb, _) = Similarity.pqModel(e, "vec_id", "embedding", m = 8, seedStep = 7)
+    val cbS = cb.localCheckpoint(true) // standing model, as production would hold it
+    val batch = Similarity.pqEncode(e, "vec_id", "embedding", cbS, m = 8)
+      .as[(Long, Int, Long)].collect().toSet
+    val mapSide = Similarity.pqEncodeStreaming(e, "vec_id", "embedding", cbS)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(mapSide == batch)
+    // live micro-batch: same codes arrive through a MemoryStream
+    val rows = e.limit(20).as[(Long, Array[Float], Int)].collect().toSeq
+    val in = memStream[(Long, Array[Float])]
+    val q = Similarity.pqEncodeStreaming(
+        in.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding", cbS)
+      .writeStream.format("memory").queryName("pq_stream").outputMode("append").start()
+    try {
+      in.addData(rows.map(r => (r._1, r._2)))
+      q.processAllAvailable()
+      val streamed = spark.table("pq_stream").as[(Long, Int, Long)].collect().toSet
+      assert(streamed == batch.filter(t => rows.exists(_._1 == t._1)))
+    } finally q.stop()
+  }
+
   test("pqEncode: empty delta yields an empty codes frame (dim from model, not delta)") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val (cb, _) = Similarity.pqModel(e, "vec_id", "embedding", m = 8, seedStep = 7)
