@@ -198,8 +198,11 @@ object CorpusPipeline {
     val gated =
       (if (cfg.piiGate) gated0.filter(!CurationOps.hasPii(col(textCol))) else gated0)
         .persist()
+    // decon is referenced twice (gram side of the fuzzy scan + the
+    // anti-join left side) — persist, as trainingRecipe does for the
+    // same shape, or the exact-decontamination stage executes twice.
     val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
-      b.decontamN, b.decontamMinShared)
+      b.decontamN, b.decontamMinShared).persist()
     val defuzz = decon.join(
         broadcast(CurationOps.fuzzyContaminatedIds(decon, benchmark, idCol, textCol,
           cfg.fuzzyN, cfg.fuzzyMinFrac)),
@@ -223,6 +226,7 @@ object CorpusPipeline {
       case None => keep0
     }
     gated.unpersist()
+    decon.unpersist()
     defuzz.unpersist()
     ex.unpersist()
     TextAnalysis.hashSplit(docs.join(broadcast(keep), Seq(idCol), "left_semi"),

@@ -241,6 +241,18 @@ object CurationOps {
     * Output is vocab-bounded (top `topK` by document frequency). */
   def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDocs: Long = 50, topK: Int = 50): DataFrame =
+    boilerplateReport(df, idCol, textCol, n, minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
+
+  /** The UNCAPPED, UNSORTED span report (gram, n_docs, n_occurrences
+    * for every gram over the doc-frequency floor) — the shared
+    * aggregation under `boilerplateSpans` (which adds the top-K
+    * presentation sort), `boilerplateGramSet`, and the dataset card's
+    * summary (which must not inherit a pointless global sort into a
+    * 1-row aggregate). */
+  def boilerplateReport(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Long = 50): DataFrame =
     df.select(col(idCol).as("id"), split(trim(col(textCol)), WS).as("ts"))
       .filter(size(col("ts")) >= n)
       .select(col("id"),
@@ -248,22 +260,13 @@ object CurationOps {
       .groupBy(col("gram"))
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
-      .orderBy(col("n_docs").desc, col("gram"))
-      .limit(topK)
 
   /** The corpus-wide boilerplate gram SET (no top-K cap, no ordering)
     * — the broadcastable blocklist `dropBoilerplateHeavy` and the
     * streaming twin consume. Vocab-bounded after the `minDocs` cut. */
   def boilerplateGramSet(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDocs: Long = 50): DataFrame =
-    df.select(col(idCol).as("id"), split(trim(col(textCol)), WS).as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("id"),
-        explode(graft.functions.TextFunctions.ngramArray(col("ts"), n)).as("gram"))
-      .groupBy(col("gram"))
-      .agg(countDistinct(col("id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("gram"))
+    boilerplateReport(df, idCol, textCol, n, minDocs).select(col("gram"))
 
   /** Drop documents whose boilerplate n-gram COVERAGE (fraction of the
     * doc's gram positions matching `bpGrams`) exceeds `maxFrac` — the

@@ -348,16 +348,24 @@ object Similarity {
       collect_list(struct(col("s"), col("code"), col("cw"))).as("_cb"))
     normalized(emb, idCol, vecCol)
       .crossJoin(broadcast(cb))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)), s =>
-          aggregate(
-            filter(col("_cb"), e => e.getField("s") === s),
-            lit(Long.MaxValue),
-            (acc, e) => least(acc,
-              round(squaredL2(slice(col("ve"), s * subDim + 1, lit(subDim)),
-                e.getField("cw")) * 1e6).cast("long") * Pack + e.getField("code"))))))
-      .select(col("id"), col("pos").cast("int").as("s"),
-        (col("col") % Pack).as("code"))
+      .select(col("id"), explode(
+        // a subspace ABSENT from the model keeps the Long.MaxValue
+        // seed and is filtered out — matching the batch form, whose
+        // inner join emits no row for a missing (s) rather than a
+        // fabricated code
+        filter(
+          transform(sequence(lit(0), lit(m - 1)), s =>
+            struct(s.cast("int").as("s"),
+              aggregate(
+                filter(col("_cb"), e => e.getField("s") === s),
+                lit(Long.MaxValue),
+                (acc, e) => least(acc,
+                  round(squaredL2(slice(col("ve"), s * subDim + 1, lit(subDim)),
+                    e.getField("cw")) * 1e6).cast("long") * Pack
+                    + e.getField("code"))).as("p"))),
+          sc => sc.getField("p") =!= Long.MaxValue)).as("_sc"))
+      .select(col("id"), col("_sc.s").as("s"),
+        (col("_sc.p") % Pack).as("code"))
   }
 
   /** IVF-PQ (IVFADC — the composed serving architecture): the IVF
@@ -654,7 +662,7 @@ object Similarity {
     * over every retrieval), codebooks/codes persist as tables, and
     * retrieval touches the m-byte codes plus `shortlist` raw vectors
     * per query. Byte-identical to `pqTopK` at the same model
-    * (PqServeSpec pins it); split out so training cost is measured
+    * (DedupSimilaritySpec pins it); split out so training cost is measured
     * separately from serving cost (round-6 verdict residual #2 —
     * MICRO_r7 `pq_serve` row). Subspace width comes from the model,
     * like `pqEncode`. */

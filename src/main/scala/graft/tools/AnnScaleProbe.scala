@@ -107,8 +107,12 @@ object AnnScaleProbe {
       val (survivors, t2) = once()
       require(r1 == survivors, "hetero semanticCanonical must be deterministic")
       val sec = math.min(t1, t2)
-      require(baseline.subsetOf(survivors),
-        s"hetero probe evicted ${(baseline -- survivors).size} originals")
+      // baseline may carry homogeneous-sweep escape REPLICAS (when the
+      // sweep didn't start at scale 1) that don't exist in the hetero
+      // corpus — the invariance contract is over ORIGINALS only
+      val origBaseline = baseline.filter(_ < 10000000L)
+      require(origBaseline.subsetOf(survivors),
+        s"hetero probe evicted ${(origBaseline -- survivors).size} originals")
       val escapes = survivors.count(_ >= 10000000L)
       val nBase = base.count()
       println(s"""{"metric":"ann_scale_probe_hetero","max_family":$maxFam,""" +

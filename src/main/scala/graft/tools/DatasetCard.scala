@@ -35,13 +35,11 @@ object DatasetCard {
     * crossing the doc-frequency floor, their total occurrences, and
     * the distinct docs they touch. */
   def boilerplateSummary(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minDocs: Long = 50): DataFrame = {
-    val spans = CurationOps.boilerplateSpans(docs, idCol, textCol, n, minDocs,
-      topK = Int.MaxValue)
-    spans.agg(count(lit(1)).as("n_spans"),
-      coalesce(sum(col("n_occurrences")), lit(0L)).as("n_occurrences"),
-      coalesce(max(col("n_docs")), lit(0L)).as("max_span_docs"))
-  }
+      n: Int = 3, minDocs: Long = 50): DataFrame =
+    CurationOps.boilerplateReport(docs, idCol, textCol, n, minDocs)
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("n_occurrences")), lit(0L)).as("n_occurrences"),
+        coalesce(max(col("n_docs")), lit(0L)).as("max_span_docs"))
 
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,

@@ -164,12 +164,15 @@ object MicroBench {
     locally {
       import graft.ops.Similarity
       val emb = Tables.load(spark, dir, "embeddings")
+      // keep the LAST timed model for the persist step below — timing
+      // and persisting must not train twice
+      var trained: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
       time("pq_train_model") {
-        val (cb, codes) = Similarity.pqModel(emb, "vec_id", "embedding", 8, 7)
-        cb.count() + codes.count()
+        trained = Similarity.pqModel(emb, "vec_id", "embedding", 8, 7)
+        trained._1.count() + trained._2.count()
       }
       val modelDir = "/tmp/graft_pq_model"
-      val (cb, codes) = Similarity.pqModel(emb, "vec_id", "embedding", 8, 7)
+      val (cb, codes) = trained
       cb.write.mode("overwrite").parquet(s"$modelDir/codebooks")
       codes.write.mode("overwrite").parquet(s"$modelDir/codes")
       val cbT = spark.read.parquet(s"$modelDir/codebooks")

@@ -19,15 +19,7 @@ object QCheck {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    import graft.OracleJson.{quote => q}
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       s"{${q(name)}: ${q(SparkEntry.oracleSql(name))}}")
     println(s"dumped $name")
