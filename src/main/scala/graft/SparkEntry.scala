@@ -24,6 +24,7 @@ object SparkEntry {
     QueryModule(SimilarityShapes.queries, SimilarityShapes.oracles),
     QueryModule(MiscShapes.queries, MiscShapes.oracles),
     QueryModule(CurationOps.queries, CurationOps.oracles),
+    QueryModule(Classifier.queries, Classifier.oracles),
     QueryModule(BenchShapes.queries, BenchShapes.oracles),
     QueryModule(AsOf.queries, AsOf.oracles),
     QueryModule(Temporal.queries, Temporal.oracles))

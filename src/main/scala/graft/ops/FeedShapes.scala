@@ -170,8 +170,91 @@ object FeedShapes {
       |WHERE b.v <> a.u
       |GROUP BY a.u ORDER BY a.u""".stripMargin
 
+  /** Influence rank over an edge frame — PageRank (Brin & Page 1998;
+    * the host/domain-authority scoring step of web-corpus curation,
+    * e.g. Common Crawl's harmonic-centrality host ranking) with a
+    * fixed iteration count and exact integer fixed-point arithmetic
+    * (1e-6 units) so the trajectory is bit-reproducible: per-node rank
+    * r₀ = 1e6; each iteration sends floor(r_u/deg_u) along every edge,
+    * and r'_v = 0.15·1e6 + floor(0.85·Σ). Dangling mass is dropped
+    * (the standard simplification); nodes with no in-edges settle at
+    * the teleport floor.
+    *
+    * Scale shape (Pregel-by-hand): edges are the big side — partition
+    * them ONCE by src and cache; each iteration is a rank⋈edge join on
+    * src (rank frame is O(nodes) and re-shuffles, edges do not move)
+    * followed by one map-side-combined groupBy on dst. Hub skew (the
+    * %97 graph is all hubs) is AQE's skew-join case; when the node
+    * frame fits an executor, broadcast it and the per-iteration
+    * shuffle drops to the dst reduction alone. */
+  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val e = edges.select(col("u"), col("v")).repartition(col("u")).persist()
+    val nodes = e.select(col("u")).unionByName(e.select(col("v").as("u")))
+      .distinct().persist()
+    try {
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      var rank = nodes.select(col("u"), lit(1000000L).as("r"))
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(rank, Seq("u"))
+          .join(deg, Seq("u"))
+          .select(col("v"),
+            floor(col("r") / col("d").cast("double")).cast("long").as("m"))
+          .groupBy(col("v")).agg(sum(col("m")).as("s"))
+        rank = nodes
+          .join(contrib, nodes("u") === contrib("v"), "left")
+          .select(nodes("u"),
+            (lit(150000L) + floor(lit(0.85) * coalesce(col("s"), lit(0L)))
+              .cast("long")).as("r"))
+      }
+      graft.PlanCapture.checkpoint(rank, "pagerank-final")
+    } finally {
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  /** q103 — PageRank ORACLE GATE over the q46 follow graph (3
+    * iterations, top 30 by rank): DuckDB unrolls the same fixed-point
+    * iterations, so the hash certifies every hop, not just the
+    * ordering. */
+  def followPageRank(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("u"))
+    val edges = c.select(col("u"), (col("u") % 97).as("v"))
+      .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    pageRank(edges, iterations = 3)
+      .select(col("u"), col("r").as("rank_fx"))
+      .orderBy(col("rank_fx").desc, col("u"))
+      .limit(30)
+  }
+
+  val followPageRankSql: String =
+    """WITH c AS (SELECT c_custkey AS u FROM customer),
+      |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+      |    SELECT u, u % 97 AS v FROM c
+      |    UNION ALL SELECT u, (u * 3 + 1) % 97 FROM c) WHERE u <> v),
+      |nodes AS MATERIALIZED (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
+      |deg AS MATERIALIZED (SELECT u, count(*) AS d FROM e GROUP BY u),
+      |r0 AS MATERIALIZED (SELECT u, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |c1 AS (SELECT e.v, CAST(sum(CAST(floor(r.r / CAST(deg.d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+      |  FROM e JOIN r0 r ON e.u = r.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+      |r1 AS MATERIALIZED (SELECT n.u, 150000 + CAST(floor(0.85 * coalesce(c1.s, 0)) AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c1 ON c1.v = n.u),
+      |c2 AS (SELECT e.v, CAST(sum(CAST(floor(r.r / CAST(deg.d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+      |  FROM e JOIN r1 r ON e.u = r.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+      |r2 AS MATERIALIZED (SELECT n.u, 150000 + CAST(floor(0.85 * coalesce(c2.s, 0)) AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c2 ON c2.v = n.u),
+      |c3 AS (SELECT e.v, CAST(sum(CAST(floor(r.r / CAST(deg.d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+      |  FROM e JOIN r2 r ON e.u = r.u JOIN deg ON deg.u = e.u GROUP BY e.v),
+      |r3 AS (SELECT n.u, 150000 + CAST(floor(0.85 * coalesce(c3.s, 0)) AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c3 ON c3.v = n.u)
+      |SELECT u, r AS rank_fx FROM r3
+      |ORDER BY rank_fx DESC, u LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_two_hop" -> twoHop,
+    "q103_follow_pagerank" -> followPageRank,
     "q21_fanout_agg" -> fanoutAgg,
     "q22_undelivered" -> undeliveredAgg,
     "q23_claim_usernames" -> claimUsernames,
@@ -179,6 +262,7 @@ object FeedShapes {
 
   def oracles: Map[String, String] = Map(
     "q46_two_hop" -> twoHopSql,
+    "q103_follow_pagerank" -> followPageRankSql,
     "q21_fanout_agg" -> fanoutAggSql,
     "q22_undelivered" -> undeliveredAggSql,
     "q23_claim_usernames" -> claimUsernamesSql,

@@ -887,6 +887,90 @@ object TextAnalysis {
       |SELECT doc_id, text, n_lines_kept FROM agg
       |WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicate-substring removal — the ExactSubstr pass
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") re-expressed as a distributed k-token window
+    * dedup, which is the standard cluster-scale approximation of the
+    * paper's suffix-array construction: a k-token window whose exact
+    * text occurs anywhere else in the corpus survives only at its
+    * first occurrence — globally ordered by (doc id, start position) —
+    * and every token covered by a losing window is cut out of its
+    * document. A repeated span of length L ≥ k tokens is covered by
+    * L−k+1 losing windows in each non-first copy, so the whole span
+    * disappears there while the first copy keeps it verbatim (the
+    * keep-one semantics of the paper). Documents reassemble from their
+    * surviving tokens in order; docs left with no tokens are dropped.
+    *
+    * Scale shape (the lineDedup pattern at window granularity): the
+    * corpus text never shuffles — windows are built map-side from the
+    * token array (`ngramArray`) and only (md5(window), id, pos)
+    * triples enter the one ranking shuffle; the loser list is
+    * O(#duplicate windows) start positions, re-aggregated per doc and
+    * broadcast back onto the corpus, where removal is a map-side
+    * interval test (`exists` over the doc's loser starts). At extreme
+    * duplication rates swap the broadcast for a plain (id → starts)
+    * shuffle join — text then moves exactly once. */
+  def substringDedup(docsDf: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    val base = docsDf
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+    val grams = base.select(
+      col(idCol),
+      posexplode(when(size(col("_toks")) >= k, ngramArray(col("_toks"), k))
+        .otherwise(array().cast("array<string>"))).as(Seq("_i0", "_gram")))
+      .select(col(idCol), (col("_i0") + 1).as("_pos"), md5(col("_gram")).as("_fp"))
+    val loserStarts = grams
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+          .orderBy(col(idCol), col("_pos"))))
+      .filter(col("_rk") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    base.join(broadcast(loserStarts), Seq(idCol), "left")
+      .withColumn("_starts", coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_kept", filter(
+        zip_with(col("_toks"), sequence(lit(1), size(col("_toks"))),
+          (t, p) => struct(t.as("t"), p.as("p"))),
+        x => !exists(col("_starts"), s => s <= x("p") && x("p") < s + k)))
+      .select(
+        col(idCol),
+        concat_ws(" ", transform(col("_kept"), x => x("t"))).as(textCol),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"))
+      .filter(col("n_kept") > 0)
+  }
+
+  /** q101 — substringDedup ORACLE GATE over the full corpus at k=8
+    * (the sf0.01 corpus carries ~1k duplicated 8-token windows from
+    * its planted near-dup families, so cross-doc span removal is
+    * exercised for real); DuckDB mirrors window construction, global
+    * first-occurrence ranking, and interval-coverage removal step for
+    * step. */
+  def substringDedupGate(s: SparkSession, dir: String): DataFrame =
+    substringDedup(docs(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
+  val substringDedupGateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '$WS') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |g AS (SELECT doc_id, i, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+       |  FROM d, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+       |lo AS (SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rk
+       |    FROM g) WHERE rk > 1),
+       |t AS (SELECT doc_id, p, toks[p] AS tok, len(toks) AS ntok
+       |  FROM d, unnest(generate_series(1, len(toks))) AS v(p)),
+       |kept AS (SELECT t.doc_id, t.p, t.tok, t.ntok FROM t
+       |  WHERE NOT EXISTS (SELECT 1 FROM lo
+       |    WHERE lo.doc_id = t.doc_id AND t.p BETWEEN lo.i AND lo.i + 7))
+       |SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+       |  CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(max(ntok) - count(*) AS BIGINT) AS n_removed
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q79 — quality-decile curriculum table: docs bucketed into 10
     * quality bands with per-band doc/token/score stats and the
     * cumulative token counts a curriculum schedule cuts on ("train on
@@ -1079,6 +1163,7 @@ object TextAnalysis {
     "q79_quality_deciles" -> qualityDeciles,
     "q84_bigram_lm" -> bigramLm,
     "q85_line_dedup" -> lineDedupGate,
+    "q101_substring_dedup" -> substringDedupGate,
     "q80_chunk_docs" -> chunks,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
@@ -1103,6 +1188,7 @@ object TextAnalysis {
     "q79_quality_deciles" -> qualityDecilesSql,
     "q84_bigram_lm" -> bigramLmSql,
     "q85_line_dedup" -> lineDedupGateSql,
+    "q101_substring_dedup" -> substringDedupGateSql,
     "q80_chunk_docs" -> chunksSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality-probe distillation (q102 operator): featurization contract,
+  * learning (beats the majority class by a wide margin), and bit-exact
+  * retrain determinism — the property the oracle gate's unrolled-CTE
+  * mirror depends on. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("featurize: counts sum to n_tokens, bias carries pseudo-count B") {
+    val df = Seq((1L, "w w z"), (2L, "  "), (3L, "q")).toDF("doc_id", "text")
+    val feats = Classifier.featurize(df, "doc_id", "text")
+      .select(col("doc_id"),
+        aggregate(filter(col("feats"), f => f("j") =!= Classifier.D),
+          lit(0L), (a, f) => a + f("c")).as("ntok"),
+        element_at(col("feats"), -1).getField("j").as("bj"),
+        element_at(col("feats"), -1).getField("c").as("bc"),
+        col("label"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(!feats.contains(2L), "blank docs are excluded")
+    assert(feats(1L) == ((3L, Classifier.D, Classifier.B.toLong, 0)))
+    assert(feats(3L) == ((1L, Classifier.D, Classifier.B.toLong, 0)))
+  }
+
+  test("trained probe beats the majority class on the corpus") {
+    val feats = Classifier.featurize(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text").persist()
+    try {
+      val w = Classifier.train(feats)
+      val pred = Classifier.predict(feats, "doc_id", w)
+      val row = pred.agg(
+        avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)).as("acc"),
+        avg(col("label").cast("double")).as("base")).collect()(0)
+      val (acc, base) = (row.getDouble(0), row.getDouble(1))
+      val majority = math.max(base, 1.0 - base)
+      assert(acc >= 0.90, s"accuracy $acc below 0.90")
+      assert(acc > majority + 0.2, s"accuracy $acc vs majority $majority")
+    } finally feats.unpersist(blocking = false)
+  }
+
+  test("retraining is bit-exact (the oracle-mirror determinism contract)") {
+    val feats = Classifier.featurize(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id") < 100),
+      "doc_id", "text").persist()
+    try {
+      val w1 = Classifier.train(feats)
+      val w2 = Classifier.train(feats)
+      assert(w1 == w2)
+      assert(w1.nonEmpty && w1.keySet.max == Classifier.D)
+    } finally feats.unpersist(blocking = false)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** substringDedup (q101 operator) on hand-built frames: first
+  * occurrence keeps the span, every later copy loses it, short docs
+  * pass untouched, fully-duplicate docs drop. */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], k: Int = 3): Map[Long, (String, Long, Long)] =
+    TextAnalysis.substringDedup(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("cross-doc repeated span removed from the later doc only") {
+    val out = run(Seq(1L -> "a b c d e", 2L -> "x a b c y"))
+    assert(out(1L) == (("a b c d e", 5L, 0L)))
+    assert(out(2L) == (("x y", 2L, 3L)))
+  }
+
+  test("fully-duplicate doc is dropped; doc shorter than k untouched") {
+    val out = run(Seq(1L -> "a b c d e", 3L -> "a b c", 4L -> "p q"))
+    assert(!out.contains(3L), "doc reduced to zero tokens must drop")
+    assert(out(4L) == (("p q", 2L, 0L)))
+  }
+
+  test("within-doc repeated window loses its second occurrence") {
+    val out = run(Seq(5L -> "m n o z m n o"))
+    assert(out(5L) == (("m n o z", 4L, 3L)))
+  }
+
+  test("first occurrence is the global (doc_id, pos) minimum") {
+    // the span appears in doc 7 before doc 9: doc 7 keeps it
+    val out = run(Seq(7L -> "k l m", 9L -> "u k l m w"))
+    assert(out(7L) == (("k l m", 3L, 0L)))
+    assert(out(9L) == (("u w", 2L, 3L)))
+  }
+
+  test("span longer than k disappears wholly from the later copy") {
+    // 5-token shared span, k=3 → 3 losing windows cover all 5 tokens
+    val out = run(Seq(1L -> "a b c d e", 2L -> "q a b c d e r"))
+    assert(out(2L) == (("q r", 2L, 5L)))
+  }
+}
