@@ -44,6 +44,24 @@ object PlanCapture {
     df.localCheckpoint(true)
   }
 
+  /** Record a frame's physical plan under the current audit key WITHOUT
+    * checkpointing — for operators whose heavy work runs as side
+    * actions that never reach the final lineage (e.g. the per-iteration
+    * gradient jobs of Classifier.train, which end in a driver
+    * collect). No-op outside audit mode. */
+  def record(df: DataFrame, tag: String): Unit = {
+    if (auditing.get) {
+      val plan =
+        try df.queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"<plan capture failed: ${e.getMessage}>" }
+      val key = current
+      recorded.updateWith(key) {
+        case Some(v) => Some(v :+ s"=== sub-plan [$tag] ===\n$plan")
+        case None    => Some(Vector(s"=== sub-plan [$tag] ===\n$plan"))
+      }
+    }
+  }
+
   /** Run `body` with audit mode on, recording checkpointed sub-plans
     * under `queryName`; returns the sub-plans captured for it. */
   def audited[A](queryName: String)(body: => A): (A, Vector[String]) = {

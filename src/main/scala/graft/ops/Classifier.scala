@@ -99,13 +99,17 @@ object Classifier {
   def train(feats: DataFrame): Map[Int, Long] = {
     val n = feats.count()
     var w = Map[Int, Long](D -> 0L)
-    for (_ <- 1 to T) {
+    for (it <- 1 to T) {
       val err = (pCol(scoreCol(w)) - lit(1000000L) * col("label")).as("_e")
-      val grad = feats
+      val gradDf = feats
         .select(err, explode(col("feats")).as("f"))
         .groupBy(col("f.j").as("j"))
         .agg(sum(col("_e") * col("f.c")).as("g"))
-        .collect()
+      // the training work ends in a driver collect and never reaches
+      // the final predict lineage — surface one representative
+      // iteration's plan to the audit (all T share the shape)
+      if (it == 1) graft.PlanCapture.record(gradDf, "gd-iteration")
+      val grad = gradDf.collect()
         .map(r => r.getInt(0) -> r.getLong(1))
       w = grad.foldLeft(w) { case (acc, (j, g)) =>
         acc.updated(j, acc.getOrElse(j, 0L) - math.floor(g / (LR_DEN * 1.0 * n)).toLong)

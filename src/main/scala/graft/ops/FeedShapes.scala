@@ -187,22 +187,30 @@ object FeedShapes {
     * %97 graph is all hubs) is AQE's skew-join case; when the node
     * frame fits an executor, broadcast it and the per-iteration
     * shuffle drops to the dst reduction alone. */
-  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      broadcastRanks: Boolean = false): DataFrame = {
     val e = edges.select(col("u"), col("v")).repartition(col("u")).persist()
     val nodes = e.select(col("u")).unionByName(e.select(col("v").as("u")))
       .distinct().persist()
+    // rank/contrib frames are O(nodes); when that fits an executor
+    // (anything up to ~10^7 hosts) broadcasting them removes the
+    // per-iteration sort-merge join — the cached edge frame then never
+    // re-sorts and each hop is one map-side join + one dst reduction.
+    // At web scale (10^8+ nodes) leave false: rank shuffles to meet the
+    // src-partitioned edges, which is the correct Pregel shape.
+    def side(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     try {
       val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
       var rank = nodes.select(col("u"), lit(1000000L).as("r"))
       for (_ <- 1 to iterations) {
         val contrib = e
-          .join(rank, Seq("u"))
-          .join(deg, Seq("u"))
+          .join(side(rank), Seq("u"))
+          .join(side(deg), Seq("u"))
           .select(col("v"),
             floor(col("r") / col("d").cast("double")).cast("long").as("m"))
           .groupBy(col("v")).agg(sum(col("m")).as("s"))
         rank = nodes
-          .join(contrib, nodes("u") === contrib("v"), "left")
+          .join(side(contrib), nodes("u") === contrib("v"), "left")
           .select(nodes("u"),
             (lit(150000L) + floor(lit(0.85) * coalesce(col("s"), lit(0L)))
               .cast("long")).as("r"))
@@ -223,7 +231,7 @@ object FeedShapes {
     val edges = c.select(col("u"), (col("u") % 97).as("v"))
       .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
       .filter(col("u") =!= col("v")).distinct()
-    pageRank(edges, iterations = 3)
+    pageRank(edges, iterations = 3, broadcastRanks = true)
       .select(col("u"), col("r").as("rank_fx"))
       .orderBy(col("rank_fx").desc, col("u"))
       .limit(30)
