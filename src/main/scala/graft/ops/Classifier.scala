@@ -130,6 +130,16 @@ object Classifier {
       col("label"))
   }
 
+  /** Corpus scoring with a standing trained model — featurize ∘
+    * predict composed, pure map-only (no shuffle, no state), so it
+    * runs unchanged on a STREAMING frame: the continuous-ingest twin
+    * of the probe (score each arriving doc against the broadcast
+    * weight map — the shape a live quality filter needs).
+    * CorpusStreamSpec pins stream ∘ scoreCorpus ≡ batch. */
+  def scoreCorpus(docsDf: DataFrame, idCol: String, textCol: String,
+      w: Map[Int, Long]): DataFrame =
+    predict(featurize(docsDf, idCol, textCol), idCol, w)
+
   /** q102 — end-to-end train + corpus-wide predict ORACLE GATE: the
     * DuckDB mirror unrolls the same 24 fixed-point iterations as CTEs,
     * so a hash match certifies the entire training trajectory (weights

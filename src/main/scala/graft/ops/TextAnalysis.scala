@@ -913,22 +913,39 @@ object TextAnalysis {
   def substringDedup(docsDf: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
-    val base = docsDf
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
-    val grams = base.select(
-      col(idCol),
-      posexplode(when(size(col("_toks")) >= k, ngramArray(col("_toks"), k))
-        .otherwise(array().cast("array<string>"))).as(Seq("_i0", "_gram")))
-      .select(col(idCol), (col("_i0") + 1).as("_pos"), md5(col("_gram")).as("_fp"))
-    val loserStarts = grams
+    val base = tokenized(docsDf, idCol, textCol)
+    val loserStarts = windowFps(base, idCol, k)
       .withColumn("_rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
           .orderBy(col(idCol), col("_pos"))))
       .filter(col("_rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
-    base.join(broadcast(loserStarts), Seq(idCol), "left")
+    removeCovered(base, idCol, textCol, loserStarts, k)
+  }
+
+  /** (id, _toks) frame of the non-blank docs — the shared head of the
+    * substring-dedup family. */
+  private def tokenized(docsDf: DataFrame, idCol: String, textCol: String): DataFrame =
+    docsDf
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+
+  /** (id, _pos, _fp) k-token window fingerprints, built map-side from
+    * the token arrays (docs shorter than k emit no windows). */
+  private def windowFps(tokensDf: DataFrame, idCol: String, k: Int): DataFrame =
+    tokensDf.select(
+      col(idCol),
+      posexplode(when(size(col("_toks")) >= k, ngramArray(col("_toks"), k))
+        .otherwise(array().cast("array<string>"))).as(Seq("_i0", "_gram")))
+      .select(col(idCol), (col("_i0") + 1).as("_pos"), md5(col("_gram")).as("_fp"))
+
+  /** Shared tail: broadcast the per-doc losing start positions back
+    * onto the token arrays, cut every covered token map-side, and
+    * reassemble. */
+  private def removeCovered(tokensDf: DataFrame, idCol: String, textCol: String,
+      loserStarts: DataFrame, k: Int): DataFrame =
+    tokensDf.join(broadcast(loserStarts), Seq(idCol), "left")
       .withColumn("_starts", coalesce(col("_starts"), array().cast("array<int>")))
       .withColumn("_kept", filter(
         zip_with(col("_toks"), sequence(lit(1), size(col("_toks"))),
@@ -940,7 +957,83 @@ object TextAnalysis {
         size(col("_kept")).cast("long").as("n_kept"),
         (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"))
       .filter(col("n_kept") > 0)
+
+  /** Standing window index of a corpus: the DISTINCT k-token window
+    * fingerprints — 16 bytes per distinct window, the table a
+    * production pipeline persists alongside the corpus (bucket it by
+    * fp so the per-crawl delta join co-locates). Which base doc first
+    * held a window is irrelevant to delta processing: base always
+    * precedes the delta in first-occurrence order, so membership alone
+    * decides. */
+  def substringIndex(docsDf: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    windowFps(tokenized(docsDf, idCol, textCol), idCol, k)
+      .select(col("_fp").as("fp")).distinct()
+
+  /** Incremental substring dedup: clean a NEW batch against a standing
+    * window index without reprocessing the base corpus (the per-crawl
+    * form — completes the incremental family: q70 text, q74 embedding,
+    * q98 PQ codes, and this). A delta window loses if its fingerprint
+    * is already in the index (the base copy wins) OR it repeats within
+    * the delta (first occurrence by (doc, pos) wins); removal is then
+    * the shared interval-coverage cut. Per-crawl cost: the delta is
+    * tokenized and fingerprinted once; the index join shuffles only
+    * delta-sized (fp, id, pos) triples against the bucketed index —
+    * base text is never read. Keep the index current by unioning in
+    * `substringIndex` of the cleaned delta. */
+  def substringDedupDelta(delta: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    val base = tokenized(delta, idCol, textCol)
+    val grams = windowFps(base, idCol, k)
+    val flagged = grams.join(index.select(col("fp").as("_fp"))
+        .withColumn("_inBase", lit(true)),
+      Seq("_fp"), "left")
+    val loserStarts = flagged
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
+          .orderBy(col(idCol), col("_pos"))))
+      .filter(col("_inBase") || col("_rk") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    removeCovered(base, idCol, textCol, loserStarts, k)
   }
+
+  /** q104 — substringDedupDelta ORACLE GATE: base = docs < 250 (index
+    * derived via substringIndex — what a production pipeline would
+    * read persisted), delta = docs ≥ 250; DuckDB mirrors the
+    * index-membership OR within-delta-rank losing rule and the
+    * coverage cut. */
+  def substringDeltaGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val index = substringIndex(d.filter(col("doc_id") < 250), "doc_id", "text", k = 8)
+    substringDedupDelta(d.filter(col("doc_id") >= 250), index,
+      "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val substringDeltaGateSql: String =
+    s"""WITH d0 AS (SELECT doc_id, string_split_regex(trim(text), '$WS') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |bfp AS (SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+       |  FROM d0, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+       |  WHERE doc_id < 250),
+       |d AS (SELECT doc_id, toks FROM d0 WHERE doc_id >= 250),
+       |g AS (SELECT doc_id, i, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+       |  FROM d, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+       |lo AS (SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rk
+       |    FROM g) g2
+       |  WHERE rk > 1 OR fp IN (SELECT fp FROM bfp)),
+       |t AS (SELECT doc_id, p, toks[p] AS tok, len(toks) AS ntok
+       |  FROM d, unnest(generate_series(1, len(toks))) AS v(p)),
+       |kept AS (SELECT t.doc_id, t.p, t.tok, t.ntok FROM t
+       |  WHERE NOT EXISTS (SELECT 1 FROM lo
+       |    WHERE lo.doc_id = t.doc_id AND t.p BETWEEN lo.i AND lo.i + 7))
+       |SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+       |  CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(max(ntok) - count(*) AS BIGINT) AS n_removed
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q101 — substringDedup ORACLE GATE over the full corpus at k=8
     * (the sf0.01 corpus carries ~1k duplicated 8-token windows from
@@ -1164,6 +1257,7 @@ object TextAnalysis {
     "q84_bigram_lm" -> bigramLm,
     "q85_line_dedup" -> lineDedupGate,
     "q101_substring_dedup" -> substringDedupGate,
+    "q104_substring_delta" -> substringDeltaGate,
     "q80_chunk_docs" -> chunks,
     "q64_decontaminate" -> decontaminationReport,
     "q65_repetition" -> repetition,
@@ -1189,6 +1283,7 @@ object TextAnalysis {
     "q84_bigram_lm" -> bigramLmSql,
     "q85_line_dedup" -> lineDedupGateSql,
     "q101_substring_dedup" -> substringDedupGateSql,
+    "q104_substring_delta" -> substringDeltaGateSql,
     "q80_chunk_docs" -> chunksSql,
     "q64_decontaminate" -> decontaminationReportSql,
     "q65_repetition" -> repetitionSql,

@@ -44,4 +44,34 @@ class SubstringDedupSpec extends SparkSpec {
     val out = run(Seq(1L -> "a b c d e", 2L -> "q a b c d e r"))
     assert(out(2L) == (("q r", 2L, 5L)))
   }
+
+  private def runDelta(base: Seq[(Long, String)], delta: Seq[(Long, String)],
+      k: Int = 3): Map[Long, (String, Long, Long)] = {
+    val idx = TextAnalysis.substringIndex(base.toDF("doc_id", "text"),
+      "doc_id", "text", k)
+    TextAnalysis.substringDedupDelta(delta.toDF("doc_id", "text"), idx,
+      "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("delta vs standing index ≡ batch over base ∪ delta (base ids first)") {
+    val base = Seq(1L -> "a b c d e", 2L -> "f g h i")
+    val delta = Seq(10L -> "x a b c y f g h", 11L -> "x a b c y z", 12L -> "n e w")
+    val incr = runDelta(base, delta)
+    val batch = run(base ++ delta).filter(_._1 >= 10L)
+    assert(incr == batch)
+  }
+
+  test("window seen only within the delta: first delta occurrence keeps it") {
+    val out = runDelta(Seq(1L -> "a b c"), Seq(10L -> "p q r s", 11L -> "z p q r"))
+    assert(out(10L) == (("p q r s", 4L, 0L)))
+    assert(out(11L) == (("z", 1L, 3L)))
+  }
+
+  test("index membership alone removes a delta span; fresh text passes") {
+    val out = runDelta(Seq(1L -> "a b c d"), Seq(10L -> "u a b c v"))
+    assert(out(10L) == (("u v", 2L, 3L)))
+  }
 }

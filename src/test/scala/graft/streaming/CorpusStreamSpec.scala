@@ -285,6 +285,38 @@ class CorpusStreamSpec extends SparkSpec {
     assert(landedIds == committed && indexIds == committed)
   }
 
+  test("quality-probe scoring twin: stream ∘ scoreCorpus ≡ batch, on a live stream") {
+    import graft.ops.Classifier
+    val static = Seq(
+      (1L, good),
+      (2L, ("tok " * 60).trim), // ≥ 50 tokens → positive label
+      (3L, "short row of words")).toDF("doc_id", "text")
+    val feats = Classifier.featurize(static, "doc_id", "text")
+    val w = Classifier.train(feats)
+    val batch = Classifier.scoreCorpus(static, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val in = memStream[Doc]
+    val q = Classifier.scoreCorpus(in.toDF(), "doc_id", "text", w)
+      .writeStream.format("memory").queryName("probe_scores")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Doc(ts("2026-01-01 00:00:00"), 1L, good),
+        Doc(ts("2026-01-01 00:00:01"), 2L, ("tok " * 60).trim))
+      q.processAllAvailable()
+      in.addData(Doc(ts("2026-01-01 00:00:02"), 3L, "short row of words"))
+      q.processAllAvailable()
+      val streamed = spark.table("probe_scores")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      // the probe actually separates: long doc scored positive
+      val preds = spark.table("probe_scores")
+        .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+      assert(preds(2L) == 1 && preds(3L) == 0)
+    } finally q.stop()
+  }
+
   test("enrich columns equal the batch operators on the same rows") {
     val d = Seq((1L, good), (2L, "el perro de la casa que los una")).toDF("doc_id", "text")
     val e = CorpusStream.enrich(d, "text")
