@@ -911,7 +911,7 @@ object TextAnalysis {
     * duplication rates swap the broadcast for a plain (id → starts)
     * shuffle join — text then moves exactly once. */
   def substringDedup(docsDf: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, broadcastLosers: Boolean = true): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
     val base = tokenized(docsDf, idCol, textCol)
     val loserStarts = windowFps(base, idCol, k)
@@ -921,7 +921,7 @@ object TextAnalysis {
       .filter(col("_rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
-    removeCovered(base, idCol, textCol, loserStarts, k)
+    removeCovered(base, idCol, textCol, loserStarts, k, broadcastLosers)
   }
 
   /** (id, _toks) frame of the non-blank docs — the shared head of the
@@ -940,12 +940,19 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))).as(Seq("_i0", "_gram")))
       .select(col(idCol), (col("_i0") + 1).as("_pos"), md5(col("_gram")).as("_fp"))
 
-  /** Shared tail: broadcast the per-doc losing start positions back
-    * onto the token arrays, cut every covered token map-side, and
-    * reassemble. */
+  /** Shared tail: join the per-doc losing start positions back onto
+    * the token arrays, cut every covered token map-side, and
+    * reassemble. `broadcastLosers` picks the join strategy: at typical
+    * duplication rates (1–10% of windows) the loser list is tiny and
+    * broadcast wins; at DEEP duplication (a depth-d re-crawl makes
+    * ~(d−1)/d of all windows losers) the list is corpus-sized and must
+    * shuffle instead — the corpus then moves once on id, the lineDedup
+    * reassembly shape (SubstrScaleProbe measures both). */
   private def removeCovered(tokensDf: DataFrame, idCol: String, textCol: String,
-      loserStarts: DataFrame, k: Int): DataFrame =
-    tokensDf.join(broadcast(loserStarts), Seq(idCol), "left")
+      loserStarts: DataFrame, k: Int, broadcastLosers: Boolean = true): DataFrame =
+    tokensDf.join(
+        if (broadcastLosers) broadcast(loserStarts) else loserStarts,
+        Seq(idCol), "left")
       .withColumn("_starts", coalesce(col("_starts"), array().cast("array<int>")))
       .withColumn("_kept", filter(
         zip_with(col("_toks"), sequence(lit(1), size(col("_toks"))),
@@ -982,7 +989,7 @@ object TextAnalysis {
     * base text is never read. Keep the index current by unioning in
     * `substringIndex` of the cleaned delta. */
   def substringDedupDelta(delta: DataFrame, index: DataFrame, idCol: String,
-      textCol: String, k: Int = 8): DataFrame = {
+      textCol: String, k: Int = 8, broadcastLosers: Boolean = true): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
     val base = tokenized(delta, idCol, textCol)
     val grams = windowFps(base, idCol, k)
@@ -996,7 +1003,7 @@ object TextAnalysis {
       .filter(col("_inBase") || col("_rk") > 1)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_pos"))).as("_starts"))
-    removeCovered(base, idCol, textCol, loserStarts, k)
+    removeCovered(base, idCol, textCol, loserStarts, k, broadcastLosers)
   }
 
   /** q104 — substringDedupDelta ORACLE GATE: base = docs < 250 (index

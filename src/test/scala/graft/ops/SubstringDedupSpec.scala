@@ -74,4 +74,13 @@ class SubstringDedupSpec extends SparkSpec {
     val out = runDelta(Seq(1L -> "a b c d"), Seq(10L -> "u a b c v"))
     assert(out(10L) == (("u v", 2L, 3L)))
   }
+
+  test("broadcast and shuffle loser-join modes are result-identical") {
+    val rows = Seq(1L -> "a b c d e", 2L -> "q a b c d e r",
+      3L -> "a b c", 4L -> "fresh words only here").toDF("doc_id", "text")
+    def collectMode(bcast: Boolean) =
+      TextAnalysis.substringDedup(rows, "doc_id", "text", 3, broadcastLosers = bcast)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(collectMode(true) == collectMode(false))
+  }
 }
