@@ -41,6 +41,29 @@ object DatasetCard {
         coalesce(sum(col("n_occurrences")), lit(0L)).as("n_occurrences"),
         coalesce(max(col("n_docs")), lit(0L)).as("max_span_docs"))
 
+  /** Verbatim-duplication exposure off the q101-certified substring
+    * dedup: tokens a k-token ExactSubstr pass would remove and docs it
+    * would drop entirely — the "how much of this corpus is repeated
+    * text" number a release card owes its readers. */
+  def substringDupSummary(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    // removal must be charged against the INPUT total: fully-duplicate
+    // docs leave the dedup output entirely, so summing the output's
+    // n_removed would undercount by exactly the worst offenders
+    val input = docs.agg(
+      sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+        .as("tokens_total"),
+      count(lit(1)).as("n_docs"))
+    val kept = TextAnalysis.substringDedup(docs, idCol, textCol, k)
+      .agg(coalesce(sum(col("n_kept")), lit(0L)).as("tokens_kept"),
+        count(lit(1)).as("docs_kept"))
+    input.crossJoin(kept) // two 1-row frames
+      .select(col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_removed"),
+        col("docs_kept"),
+        (col("n_docs") - col("docs_kept")).as("docs_dropped"))
+  }
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -82,6 +105,7 @@ object DatasetCard {
       s""""split":${rowsJson(splits)},""" +
       s""""pii":${rowsJson(piiSummary(docs, "doc_id", "text"))},""" +
       s""""boilerplate":${rowsJson(boilerplateSummary(docs, "doc_id", "text"))},""" +
+      s""""substring_dup":${rowsJson(substringDupSummary(docs, "doc_id", "text"))},""" +
       s""""top_hosts":${rowsJson(hostSummary(docs, "doc_id", "text"))}}"""
   }
 }

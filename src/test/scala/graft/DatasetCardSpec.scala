@@ -45,4 +45,20 @@ class DatasetCardSpec extends SparkSpec {
     assert(got.head == (("blog.example.org", 2L, 2L)))
     assert(got.map(_._1).contains("data.example.net")) // www. stripped
   }
+
+  test("substringDupSummary surfaces planted verbatim duplication") {
+    // doc 11 repeats doc 10's 5-token span (k=3): 5 tokens removable;
+    // doc 12 is entirely a copy of doc 10 → dropped
+    val dup = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "intro alpha beta gamma delta epsilon outro"),
+      (12L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val r = DatasetCard.substringDupSummary(dup, "doc_id", "text", k = 3).head()
+    assert(r.getAs[Long]("tokens_kept") == 5L + 2L)
+    // includes the 5 tokens of the fully-dropped doc 12
+    assert(r.getAs[Long]("tokens_removed") == 5L + 5L)
+    assert(r.getAs[Long]("docs_kept") == 2L)
+    assert(r.getAs[Long]("docs_dropped") == 1L)
+  }
 }
