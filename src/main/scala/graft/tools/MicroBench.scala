@@ -193,6 +193,20 @@ object MicroBench {
         Similarity.pqTopK(emb, "vec_id", "embedding",
           col("vec_id") < 5, k = 5, m = 8, seedStep = 7, shortlist = 100).count())
     }
+
+    // quality probe: same training-vs-serving split as the PQ family —
+    // the q102 gate retrains its 24 GD iterations in-query (the oracle
+    // mirror needs that), but production trains once and SCORES with
+    // the standing weight map, a pure map-only corpus pass.
+    locally {
+      import graft.ops.Classifier
+      val feats = Classifier.featurize(docs, "doc_id", "text").persist()
+      var w: Map[Int, Long] = null
+      time("probe_train_24it") { w = Classifier.train(feats); w.size.toLong }
+      time("probe_score_served")(
+        Classifier.scoreCorpus(docs, "doc_id", "text", w).count())
+      feats.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }
