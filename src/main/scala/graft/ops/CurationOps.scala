@@ -405,6 +405,46 @@ object CurationOps {
         .select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
 
+  // ---------------------------------------------------------------- URL canonicalization
+
+  /** Canonicalize a URL column — the first dedup pass of any crawl
+    * pipeline (re-crawls of one page differ only in scheme case,
+    * `www.`, default ports, tracking params, fragments, trailing
+    * slash). Pure column-expression pipeline (codegen'd, map-only):
+    * lowercase scheme+host → drop fragment → drop default port →
+    * drop `www.` → strip tracking params (`utm_*`, `gclid`,
+    * `fbclid`) → repair a leading `&` left by param removal → trim
+    * trailing `?` / `/`. Kept to the RE2-compatible regex subset so
+    * the DuckDB mirror is syntax-identical (no lookarounds).
+    * Known limit (documented, not load-bearing): an `&` appearing in
+    * the PATH of a query-less URL is treated as a query separator by
+    * the repair step. */
+  def canonicalizeUrl(u: Column): Column = {
+    val lowered = concat(
+      lower(regexp_extract(u, "^([^/?#]*://[^/?#]*)", 1)),
+      regexp_replace(u, "^[^/?#]*://[^/?#]*", ""))
+    val noFrag = regexp_replace(lowered, "#.*", "")
+    val noPort = regexp_replace(
+      regexp_replace(noFrag, "^(https://[^/:?#]*):443(/|\\?|$)", "$1$2"),
+      "^(http://[^/:?#]*):80(/|\\?|$)", "$1$2")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    val noTrack = regexp_replace(noWww, "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
+    val fixAmp = regexp_replace(noTrack, "^([^?#]*)&", "$1?")
+    regexp_replace(regexp_replace(fixAmp, "[?]$", ""), "/$", "")
+  }
+
+  /** Canonical-URL dedup report: one row per canonical URL with the
+    * crawl-duplicate count and the keeper (min id — the convention of
+    * every keep-canonical collapse here). Canonicalization is map-
+    * side; the ONLY shuffle keys on the canonical url string, and
+    * output is unique-URL-sized. At 100 TB this replaces a text-level
+    * dedup pass for the (dominant) verbatim re-crawl fraction at a
+    * tiny fraction of its cost. */
+  def canonicalUrlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
   // ---------------------------------------------------------------- gate bindings
 
   /** q86 — fuzzy decontamination of the documents corpus against the
@@ -797,6 +837,61 @@ object CurationOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q106 — canonical-URL dedup over five planted crawl-variant forms
+    * per url group (gid = (doc_id / 5) % 20 with variant = doc_id % 5,
+    * so every group receives ALL five forms — a gid derived from the
+    * same modulus would pin each group to a single form and never
+    * exercise the collapse): bare, SHOUTING scheme/host + www +
+    * trailing slash, :443 + utm param, gclid + fragment — those four
+    * collapse to one canonical URL — and an http/:80/&-repair case
+    * that canonicalizes to its OWN group (http ≠ https, and `page=2`
+    * survives), so the gate certifies both the collapses and the
+    * non-collapses. */
+  def urlCanonicalGate(s: SparkSession, dir: String): DataFrame = {
+    val g = (floor(col("doc_id") / 5) % 20).cast("string")
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("https://site"), g, lit(".example.com/path"), g))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("HTTPS://WWW.SITE"), g, lit(".Example.COM/path"), g, lit("/")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://site"), g, lit(".example.com:443/path"), g,
+          lit("?utm_source=feed")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://site"), g, lit(".example.com/path"), g,
+          lit("?gclid=x"), col("doc_id").cast("string"), lit("#frag")))
+      .otherwise(
+        concat(lit("http://site"), g, lit(".example.com:80/path"), g,
+          lit("?utm_campaign=a&page=2"))).as("url"))
+    canonicalUrlDedup(planted, "doc_id", "url").orderBy(col("canon_url"))
+  }
+
+  // Mirror of canonicalizeUrl stage by stage; DuckDB regexp_replace
+  // needs the explicit 'g' flag on the (only) multi-match pattern and
+  // backslash group refs in replacements.
+  val urlCanonicalGateSql: String =
+    """WITH base AS (SELECT doc_id, CAST((doc_id // 5) % 20 AS VARCHAR) AS g FROM documents),
+      |planted AS (SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'https://site' || g || '.example.com/path' || g
+      |    WHEN 1 THEN 'HTTPS://WWW.SITE' || g || '.Example.COM/path' || g || '/'
+      |    WHEN 2 THEN 'https://site' || g || '.example.com:443/path' || g || '?utm_source=feed'
+      |    WHEN 3 THEN 'https://site' || g || '.example.com/path' || g || '?gclid=x' || CAST(doc_id AS VARCHAR) || '#frag'
+      |    ELSE 'http://site' || g || '.example.com:80/path' || g || '?utm_campaign=a&page=2'
+      |  END AS url FROM base),
+      |c1 AS (SELECT doc_id, lower(regexp_extract(url, '^([^/?#]*://[^/?#]*)', 1))
+      |    || regexp_replace(url, '^[^/?#]*://[^/?#]*', '') AS u FROM planted),
+      |c2 AS (SELECT doc_id, regexp_replace(u, '#.*', '') AS u FROM c1),
+      |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+      |    '^(https://[^/:?#]*):443(/|\?|$)', '\1\2'),
+      |    '^(http://[^/:?#]*):80(/|\?|$)', '\1\2') AS u FROM c2),
+      |c4 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c3),
+      |c5 AS (SELECT doc_id, regexp_replace(u, '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g') AS u FROM c4),
+      |c6 AS (SELECT doc_id, regexp_replace(u, '^([^?#]*)&', '\1?') AS u FROM c5),
+      |c7 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\?$', ''), '/$', '') AS u FROM c6)
+      |SELECT u AS canon_url, count(*) AS n_docs, min(doc_id) AS keeper_id
+      |FROM c7 GROUP BY 1 ORDER BY canon_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontam,
     "q87_pii_audit" -> piiAuditGate,
@@ -806,7 +901,8 @@ object CurationOps {
     "q91_corpus_diff" -> diffGate,
     "q92_url_hosts" -> urlGate,
     "q93_epoch_mixture" -> epochsGate,
-    "q99_curation_recipe" -> curationGate)
+    "q99_curation_recipe" -> curationGate,
+    "q106_url_canonical" -> urlCanonicalGate)
 
   val oracles: Map[String, String] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontamSql,
@@ -817,5 +913,6 @@ object CurationOps {
     "q91_corpus_diff" -> diffGateSql,
     "q92_url_hosts" -> urlGateSql,
     "q93_epoch_mixture" -> epochsGateSql,
-    "q99_curation_recipe" -> curationGateSql)
+    "q99_curation_recipe" -> curationGateSql,
+    "q106_url_canonical" -> urlCanonicalGateSql)
 }

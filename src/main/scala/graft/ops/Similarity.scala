@@ -212,6 +212,43 @@ object Similarity {
     Dedup.canonicalMap(emb, idCol,
       cosineDupPairsIVF(emb, idCol, vecCol, minSim, seedStep, nAssign))
 
+  /** Semantic (embedding-space) benchmark decontamination — the third
+    * member of the decontamination trio: verbatim n-gram (q64,
+    * `TextAnalysis.decontaminate`), fuzzy n-gram overlap (q86,
+    * `CurationOps.fuzzyContamination`), and this — paraphrase /
+    * translation leaks that share no surface n-grams but embed next
+    * to an eval item. Returns every (corpus id, bench_id, sim) pair
+    * with cosine ≥ `minSim`.
+    *
+    * Scale shape: the benchmark is eval-set-sized (thousands of
+    * items, not corpus-sized) → ONE broadcast; the corpus embedding
+    * scan is map-only (cosine per broadcast row, no shuffle of corpus
+    * vectors) and the output is leak-sized. At 100 TB the corpus side
+    * reads the standing `embeddings` table once; nothing corpus-sized
+    * ever moves. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minSim: Double): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+      .select(col(idCol), col(vecCol).as("_cv"), col("norm").as("_cn"))
+    val b = withNorm(benchmark, idCol, vecCol)
+      .select(col(idCol).as("bench_id"), col(vecCol).as("_bv"), col("norm").as("_bn"))
+    c.crossJoin(broadcast(b))
+      .withColumn("sim", cosine(col("_cv"), col("_bv"), col("_cn"), col("_bn")))
+      .filter(col("sim") >= minSim)
+      .select(col(idCol), col("bench_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Drop every corpus row semantically contaminated against the
+    * benchmark (max cosine over eval items ≥ `minSim`). The flagged-id
+    * set is leak-sized → broadcast anti-join; corpus rows never
+    * shuffle. */
+  def dropSemanticContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minSim: Double): DataFrame =
+    corpus.join(
+      broadcast(semanticContamination(corpus, benchmark, idCol, vecCol, minSim)
+        .select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** Dense rerank for hybrid retrieval (the standard RAG shape:
     * lexical recall → dense precision): rerank an already-small
     * candidate frame by cosine against one query vector. The

@@ -53,6 +53,38 @@ object SimilarityShapes {
       |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
       |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** q105 — semantic benchmark decontamination: the embedding-space
+    * member of the decontamination trio (verbatim q64 / fuzzy q86 /
+    * semantic here). Benchmark = vec_id % 20 == 0 (the q64/q86 split
+    * convention); every corpus vector within cosine 0.35 of an eval
+    * item is flagged. Corpus scan is map-only against the broadcast
+    * eval set — nothing corpus-sized shuffles. Threshold 0.35 sits in
+    * the distribution tail (max cross-split cosine at sf0.01 is 0.49,
+    * p99 0.29) so the flagged set is non-trivial but leak-sized. */
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.semanticContamination(
+      e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", 0.35)
+      .orderBy(col("vec_id"), col("bench_id"))
+  }
+
+  // Same per-position DOUBLE accumulation as the q33/q34 oracles
+  // (DuckDB list functions are float32).
+  val semanticDecontamSql: String =
+    """WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 20 != 0),
+      |b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings WHERE vec_id % 20 = 0),
+      |p AS (SELECT vec_id, bench_id, cv, bv FROM c CROSS JOIN b),
+      |x AS (SELECT vec_id, bench_id, cv, bv, unnest(generate_series(1, len(cv))) AS i FROM p),
+      |d AS (SELECT vec_id, bench_id,
+      |        sum(CAST(cv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)) AS nc2,
+      |        sum(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)) AS nb2
+      |      FROM x GROUP BY vec_id, bench_id),
+      |s AS (SELECT vec_id, bench_id, dot / (sqrt(nc2) * sqrt(nb2)) AS sim FROM d)
+      |SELECT vec_id, bench_id, round(sim, 4) AS sim FROM s
+      |WHERE sim >= 0.35 ORDER BY vec_id, bench_id""".stripMargin
+
   /** IVF approximate top-k (scale path), FULLY oracle-gated: every
     * stage — seeding, dual assignment, probe selection, within-probe
     * exact rank — is deterministic (cosine with id tie-breaks), so the
@@ -605,6 +637,7 @@ object SimilarityShapes {
     "q98_pq_delta_codes" -> pqDeltaCodes,
     "q96_pq_topk" -> pqTopK,
     "q34_cosine_dup_pairs" -> cosineDupPairs,
+    "q105_semantic_decontam" -> semanticDecontam,
     "q35_ann_ivf" -> ivfTopK,
     "q56_ivf_assign" -> ivfAssignment,
     "q62_rp_lsh_buckets" -> rpLshBuckets,
@@ -622,6 +655,7 @@ object SimilarityShapes {
     "q96_pq_topk" -> pqTopKSql,
     "q35_ann_ivf" -> ivfTopKSql,
     "q34_cosine_dup_pairs" -> cosineDupPairsSql,
+    "q105_semantic_decontam" -> semanticDecontamSql,
     "q56_ivf_assign" -> ivfAssignmentSql,
     "q62_rp_lsh_buckets" -> rpLshBucketsSql,
     "q63_rp_neardups" -> rpNearDupPairsSql,

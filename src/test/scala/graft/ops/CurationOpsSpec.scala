@@ -149,6 +149,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L)) // doc 1 dies for ONE blocked url; url-free docs survive
   }
 
+  test("canonicalizeUrl: each normalization rule, and the non-collapses") {
+    val cases = Seq(
+      // scheme+host case, www, trailing slash
+      "HTTPS://WWW.Site.Example.COM/Path/" -> "https://site.example.com/Path",
+      // default ports dropped, non-default kept
+      "https://a.example:443/x" -> "https://a.example/x",
+      "http://a.example:80/x" -> "http://a.example/x",
+      "https://a.example:8443/x" -> "https://a.example:8443/x",
+      // tracking params stripped wherever they sit; real params survive
+      "https://a.example/x?utm_source=f" -> "https://a.example/x",
+      "https://a.example/x?utm_campaign=c&page=2" -> "https://a.example/x?page=2",
+      "https://a.example/x?page=2&gclid=abc" -> "https://a.example/x?page=2",
+      "https://a.example/x?fbclid=1&utm_medium=m" -> "https://a.example/x",
+      // fragment dropped; path case preserved; http ≠ https
+      "https://a.example/x#sec2" -> "https://a.example/x",
+      "http://a.example/x" -> "http://a.example/x",
+      // bare host with slash; query-only url
+      "https://a.example/" -> "https://a.example")
+    val got = cases.zipWithIndex
+      .map { case ((in, _), i) => (i.toLong, in) }.toDF("id", "url")
+      .select(col("id"), CurationOps.canonicalizeUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"canonicalizeUrl($in)") }
+  }
+
+  test("canonicalUrlDedup groups crawl variants; keeper is the min id") {
+    val d = Seq(
+      (5L, "https://www.a.example/p?utm_source=x"),
+      (3L, "HTTPS://A.Example/p/"),
+      (9L, "https://a.example:443/p#top"),
+      (7L, "http://a.example/p")).toDF("doc_id", "url")
+    val got = CurationOps.canonicalUrlDedup(d, "doc_id", "url")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("https://a.example/p", 3L, 3L),
+      ("http://a.example/p", 1L, 7L)))
+  }
+
   test("materializeEpochs: floor copies for all, fractional share upsampled, deterministic") {
     val d = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b")).toDF("doc_id", "src")
     val plan = Seq(("a", 2.5), ("b", 1.0)).toDF("src", "epochs")

@@ -193,6 +193,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // the planted near-dup, nothing else
   }
 
+  test("semanticContamination flags paraphrase-distance vectors, scale-invariantly") {
+    val base = Array.tabulate(64)(j => math.sin(j * 1.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, j) => v + (if (j % 7 == 0) 0.01f else -0.005f) }
+    val scaled = base.map(_ * 2.5f) // same direction, different norm → cos 1.0
+    val other = Array.tabulate(64)(j => math.cos(j * 3.1 + 1).toFloat)
+    val bench = Seq((100L, base)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, near), (2L, scaled), (3L, other))
+      .toDF("vec_id", "embedding")
+    val flagged = Similarity.semanticContamination(corpus, bench,
+      "vec_id", "embedding", 0.9)
+      .select("vec_id", "bench_id").as[(Long, Long)].collect().toSet
+    // cosine, not distance: the 2.5x-scaled copy is flagged too
+    assert(flagged == Set((1L, 100L), (2L, 100L)))
+    val kept = Similarity.dropSemanticContaminated(corpus, bench,
+      "vec_id", "embedding", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("TopKPairs aggregator form equals the window form (R3 two plans, one answer)") {
     val dir01 = "/root/testdata/sf0.01"
     val agg = Relational.topKPerUserAgg(spark, dir01)
