@@ -27,7 +27,8 @@ object SparkEntry {
     QueryModule(Classifier.queries, Classifier.oracles),
     QueryModule(BenchShapes.queries, BenchShapes.oracles),
     QueryModule(AsOf.queries, AsOf.oracles),
-    QueryModule(Temporal.queries, Temporal.oracles))
+    QueryModule(Temporal.queries, Temporal.oracles),
+    QueryModule(BloomIndex.queries, BloomIndex.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

@@ -416,7 +416,56 @@ object Aggregates {
        |FROM e JOIN a USING (event_type) ORDER BY event_type""".stripMargin
   }
 
+  /** Robust per-group outlier flagging — the Iglewicz–Hoaglin modified
+    * z-score: z = 0.6745·(x − median)/MAD, flag |z| > 3.5. Median and
+    * MAD resist the very outliers they detect (unlike mean/stddev,
+    * which a single huge value drags toward itself). Two grouped
+    * exact percentiles (group-count-sized frames, broadcast back) +
+    * one map-side flag pass; the 100 TB path swaps `percentile` →
+    * `percentile_approx` with identical plumbing (the q13/q41
+    * convention). */
+  def robustOutliers(events: DataFrame, minAbsZ: Double): DataFrame = {
+    // med/mad are rounded to 6dp BEFORE the z computation: exact
+    // interpolated percentiles agree across engines only to ~1 ulp
+    // (q13 certifies them at 6dp), and an unrounded ulp would
+    // propagate into z's 4th decimal on rounding-boundary rows.
+    val med = events.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val withMed = events.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0)
+      .withColumn("z", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .filter(abs(col("z")) > minAbsZ)
+      // 1e-4 fixed point (the q88 recipe), NOT round(z, 4): decimal-
+      // string rounding diverges across engines when z lands exactly
+      // on a half boundary (which 2dp inputs make common).
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z") * 1e4).cast("long").as("z_fx"))
+  }
+
+  /** q111 — modified-z outliers over events.value at the standard 3.5
+    * cut (392 of 10k rows at sf0.01). */
+  def robustOutliersGate(s: SparkSession, dir: String): DataFrame =
+    robustOutliers(t(s, dir, "events"), 3.5).orderBy(col("event_id"))
+
+  val robustOutliersGateSql: String =
+    """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT e.event_id, e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS ad FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad FROM a GROUP BY 1)
+      |SELECT event_id, event_type, value,
+      |  CAST(round(0.6745 * (value - med) / mad * 1e4) AS BIGINT) AS z_fx
+      |FROM a JOIN md USING (event_type)
+      |WHERE mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_robust_outliers" -> robustOutliersGate,
     "q81_kmv_distinct" -> kmvDistinct,
     "q47_pivot_events" -> pivotEventCounts,
     "q48_posexplode_tokens" -> posexplodeTokens,
@@ -433,6 +482,7 @@ object Aggregates {
     "q57_trimmed_mean_rank" -> trimmedMeanScalable)
 
   def oracles: Map[String, String] = Map(
+    "q111_robust_outliers" -> robustOutliersGateSql,
     "q41_approx_stats" -> approxStatsSql,
     "q81_kmv_distinct" -> kmvDistinctSql,
     "q57_trimmed_mean_rank" -> trimmedMeanSql,

@@ -445,6 +445,35 @@ object CurationOps {
       .groupBy(col("canon_url"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
 
+  // ---------------------------------------------------------------- weighted sampling
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis 2006): each row draws u ∈ (0,1) from the md5-uniform
+    * hash of (seed, id) and keys on ln(u)/w — the k largest keys are
+    * a weight-proportional sample, exactly as if rows were drawn
+    * sequentially with probability w_i/Σw. The key is reduced to a
+    * 1e-6 fixed-point BIGINT (the q88 ln precedent) with id
+    * tie-breaks, so the selected set is a pure function of
+    * (seed, id, w) — re-runs, repartitions, and engines agree.
+    *
+    * 100 TB shape: one map-only pass computes keys;
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject — per-
+    * partition top-k then a k-row driver merge, never a global sort.
+    * Weighted sampling is how a curation pipeline downsamples a
+    * giant crawl proportional to quality/length scores without a
+    * shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, seed: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double")
+    val u = (h + 1.0) / 4294967297.0
+    val keyed = df.select(col(idCol), weightCol.cast("long").as("weight"))
+      .withColumn("wkey", round(log(u) * 1e6 / col("weight")).cast("long"))
+      .orderBy(col("wkey").desc, col(idCol)).limit(k)
+    keyed.withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("wkey").desc, col(idCol))))
+  }
+
   // ---------------------------------------------------------------- gate bindings
 
   /** q86 — fuzzy decontamination of the documents corpus against the
@@ -892,6 +921,27 @@ object CurationOps {
       |SELECT u AS canon_url, count(*) AS n_docs, min(doc_id) AS keeper_id
       |FROM c7 GROUP BY 1 ORDER BY canon_url""".stripMargin
 
+  /** q110 — length-weighted deterministic sample of 100 docs (weight
+    * = max(n_chars, 1), seed "s110"). */
+  def weightedSampleGate(s: SparkSession, dir: String): DataFrame =
+    weightedSample(docs(s, dir), "doc_id",
+      greatest(col("n_chars"), lit(1)), k = 100, seed = "s110")
+
+  val weightedSampleGateSql: String = {
+    // the q41 oracle's hex-digit-sum md5 prefix (uniform in [0, 2^32))
+    val digits = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5('s110' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}.0"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+       |    ($digits) AS hv FROM documents),
+       |keyed AS (SELECT doc_id, weight,
+       |    CAST(round(ln((hv + 1.0) / 4294967297.0) * 1e6 / weight) AS BIGINT) AS wkey
+       |  FROM h)
+       |SELECT doc_id, weight, wkey,
+       |  CAST(row_number() OVER (ORDER BY wkey DESC, doc_id) AS INT) AS rnk
+       |FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontam,
     "q87_pii_audit" -> piiAuditGate,
@@ -902,7 +952,8 @@ object CurationOps {
     "q92_url_hosts" -> urlGate,
     "q93_epoch_mixture" -> epochsGate,
     "q99_curation_recipe" -> curationGate,
-    "q106_url_canonical" -> urlCanonicalGate)
+    "q106_url_canonical" -> urlCanonicalGate,
+    "q110_weighted_sample" -> weightedSampleGate)
 
   val oracles: Map[String, String] = Map(
     "q86_fuzzy_decontam" -> fuzzyDecontamSql,
@@ -914,5 +965,6 @@ object CurationOps {
     "q92_url_hosts" -> urlGateSql,
     "q93_epoch_mixture" -> epochsGateSql,
     "q99_curation_recipe" -> curationGateSql,
-    "q106_url_canonical" -> urlCanonicalGateSql)
+    "q106_url_canonical" -> urlCanonicalGateSql,
+    "q110_weighted_sample" -> weightedSampleGateSql)
 }

@@ -707,12 +707,14 @@ object Dedup {
     * corpus-sized side is one left join against the tiny component
     * map (AQE broadcasts it), so the whole collapse costs one
     * map-side pass over the corpus. */
-  def canonicalMap(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+  def canonicalMap(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxDriverPairs: Long = 8L * 1000 * 1000): DataFrame =
     docs.select(col(idCol))
       // explicit broadcast: the driver-built component map has no
       // catalog stats, so without the hint Spark assumes it's big and
       // plans a sort-merge join of the whole corpus against it.
-      .join(broadcast(connectedComponents(pairs).withColumnRenamed("id", idCol)),
+      .join(broadcast(connectedComponents(pairs, maxDriverPairs)
+          .withColumnRenamed("id", idCol)),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("canonical_id"))
 

@@ -89,6 +89,20 @@ object DedupShapes {
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q109 — the q55 collapse with the DISTRIBUTED connected-components
+    * path FORCED (maxDriverPairs = 0): min-label propagation with
+    * pointer jumping, checkpointed per round — the path a 100 TB run
+    * takes when the verified pair list outgrows the driver. q55
+    * certifies the driver union-find against the recursive-CTE
+    * oracle; this gate certifies the distributed fallback against the
+    * SAME oracle, so the two paths can never silently diverge again
+    * (previously only spec-pinned equal on fixtures). */
+  def dedupCanonicalDistributed(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalMap(docs(s, dir), "doc_id",
+        Dedup.minhashDedup(docs(s, dir), "doc_id", "text"),
+        maxDriverPairs = 0L)
+      .orderBy(col("doc_id"))
+
   /** q100 — near-dup cluster-size statistics: the observability
     * report every dedup deployment reads before trusting a collapse
     * (how much duplication, at what family sizes, how many docs
@@ -435,6 +449,7 @@ object DedupShapes {
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
     "q55_dedup_canonical" -> dedupCanonical,
+    "q109_cc_distributed" -> dedupCanonicalDistributed,
     "q100_cluster_stats" -> dedupClusterStats,
     "q59_corpus_pipeline" -> corpusPipeline,
     "q69_training_recipe" -> trainingRecipe,
@@ -448,6 +463,7 @@ object DedupShapes {
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,
     "q55_dedup_canonical" -> dedupCanonicalSql,
+    "q109_cc_distributed" -> dedupCanonicalSql,
     "q100_cluster_stats" -> dedupClusterStatsSql,
     "q59_corpus_pipeline" -> corpusPipelineSql,
     "q69_training_recipe" -> trainingRecipeSql,

@@ -249,6 +249,28 @@ object Similarity {
         .select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
 
+  /** Streaming-composable semantic decontamination: drops every row
+    * the batch `dropSemanticContaminated` would drop, but the per-row
+    * test runs MAP-SIDE against the eval set carried as ONE broadcast
+    * array of (vector, norm) structs — the flag-then-anti-join shape
+    * of the batch form is illegal on a streaming frame (the
+    * `fuzzyDecontamStreaming` constraint and pattern). Per-row cost
+    * is |bench| dot products; eval sets are tiny by definition.
+    * Survivor set spec'd identical to the batch form
+    * (CorpusStreamSpec). */
+  def dropSemanticContaminatedStreaming(stream: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minSim: Double): DataFrame = {
+    val bench = withNorm(benchmark, idCol, vecCol)
+      .agg(collect_list(struct(col(vecCol).as("bv"), col("norm").as("bn")))
+        .as("_bench_vecs"))
+    stream.crossJoin(broadcast(bench))
+      .withColumn("_n", l2norm(col(vecCol)))
+      .filter(!exists(col("_bench_vecs"), b =>
+        dot(col(vecCol), b.getField("bv")) / (col("_n") * b.getField("bn"))
+          >= lit(minSim)))
+      .drop("_bench_vecs", "_n")
+  }
+
   /** Dense rerank for hybrid retrieval (the standard RAG shape:
     * lexical recall → dense precision): rerank an already-small
     * candidate frame by cosine against one query vector. The

@@ -63,11 +63,72 @@ object Temporal {
       |FROM grp GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Range (band) self-join: for every event, how many events of the
+    * SAME user fall strictly inside the trailing window (t−Δ, t) —
+    * the rate-limit / burst-detection / abuse-audit shape. This is
+    * the range-window form: ONE shuffle on user, an in-partition sort,
+    * and an incrementally-maintained sliding frame (no pair blowup at
+    * all). `priorEventCountBucketed` is the skew-safe twin for hot
+    * keys; RangeJoinSpec pins the two equal. */
+  def priorEventCount(events: DataFrame, userCol: String, tsCol: String,
+      windowNs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol))
+      .rangeBetween(-(windowNs - 1), -1)
+    events.select(col("event_id"), col(userCol), col(tsCol))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .select(col("event_id"), col("n_prior"))
+  }
+
+  /** Skew-safe band-join form of `priorEventCount`: bucket time by Δ,
+    * emit each build row into its own bucket AND the next (any
+    * trailing-Δ window crosses at most one boundary), equi-join on
+    * (user, bucket), then test the exact band. The quadratic is
+    * confined to a (user, Δ-bucket) cell, and a hot user's cells can
+    * be salted independently — the form that survives a key with
+    * millions of events where the range-window form's single
+    * partition would die. Left join keeps zero-prior events. */
+  def priorEventCountBucketed(events: DataFrame, userCol: String, tsCol: String,
+      windowNs: Long): DataFrame = {
+    val probe = events.select(col("event_id"), col(userCol).as("_u"),
+        col(tsCol).as("_t"))
+      .withColumn("_bkt", floor(col("_t") / windowNs))
+    val build0 = events.select(col(userCol).as("_bu"), col(tsCol).as("_bt"))
+      .withColumn("_bbkt", floor(col("_bt") / windowNs))
+    val build = build0.select(col("_bu"), col("_bt"), col("_bbkt").as("_bkt"))
+      .unionByName(build0.select(col("_bu"), col("_bt"), (col("_bbkt") + 1).as("_bkt")))
+    probe.join(build,
+        probe("_u") === build("_bu") && probe("_bkt") === build("_bkt"), "left")
+      .withColumn("_hit",
+        when(col("_bt") < col("_t") && col("_t") - col("_bt") < windowNs, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_id"))
+      .agg(sum(col("_hit")).as("n_prior"))
+  }
+
+  /** q108 — trailing-24h prior-event count per event (range-window
+    * form; the bucketed twin is spec-pinned identical). */
+  def priorEvents(s: SparkSession, dir: String): DataFrame =
+    priorEventCount(Tables.events(s, dir), "user_id", "ts",
+        86400L * 1000 * 1000 * 1000)
+      .orderBy(col("event_id"))
+
+  // Independent mirror: the naive inequality self-join DuckDB's
+  // IEJoin handles directly (no buckets, no window frames).
+  val priorEventsSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+      |SELECT a.event_id, count(b.event_id) AS n_prior
+      |FROM e a LEFT JOIN e b
+      |  ON a.user_id = b.user_id AND b.t < a.t AND a.t - b.t < 86400000000
+      |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_date_math" -> dateMath,
-    "q51_sessions" -> sessions)
+    "q51_sessions" -> sessions,
+    "q108_prior_events" -> priorEvents)
 
   def oracles: Map[String, String] = Map(
     "q50_date_math" -> dateMathSql,
-    "q51_sessions" -> sessionsSql)
+    "q51_sessions" -> sessionsSql,
+    "q108_prior_events" -> priorEventsSql)
 }

@@ -1253,7 +1253,61 @@ object TextAnalysis {
        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-domain distribution drift: KL(P_source ‖ P_corpus) over
+    * unigram token distributions — the mixture-monitoring number a
+    * curation pipeline tracks per ingest (a source whose KL jumps
+    * changed character; a near-zero KL source adds no diversity).
+    * KL = Σ_t p_t · ln(p_t/q_t) with p the source distribution and q
+    * the corpus distribution; terms absent from a source contribute 0
+    * (x·ln x → 0), and q_t > 0 whenever p_t > 0 by construction, so
+    * no smoothing is needed. Per-term contributions are 1e-9
+    * fixed-point BIGINTs summed exactly (the q88 recipe) — one
+    * deterministic division at the end.
+    *
+    * Scale shape: one corpus scan → (source, token) counts; the only
+    * shuffles key on token/source and every aggregate after the first
+    * is vocab-bounded. Corpus totals ride a 1-row cross join. */
+  def domainKl(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), WS)).as("t"))
+      .filter(col("t") =!= "")
+    val st = toks.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = st.agg(sum(col("c_st")).as("n"))
+    st.join(ct, Seq("t")).join(broadcast(ns), Seq("source")).crossJoin(broadcast(n))
+      .withColumn("kfx", round(
+        (col("c_st").cast("double") / col("n_s")) *
+          log((col("c_st").cast("double") * col("n")) /
+            (col("n_s").cast("double") * col("c_t"))) * 1e9).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        round(sum(col("kfx")) / 1e9, 6).as("kl"))
+  }
+
+  /** q112 — unigram KL per source over the documents corpus. */
+  def domainKlGate(s: SparkSession, dir: String): DataFrame =
+    domainKl(docs(s, dir), "source", "text").orderBy(col("source"))
+
+  val domainKlGateSql: String =
+    """WITH tk AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |tk2 AS (SELECT source, t FROM tk WHERE t <> ''),
+      |st AS (SELECT source, t, count(*) AS c_st FROM tk2 GROUP BY 1, 2),
+      |ct AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY 1),
+      |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+      |tot AS (SELECT sum(c_st) AS n FROM st),
+      |fx AS (SELECT source, c_st,
+      |    CAST(round((CAST(c_st AS DOUBLE) / n_s) *
+      |      ln((CAST(c_st AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * c_t)) * 1e9) AS BIGINT) AS kfx
+      |  FROM st JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot)
+      |SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens, count(*) AS n_terms,
+      |  round(sum(kfx) / 1e9, 6) AS kl
+      |FROM fx GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_domain_kl" -> domainKlGate,
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
     "q73_bm25_search" -> bm25Top20,
@@ -1280,6 +1334,7 @@ object TextAnalysis {
     "q61_containment" -> containment)
 
   def oracles: Map[String, String] = Map(
+    "q112_domain_kl" -> domainKlGateSql,
     "q45_top_bigrams" -> topBigramsSql,
     "q72_tfidf_terms" -> tfidfTop3Sql,
     "q73_bm25_search" -> bm25Top20Sql,

@@ -188,6 +188,25 @@ class CurationOpsSpec extends SparkSpec {
       ("http://a.example/p", 1L, 7L)))
   }
 
+  test("weightedSample: deterministic, without replacement, weight-sensitive") {
+    val d = (1L to 100L).map(i => (i, if (i == 42L) 50L else 1L)).toDF("id", "w")
+    val pick = CurationOps.weightedSample(d, "id", col("w"), 10, "seedA")
+      .select("id").as[Long].collect().toSeq
+    assert(pick.distinct.size == 10) // without replacement
+    // pure function of (seed, id, w): repartition changes nothing
+    val again = CurationOps.weightedSample(d.repartition(17), "id", col("w"), 10, "seedA")
+      .select("id").as[Long].collect().toSeq
+    assert(pick == again)
+    // weight proportionality: across seeds, the w=50 row is selected
+    // into the top-10 far more often than any w=1 row can be
+    val seeds = (1 to 20).map(i => s"s$i")
+    val hits = seeds.count { sd =>
+      CurationOps.weightedSample(d, "id", col("w"), 10, sd)
+        .select("id").as[Long].collect().contains(42L)
+    }
+    assert(hits >= 15, s"w=50 row selected only $hits/20 — not weight-sensitive")
+  }
+
   test("materializeEpochs: floor copies for all, fractional share upsampled, deterministic") {
     val d = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b")).toDF("doc_id", "src")
     val plan = Seq(("a", 2.5), ("b", 1.0)).toDF("src", "epochs")

@@ -12,6 +12,8 @@ class CorpusStreamSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  case class Vec(vec_id: Long, embedding: Array[Float])
+  case class KeyedUrl(doc_id: Long, url: String)
 
   private val good =
     "the quick brown fox jumps over the lazy dog and runs to the hills again"
@@ -138,6 +140,56 @@ class CorpusStreamSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       assert(streamed == Set(1L))
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("semantic-decontam streaming twin ≡ batch drop, on a live stream") {
+    val base = Array.tabulate(64)(j => math.sin(j * 1.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, j) => v + (if (j % 7 == 0) 0.01f else -0.005f) }
+    val other = Array.tabulate(64)(j => math.cos(j * 3.1 + 1).toFloat)
+    val bench = Seq((100L, base)).toDF("vec_id", "embedding")
+    val in = memStream[Vec]
+    val piped = graft.ops.Similarity.dropSemanticContaminatedStreaming(
+      in.toDF(), bench, "vec_id", "embedding", 0.9)
+    val q = piped.writeStream.format("memory").queryName("sem_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Vec(1L, near), Vec(2L, other))
+      q.processAllAvailable()
+      val streamed = spark.table("sem_twin").select("vec_id").as[Long].collect().toSet
+      val static = Seq((1L, near), (2L, other)).toDF("vec_id", "embedding")
+      val batch = graft.ops.Similarity.dropSemanticContaminated(
+          static, bench, "vec_id", "embedding", 0.9)
+        .select("vec_id").as[Long].collect().toSet
+      assert(streamed == Set(2L))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("bloom prefilter and canonicalizeUrl are streaming-legal and match batch") {
+    val keys = Seq(10L, 20L, 30L).toDF("k")
+    val bloom = graft.ops.BloomIndex.buildBloom(keys, "k", 1 << 12, 4)
+    val in = memStream[KeyedUrl]
+    val piped = graft.ops.BloomIndex.prefilter(in.toDF(), "doc_id", bloom)
+      .withColumn("canon", graft.ops.CurationOps.canonicalizeUrl(col("url")))
+    val q = piped.writeStream.format("memory").queryName("bloom_twin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(KeyedUrl(10L, "HTTPS://WWW.A.Example/p/"),
+        KeyedUrl(11L, "https://b.example/q?utm_source=x"),
+        KeyedUrl(20L, "https://c.example/r#frag"))
+      q.processAllAvailable()
+      val got = spark.table("bloom_twin").select("doc_id", "canon")
+        .as[(Long, String)].collect().toSet
+      // 11 is not in the key set; bloom at this size has no FP for it
+      val static = Seq((10L, "HTTPS://WWW.A.Example/p/"), (11L, "https://b.example/q?utm_source=x"),
+          (20L, "https://c.example/r#frag")).toDF("doc_id", "url")
+      val batch = graft.ops.BloomIndex.prefilter(static, "doc_id", bloom)
+        .withColumn("canon", graft.ops.CurationOps.canonicalizeUrl(col("url")))
+        .select("doc_id", "canon").as[(Long, String)].collect().toSet
+      assert(got == batch)
+      assert(got.map(_._1) == Set(10L, 20L))
+      assert(got.map(_._2) == Set("https://a.example/p", "https://c.example/r"))
     } finally q.stop()
   }
 
