@@ -989,12 +989,25 @@ object TextAnalysis {
     * base text is never read. Keep the index current by unioning in
     * `substringIndex` of the cleaned delta. */
   def substringDedupDelta(delta: DataFrame, index: DataFrame, idCol: String,
-      textCol: String, k: Int = 8, broadcastLosers: Boolean = true): DataFrame = {
+      textCol: String, k: Int = 8, broadcastLosers: Boolean = true,
+      indexBloom: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
     val base = tokenized(delta, idCol, textCol)
     val grams = windowFps(base, idCol, k)
-    val flagged = grams.join(index.select(col("fp").as("_fp"))
-        .withColumn("_inBase", lit(true)),
+    // With a standing bloom of the index fingerprints (q107 family,
+    // built once per index compaction via BloomIndex.writeBloom), the
+    // index join shrinks to the bloom-POSITIVE distinct fps — on a
+    // fresh crawl that's the true-dup fraction plus the FP tail, not
+    // every delta window. The verify semi-join kills FPs, so results
+    // are bit-identical to the direct join (SubstringDedupSpec pins
+    // it, including under a saturated 256-bit bloom).
+    val inBase = indexBloom match {
+      case None => index.select(col("fp").as("_fp"))
+      case Some(bloom) =>
+        BloomIndex.prefilter(grams.select(col("_fp")).distinct(), "_fp", bloom)
+          .join(index.select(col("fp").as("_fp")), Seq("_fp"), "left_semi")
+    }
+    val flagged = grams.join(inBase.withColumn("_inBase", lit(true)),
       Seq("_fp"), "left")
     val loserStarts = flagged
       .withColumn("_rk", row_number().over(
@@ -1271,8 +1284,13 @@ object TextAnalysis {
     val toks = df.select(col(sourceCol).as("source"),
         explode(split(trim(col(textCol)), WS)).as("t"))
       .filter(col("t") =!= "")
-    val st = toks.groupBy(col("source"), col("t"))
-      .agg(count(lit(1)).as("c_st"))
+    // st feeds FOUR consumers (ct, ns, the corpus total, and the join
+    // itself) — checkpoint it so the corpus is scanned ONCE, not four
+    // times (the q84/bigram precedent; everything downstream is
+    // vocab-bounded).
+    val st = graft.PlanCapture.checkpoint(
+      toks.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c_st")), "domainkl-st")
     val ct = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
     val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val n = st.agg(sum(col("c_st")).as("n"))

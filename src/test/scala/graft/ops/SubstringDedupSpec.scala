@@ -75,6 +75,27 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(10L) == (("u v", 2L, 3L)))
   }
 
+  test("bloom-prefiltered delta ≡ direct delta, even under a saturated bloom") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val base = d.filter(col("doc_id") < 25)
+    val delta = d.filter(col("doc_id") >= 25)
+    val idx = TextAnalysis.substringIndex(base, "doc_id", "text", 8)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "n_kept", "n_removed")
+        .as[(Long, String, Long, Long)].collect().toSet
+    val direct = collect(TextAnalysis.substringDedupDelta(
+      delta, idx, "doc_id", "text", 8))
+    val sized = BloomIndex.buildBloom(idx, "fp", 1 << 16, 5)
+    assert(collect(TextAnalysis.substringDedupDelta(
+      delta, idx, "doc_id", "text", 8, indexBloom = Some(sized))) == direct)
+    // 256 bits vs thousands of fps — FP-heavy on purpose; the verify
+    // semi-join must still keep results identical
+    val tiny = BloomIndex.buildBloom(idx, "fp", 256, 3)
+    assert(collect(TextAnalysis.substringDedupDelta(
+      delta, idx, "doc_id", "text", 8, indexBloom = Some(tiny))) == direct)
+  }
+
   test("broadcast and shuffle loser-join modes are result-identical") {
     val rows = Seq(1L -> "a b c d e", 2L -> "q a b c d e r",
       3L -> "a b c", 4L -> "fresh words only here").toDF("doc_id", "text")
