@@ -122,13 +122,50 @@ object Temporal {
       |  ON a.user_id = b.user_id AND b.t < a.t AND a.t - b.t < 86400000000
       |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
 
+  /** Cohort retention: users bucketed by first-activity week; for
+    * every (cohort, week offset) the distinct users still active —
+    * the standard product-analytics triangle. Two shuffles (first-
+    * week per user, then the cohort×offset distinct count); the
+    * first-week frame is user-cardinality-sized and broadcasts back.
+    * Weeks via `date_trunc("week", …)` (Monday start in both
+    * engines), offsets as exact day-diff / 7. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      date_trunc("week", col("ts_utc")).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    e.join(broadcast(first), Seq("user_id"))
+      .groupBy(col("cohort"),
+        (datediff(col("wk").cast("date"), col("cohort").cast("date")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** q114 — weekly retention triangle over events. */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    retentionCohorts(Tables.events(s, dir))
+
+  val retentionSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) // 7 AS INT) AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY cohort, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_date_math" -> dateMath,
     "q51_sessions" -> sessions,
-    "q108_prior_events" -> priorEvents)
+    "q108_prior_events" -> priorEvents,
+    "q114_retention_cohorts" -> retention)
 
   def oracles: Map[String, String] = Map(
     "q50_date_math" -> dateMathSql,
     "q51_sessions" -> sessionsSql,
-    "q108_prior_events" -> priorEventsSql)
+    "q108_prior_events" -> priorEventsSql,
+    "q114_retention_cohorts" -> retentionSql)
 }

@@ -1304,6 +1304,64 @@ object TextAnalysis {
         round(sum(col("kfx")) / 1e9, 6).as("kl"))
   }
 
+  /** Shared vocabulary for the q113 tokenizer gate: BPE-ish merges
+    * (common English digrams/trigrams/words) over a full single-char
+    * fallback alphabet. ASCII only — UTF-16 code units (Spark) and
+    * code points (DuckDB) then agree; a production tokenizer would
+    * operate on bytes with a byte-fallback vocab, same algorithm. */
+  val tokVocab: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz0123456789 ".map(_.toString) ++ Seq(
+      "the", "and", "ing", "ion", "tion", "er", "re", "th", "he", "an",
+      "in", "on", "at", "en", "es", "or", "te", "of", "ed", "is", "it",
+      "al", "ar", "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io",
+      "le", "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+      "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur",
+      "the ", " the", "and ", "ing ", "er ", "es ", "ed ")).toSeq
+
+  /** q113 — greedy longest-match tokenization of the corpus against
+    * the fixed vocab (the inference-time shape of a trained BPE/
+    * WordPiece tokenizer; encode is a pure map-side function of the
+    * standing merge table). The emitted token-LENGTH sequence is a
+    * complete certificate of every greedy choice — the gate hashes
+    * it (md5) next to the token count, and the DuckDB oracle replays
+    * the same greedy walk with a recursive CTE (longest match =
+    * max(length) over matching entries; no match ⇒ 1-char
+    * fallback). Map-only: the vocab rides inside the codegen'd
+    * expression as per-length hash sets (≤ maxTokenLen probes per
+    * position). */
+  def greedyTokenizeGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GreedyTokenLens.greedy_token_lens
+    docs(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        greedy_token_lens(lower(trim(col("text"))), tokVocab).as("_lens"))
+      .select(col("doc_id"),
+        size(split(col("_lens"), ",")).cast("long").as("n_tokens"),
+        md5(col("_lens")).as("seg_sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val greedyTokenizeGateSql: String = {
+    val vocabList = tokVocab.map(t => s"'$t'").mkString(", ")
+    s"""WITH RECURSIVE v(tok) AS (SELECT unnest([$vocabList])),
+       |d AS (SELECT doc_id, lower(trim(text)) AS s FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |rec(doc_id, pos, n, lens) AS (
+       |  SELECT doc_id, 1, CAST(0 AS BIGINT), '' FROM d
+       |  UNION ALL
+       |  SELECT r.doc_id,
+       |    r.pos + coalesce((SELECT max(length(v.tok)) FROM v
+       |      WHERE substr(d.s, r.pos, length(v.tok)) = v.tok), 1),
+       |    r.n + 1,
+       |    r.lens || CASE WHEN r.lens = '' THEN '' ELSE ',' END ||
+       |      CAST(coalesce((SELECT max(length(v.tok)) FROM v
+       |        WHERE substr(d.s, r.pos, length(v.tok)) = v.tok), 1) AS VARCHAR)
+       |  FROM rec r JOIN d USING (doc_id) WHERE r.pos <= length(d.s))
+       |SELECT doc_id, max(n) AS n_tokens,
+       |  md5(max_by(lens, n)) AS seg_sig
+       |FROM rec GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** q112 — unigram KL per source over the documents corpus. */
   def domainKlGate(s: SparkSession, dir: String): DataFrame =
     domainKl(docs(s, dir), "source", "text").orderBy(col("source"))
@@ -1326,6 +1384,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_domain_kl" -> domainKlGate,
+    "q113_greedy_tokenize" -> greedyTokenizeGate,
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
     "q73_bm25_search" -> bm25Top20,
@@ -1353,6 +1412,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q112_domain_kl" -> domainKlGateSql,
+    "q113_greedy_tokenize" -> greedyTokenizeGateSql,
     "q45_top_bigrams" -> topBigramsSql,
     "q72_tfidf_terms" -> tfidfTop3Sql,
     "q73_bm25_search" -> bm25Top20Sql,

@@ -207,6 +207,27 @@ object MicroBench {
         Classifier.scoreCorpus(docs, "doc_id", "text", w).count())
       feats.unpersist(blocking = false)
     }
+    locally {
+      // Incremental substring dedup with vs without the standing
+      // bloom of the index fingerprints (q107 composed into q104's
+      // path): the bloom turns the index join's probe side into the
+      // bloom-positive distinct fps only.
+      import graft.ops.{BloomIndex, TextAnalysis}
+      val base = docs.filter(col("doc_id") < 2500)
+        .select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") >= 2500)
+        .select(col("doc_id"), col("text"))
+      val idx = TextAnalysis.substringIndex(base, "doc_id", "text", 8).persist()
+      idx.count()
+      val bloom = BloomIndex.buildBloom(idx, "fp", 1 << 22, 5).persist()
+      bloom.count()
+      time("substr_delta_direct")(
+        TextAnalysis.substringDedupDelta(delta, idx, "doc_id", "text", 8).count())
+      time("substr_delta_bloom")(
+        TextAnalysis.substringDedupDelta(delta, idx, "doc_id", "text", 8,
+          indexBloom = Some(bloom)).count())
+      idx.unpersist(blocking = false); bloom.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }
