@@ -260,9 +260,90 @@ object FeedShapes {
       |SELECT u, r AS rank_fx FROM r3
       |ORDER BY rank_fx DESC, u LIMIT 30""".stripMargin
 
+  /** Per-node triangle counts via degree orientation (the classic
+    * distributed-triangle algorithm: Cohen 2009 / Suri & Vassilvitskii
+    * WWW'11 "Counting triangles and the curse of the last reducer").
+    * Undirected edges are canonicalized (a<b, distinct), then each
+    * edge is ORIENTED from the endpoint that is lower in the total
+    * order (degree, id) to the higher. The orientation makes the graph
+    * a DAG where every triangle {x,y,z} with x<y<z (in that order)
+    * appears exactly once as x→y, x→z, y→z — so wedges are generated
+    * only from each node's OUT-edges, whose count is bounded by
+    * O(sqrt(m)) amortized (a hub's edges all point INTO it, so the
+    * curse-of-the-last-reducer wedge blowup at a celebrity node never
+    * happens). Wedge closure is a single equi-join back to the
+    * oriented edge set; per-node counts explode each found triangle
+    * to its three corners.
+    *
+    * Shuffle budget: dedup (1) + degree agg (1) + two broadcast-able
+    * degree joins + wedge self-join on src (1) + closure join on
+    * (y,z) (1) + corner agg (1); every frame after dedup is
+    * edge-sized or smaller, and the wedge frame is the only
+    * super-linear one — bounded by the orientation. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+    val e1 = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
+    val e2 = oriented.select(col("src"), col("dst").as("z"), col("dd").as("dz"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val closing = oriented.select(col("src").as("y"), col("dst").as("z"))
+    val tris = wedges.join(closing, Seq("y", "z"))
+      .select(col("src").as("x"), col("y"), col("z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("u"))
+  }
+
+  /** q116 — per-node triangle counts over the q46 follow graph. */
+  def followTriangles(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("u"))
+    val edges = c.select(col("u"), (col("u") % 97).as("v"))
+      .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
+      .filter(col("u") =!= col("v"))
+    triangleCounts(edges)
+  }
+
+  val followTrianglesSql: String =
+    """WITH c AS (SELECT c_custkey AS u FROM customer),
+      |raw AS (SELECT u, u % 97 AS v FROM c
+      |  UNION ALL SELECT u, (u * 3 + 1) % 97 FROM c),
+      |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |  FROM raw WHERE u <> v),
+      |deg AS (SELECT n, count(*) AS d FROM (
+      |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+      |o AS (SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dd
+      |  FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+      |w AS (SELECT e1.src, e1.dst AS y, e2.dst AS z
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |  WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+      |tri AS (SELECT w.src AS x, w.y, w.z
+      |  FROM w JOIN o ON o.src = w.y AND o.dst = w.z)
+      |SELECT u, count(*) AS n_tri FROM (
+      |  SELECT x AS u FROM tri UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |GROUP BY u ORDER BY u""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_two_hop" -> twoHop,
     "q103_follow_pagerank" -> followPageRank,
+    "q116_triangles" -> followTriangles,
     "q21_fanout_agg" -> fanoutAgg,
     "q22_undelivered" -> undeliveredAgg,
     "q23_claim_usernames" -> claimUsernames,
@@ -271,6 +352,7 @@ object FeedShapes {
   def oracles: Map[String, String] = Map(
     "q46_two_hop" -> twoHopSql,
     "q103_follow_pagerank" -> followPageRankSql,
+    "q116_triangles" -> followTrianglesSql,
     "q21_fanout_agg" -> fanoutAggSql,
     "q22_undelivered" -> undeliveredAggSql,
     "q23_claim_usernames" -> claimUsernamesSql,

@@ -157,15 +157,71 @@ object Temporal {
       |GROUP BY cohort, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Ordered-funnel analysis: how many users complete step k of a
+    * named event sequence, where step k counts only events STRICTLY
+    * AFTER the user's (greedy, earliest-possible) completion of step
+    * k-1. The greedy frontier is the standard funnel semantics:
+    * step-0 time is the user's first step-0 event, step-k time the
+    * first step-k event after the step-(k-1) time.
+    *
+    * Scale shape: one pass over (type-filtered, 3-column) events per
+    * step — the type predicate pushes into the parquet scan — and the
+    * inter-step state is a per-user frame (user, frontier-ts) that
+    * broadcasts back; no window over the raw events, no event-level
+    * shuffle beyond the per-user min. Hot users cost nothing extra
+    * (min is map-side-combined). */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("_u"), col(typeCol).as("_k"),
+      col(tsCol).as("_t"))
+    val frontiers = steps.tail.scanLeft(
+      e.filter(col("_k") === steps.head)
+        .groupBy(col("_u")).agg(min(col("_t")).as("_rt"))) {
+      case (prev, step) =>
+        e.filter(col("_k") === step)
+          .join(broadcast(prev.select(col("_u"), col("_rt").as("_pt"))), Seq("_u"))
+          .filter(col("_t") > col("_pt"))
+          .groupBy(col("_u")).agg(min(col("_t")).as("_rt"))
+    }
+    frontiers.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(steps(i)).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("step_idx"))
+  }
+
+  /** q115 — signup → view → click → purchase funnel over events. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelSteps(Tables.events(s, dir), "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s0 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s0 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.t > s0.t GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY 1)
+      |SELECT 0 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s0
+      |UNION ALL SELECT 1, 'view', count(*) FROM s1
+      |UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+      |ORDER BY step_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_date_math" -> dateMath,
     "q51_sessions" -> sessions,
     "q108_prior_events" -> priorEvents,
-    "q114_retention_cohorts" -> retention)
+    "q114_retention_cohorts" -> retention,
+    "q115_funnel" -> funnel)
 
   def oracles: Map[String, String] = Map(
     "q50_date_math" -> dateMathSql,
     "q51_sessions" -> sessionsSql,
     "q108_prior_events" -> priorEventsSql,
-    "q114_retention_cohorts" -> retentionSql)
+    "q114_retention_cohorts" -> retentionSql,
+    "q115_funnel" -> funnelSql)
 }

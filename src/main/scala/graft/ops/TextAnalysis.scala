@@ -1362,6 +1362,83 @@ object TextAnalysis {
        |FROM rec GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): a d×w grid of
+    * counters; token t increments cell (i, h_i(t)) for each of the d
+    * seeded hashes, and its estimate is the MIN over its d cells —
+    * always ≥ the true count, within εN with probability 1-δ for
+    * w = e/ε, d = ln(1/δ). The sketch is the fixed-size (d·w)
+    * mergeable summary that replaces an unbounded-vocab exact count:
+    * partial grids sum cell-wise across partitions/streams, so heavy-
+    * hitter tracking at 100 TB is one map-side-combined aggregation
+    * into 4096 cells instead of a full-vocab shuffle. Hashes use the
+    * md5-only portable convention (first 8 hex digits of
+    * md5("cms<i>|" ++ tok), mod w) so the oracle rebuilds the exact
+    * same grid. */
+  val CMS_D = 4
+  val CMS_W = 1024
+
+  private def cmsBucket(tok: Column, i: Int, w: Int): Column =
+    conv(substring(md5(concat(lit(s"cms$i|"), tok)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** The sketch itself: (r, bkt, cnt) with d·w rows at most. */
+  def cmsCounters(tokens: DataFrame, tokCol: String,
+      d: Int = CMS_D, w: Int = CMS_W): DataFrame =
+    tokens
+      .select(posexplode(
+        array((0 until d).map(i => cmsBucket(col(tokCol), i, w)): _*))
+        .as(Seq("r", "bkt")))
+      .groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for a candidate frame: min over the d cells.
+    * The counters broadcast (≤ d·w rows); candidates never shuffle. */
+  def cmsEstimate(counters: DataFrame, cands: DataFrame, tokCol: String,
+      d: Int = CMS_D, w: Int = CMS_W): DataFrame = {
+    val melted = cands.select(col(tokCol),
+      posexplode(array((0 until d).map(i => cmsBucket(col(tokCol), i, w)): _*))
+        .as(Seq("r", "bkt")))
+    melted.join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy(col(tokCol)).agg(min(col("cnt")).as("n_cms"))
+  }
+
+  /** q117 — CMS heavy hitters: the exact top-20 corpus tokens next to
+    * their sketch estimates. The gate certifies the grid cross-engine
+    * (identical hashing, counting, and min-reduction in both), and
+    * the n_cms ≥ n_exact overestimate structure is visible in the
+    * output. The exact side is gate-only ground truth; the production
+    * path keeps just the sketch + a candidate stream. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), WS)).as("tok"))
+    val counters = cmsCounters(toks, "tok")
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+    exact.join(cmsEstimate(counters, exact.select(col("tok")), "tok"),
+        Seq("tok"))
+      .select(col("tok"), col("n_exact"), col("n_cms"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  val cmsHeavyHittersSql: String =
+    s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '$WS')) AS tok
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |b AS (SELECT tok, r,
+       |    CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || tok), 1, 8)
+       |      AS BIGINT) % 1024 AS bkt
+       |  FROM tk, unnest([0, 1, 2, 3]) AS s(r)),
+       |counters AS (SELECT r, bkt, count(*) AS cnt FROM b GROUP BY r, bkt),
+       |exact AS (SELECT tok, count(*) AS n_exact FROM tk GROUP BY tok
+       |  ORDER BY n_exact DESC, tok LIMIT 20),
+       |cb AS (SELECT e.tok, e.n_exact, s.r,
+       |    CAST('0x' || substr(md5('cms' || CAST(s.r AS VARCHAR) || '|' || e.tok), 1, 8)
+       |      AS BIGINT) % 1024 AS bkt
+       |  FROM exact e, unnest([0, 1, 2, 3]) AS s(r))
+       |SELECT cb.tok, cb.n_exact, min(c.cnt) AS n_cms
+       |FROM cb JOIN counters c USING (r, bkt)
+       |GROUP BY cb.tok, cb.n_exact
+       |ORDER BY n_exact DESC, tok""".stripMargin
+
   /** q112 — unigram KL per source over the documents corpus. */
   def domainKlGate(s: SparkSession, dir: String): DataFrame =
     domainKl(docs(s, dir), "source", "text").orderBy(col("source"))
@@ -1385,6 +1462,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_domain_kl" -> domainKlGate,
     "q113_greedy_tokenize" -> greedyTokenizeGate,
+    "q117_cms_heavy_hitters" -> cmsHeavyHitters,
     "q45_top_bigrams" -> topBigrams,
     "q72_tfidf_terms" -> tfidfTop3,
     "q73_bm25_search" -> bm25Top20,
@@ -1413,6 +1491,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "q112_domain_kl" -> domainKlGateSql,
     "q113_greedy_tokenize" -> greedyTokenizeGateSql,
+    "q117_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "q45_top_bigrams" -> topBigramsSql,
     "q72_tfidf_terms" -> tfidfTop3Sql,
     "q73_bm25_search" -> bm25Top20Sql,
