@@ -28,7 +28,8 @@ object SparkEntry {
     QueryModule(BenchShapes.queries, BenchShapes.oracles),
     QueryModule(AsOf.queries, AsOf.oracles),
     QueryModule(Temporal.queries, Temporal.oracles),
-    QueryModule(BloomIndex.queries, BloomIndex.oracles))
+    QueryModule(BloomIndex.queries, BloomIndex.oracles),
+    QueryModule(Lexical.queries, Lexical.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)
