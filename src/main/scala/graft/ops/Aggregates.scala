@@ -369,10 +369,12 @@ object Aggregates {
   /** q81 — KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002),
     * ORACLE-CERTIFIED: per event_type, the exact distinct user count
     * next to the (k−1)/h_k estimate from the k=64 smallest distinct
-    * md5-prefix hashes. HLL sketches (q41's approx_count_distinct)
-    * can never hash-match across engines — register layouts differ;
-    * KMV is a pure function of the value set, so the sketch estimate
-    * itself is gated, not just bounded. This window form is the
+    * md5-prefix hashes. Spark's BUILTIN HLL (q41's
+    * approx_count_distinct) can never hash-match across engines —
+    * its register layout is engine-private; KMV is a pure function of
+    * the value set, so the sketch estimate itself is gated, not just
+    * bounded (and q121 now certifies a real HLL the same way, by
+    * building the registers from md5). This window form is the
     * certified baseline; `SketchAggs.kmv_distinct` is the O(k)-state
     * Aggregator scale form (no per-group rank over all distinct
     * hashes), spec'd equal on the same input. */
@@ -464,7 +466,168 @@ object Aggregates {
       |WHERE mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
       |ORDER BY event_id""".stripMargin
 
+  /** Portable HyperLogLog registers (Flajolet et al. 2007) — m = 64
+    * buckets, every bit derived from md5 of the value's decimal
+    * string, so the registers are a pure function of the value SET
+    * (the KMV portability argument, q81): bucket = first md5 byte
+    * mod 64, rank = leading-zero count of the next 48 bits + 1,
+    * computed with integer/string ops only. This is the sketch q81's
+    * doc note says Spark's builtin can never certify — the builtin's
+    * register layout is engine-private; this one is rebuildable from
+    * the formula alone, so the ESTIMATE hash-matches DuckDB.
+    *
+    * Scale shape: the register frame is the aggregation state —
+    * groups × 64 rows regardless of input size, map-side-combined
+    * max; registers from disjoint shards max-merge (spec'd), which is
+    * the property that lets 1000 executors sketch 100 TB and combine
+    * 64-row states. */
+  def hllRegisters(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val h = md5(col(valCol).cast("string"))
+    val tail = substring(h, 3, 12)
+    val stripped = ltrim(tail, "0")
+    val zeros = lit(12) - length(stripped)
+    val first = substring(stripped, 1, 1)
+    val extra = when(first === "1", 3).when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val rho = when(length(stripped) === 0, lit(49))
+      .otherwise(lit(4) * zeros + extra + 1)
+    df.select(col(groupCol),
+        (conv(substring(h, 1, 2), 16, 10).cast("int") % 64).as("bkt"),
+        rho.as("rho"))
+      .groupBy(col(groupCol), col("bkt")).agg(max(col("rho")).as("mj"))
+  }
+
+  /** HLL estimate from a register frame: raw = α₆₄·m²/Σ2^(−Mⱼ) with
+    * the small-range linear-counting correction (raw ≤ 2.5m with
+    * empty registers → m·ln(m/V)). The register sum is EXACT BIGINT
+    * (Σ 2^(49−Mⱼ), empty buckets contributing 2⁴⁹), so the only
+    * float ops are one division and one ln — portable per the q78
+    * precedent. */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val two49 = 562949953421312L // 2^49
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("np"),
+        sum(pow(lit(2.0), lit(49) - col("mj")).cast("long")).as("sp"))
+      .withColumn("s", col("sp") + (lit(64L) - col("np")) * two49)
+      .withColumn("v", (lit(64L) - col("np")).cast("long"))
+      .withColumn("eraw",
+        lit(0.709) * lit(4096.0) * lit(562949953421312.0) / col("s"))
+      .select(col(groupCol), col("v").as("n_zero_regs"),
+        when(col("v") > 0 && col("eraw") <= 160.0,
+          round(lit(64.0) * log(lit(64.0) / col("v"))).cast("long"))
+          .otherwise(round(col("eraw")).cast("long")).as("hll_est"))
+  }
+
+  /** q121 — HLL distinct sketch ORACLE GATE: per event_type, the
+    * exact distinct user count next to the md5-register HLL estimate
+    * (DuckDB rebuilds the identical 64 registers digit by digit).
+    * Completes the certified-sketch quartet: KMV (q81), count-min
+    * (q117), Bloom (q107), HLL. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val est = hllEstimate(hllRegisters(ev, "event_type", "user_id"), "event_type")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_zero_regs"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctSql: String =
+    """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS mh FROM events),
+      |b AS (SELECT event_type,
+      |    CAST('0x' || substr(mh, 1, 2) AS INT) % 64 AS bkt,
+      |    ltrim(substr(mh, 3, 12), '0') AS st FROM h),
+      |r AS (SELECT event_type, bkt,
+      |    CASE WHEN length(st) = 0 THEN 49
+      |      ELSE 4 * (12 - length(st))
+      |        + CASE WHEN substr(st, 1, 1) = '1' THEN 3
+      |               WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+      |               WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |               ELSE 0 END + 1 END AS rho
+      |  FROM b),
+      |reg AS (SELECT event_type, bkt, max(rho) AS mj FROM r GROUP BY 1, 2),
+      |a AS (SELECT event_type, count(*) AS np,
+      |    sum(CAST(pow(2.0, 49 - mj) AS BIGINT)) AS sp FROM reg GROUP BY 1),
+      |est AS (SELECT event_type,
+      |    CAST(64 - np AS BIGINT) AS n_zero_regs,
+      |    sp + (64 - np) * 562949953421312 AS s,
+      |    CAST(0.709 AS DOUBLE) * 4096.0 * 562949953421312.0
+      |      / (sp + (64 - np) * 562949953421312) AS eraw
+      |  FROM a),
+      |e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, e.n_exact, est.n_zero_regs,
+      |  CASE WHEN est.n_zero_regs > 0 AND est.eraw <= 160.0
+      |    THEN CAST(round(64.0 * ln(64.0 / est.n_zero_regs)) AS BIGINT)
+      |    ELSE CAST(round(est.eraw) AS BIGINT) END AS hll_est
+      |FROM e JOIN est USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** Grouped least-squares trend (value vs time) with EXACT integer
+    * moment sums. Spark ships `regr_slope`/`regr_intercept`, but
+    * their double partial sums accumulate in partition order — the
+    * float-nondeterminism anti-pattern that can never hash-match an
+    * oracle. This twin reduces each group to five exact BIGINT
+    * moments (n, Σx, Σy, Σxy, Σx²) over cents and hours-since-group-
+    * start — all < 2⁵³, so the closing slope/intercept arithmetic is
+    * a handful of IEEE double ops on exactly-represented integers,
+    * identical in any engine and any partition order. One map-side-
+    * combined aggregation per group; the min-ts frame broadcasts
+    * back. */
+  def groupedTrend(events: DataFrame, groupCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val mins = events.groupBy(col(groupCol)).agg(min(col(tsCol)).as("ts0"))
+    val m = events.select(col(groupCol), col(tsCol), col(valCol))
+      .join(broadcast(mins), Seq(groupCol))
+      // ts is epoch-nanos (Tables.normalizeTs); x = whole hours since
+      // the group's first event, y = exact cents
+      .withColumn("x", expr(s"($tsCol - ts0) div 3600000000000"))
+      .withColumn("y", round(col(valCol) * 100).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val n = col("n").cast("double")
+    val xb = col("sx").cast("double") / n
+    val yb = col("sy").cast("double") / n
+    val den = col("sxx").cast("double") - n * xb * xb
+    val num = col("sxy").cast("double") - n * xb * yb
+    m.filter(col("sxx") * col("n") =!= col("sx") * col("sx"))
+      .select(col(groupCol), col("n"),
+        round(num / den * 1e4).cast("long").as("slope_fx"),
+        round((yb - num / den * xb) * 1e4).cast("long").as("intercept_fx"))
+  }
+
+  /** q124 — per-event_type value trend (cents per hour, 1e-4 fixed
+    * point). */
+  def groupedTrendGate(s: SparkSession, dir: String): DataFrame =
+    groupedTrend(Tables.events(s, dir), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+
+  val groupedTrendGateSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+      |m0 AS (SELECT event_type, min(tus) AS t0 FROM e GROUP BY 1),
+      |xy AS (SELECT event_type,
+      |    (tus - t0) // 3600000000 AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM e JOIN m0 USING (event_type)),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(round((CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * 1e4) AS BIGINT) AS slope_fx,
+      |  CAST(round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      / (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * 1e4) AS BIGINT) AS intercept_fx
+      |FROM s WHERE sxx * n <> sx * sx
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_grouped_trend" -> groupedTrendGate,
+    "q121_hll_distinct" -> hllDistinct,
     "q111_robust_outliers" -> robustOutliersGate,
     "q81_kmv_distinct" -> kmvDistinct,
     "q47_pivot_events" -> pivotEventCounts,
@@ -482,6 +645,8 @@ object Aggregates {
     "q57_trimmed_mean_rank" -> trimmedMeanScalable)
 
   def oracles: Map[String, String] = Map(
+    "q124_grouped_trend" -> groupedTrendGateSql,
+    "q121_hll_distinct" -> hllDistinctSql,
     "q111_robust_outliers" -> robustOutliersGateSql,
     "q41_approx_stats" -> approxStatsSql,
     "q81_kmv_distinct" -> kmvDistinctSql,

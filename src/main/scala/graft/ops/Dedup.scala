@@ -95,6 +95,44 @@ object Dedup {
       .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** EXACT set-similarity join with prefix filtering (Chaudhuri et
+    * al. ICDE'06; Bayardo et al. WWW'07 All-Pairs): the scalable
+    * exact counterpart to [[jaccardPairs]]' all-pairs baseline.
+    * Shingles get a global rarest-first order (doc frequency asc,
+    * shingle asc); each doc keeps only its first
+    * |x| − ⌈τ·|x|⌉ + 1 shingles in that order as its PREFIX, and
+    * candidates are pairs whose prefixes share a shingle — complete
+    * because J(x,y) ≥ τ forces |x∩y| ≥ ⌈τ·|x|⌉, so the smallest
+    * common shingle in the global order lands inside BOTH prefixes
+    * (pigeonhole on x∖y and y∖x). Candidates are then verified with
+    * the exact array-intersect Jaccard.
+    *
+    * Scale shape: the candidate join runs on PREFIX shingles only —
+    * by construction the rarest (1−τ) fraction of each doc's set —
+    * so bucket sizes are df-bounded exactly where the full shingle
+    * equi-join explodes on hot shingles. One df aggregation
+    * (shingle-vocab bounded), one per-doc collect, candidate
+    * equi-join, map-side verify. No quadratic stage outside a
+    * rare-shingle bucket. */
+  def prefixFilterJaccard(shingleSets: DataFrame, minJaccard: Double): DataFrame = {
+    val dfreq = shingleSets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val docSets = shingleSets.join(dfreq, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .withColumn("shs", transform(col("ord"), x => x("sh")))
+      .withColumn("sz", size(col("shs")))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int"))
+      .select(col("id"), col("shs"),
+        slice(col("shs"), lit(1), col("plen")).as("prefix"))
+    val pref = docSets.select(col("id"), explode(col("prefix")).as("sh"))
+    val cand = pref.select(col("id").as("id_a"), col("sh"))
+      .join(pref.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardForCandidates(docSets.select(col("id"), col("shs")), cand, minJaccard)
+  }
+
   /** MinHash signatures: numHashes md5-string minima per doc.
     * (Portable stand-in for the usual (a·x+b) mod p permutations —
     * identical uniformity argument, and string-comparable across

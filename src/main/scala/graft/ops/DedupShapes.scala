@@ -32,6 +32,18 @@ object DedupShapes {
        |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** q122 — prefix-filtered EXACT set-similarity join (All-Pairs /
+    * PPJoin family) over the same input and threshold as q30, gated
+    * against q30's NAIVE all-pairs oracle: a hash match certifies
+    * that rarest-first prefix pruning loses no pair — the exact
+    * near-dup join that scales where the naive equi-join explodes on
+    * hot shingles (and, unlike the q31 LSH path, with zero false-
+    * negative probability). */
+  def prefixJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJaccard(
+        Dedup.wordBigrams(docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text"), 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** MinHash+LSH candidates verified by exact Jaccard — the certified
     * shingle→minhash→band→bucket-join pipeline (8 hashes, 4 bands). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -445,6 +457,7 @@ object DedupShapes {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_jaccard_pairs" -> jaccardPairs,
+    "q122_prefix_jaccard" -> prefixJaccard,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
@@ -459,6 +472,7 @@ object DedupShapes {
 
   def oracles: Map[String, String] = Map(
     "q30_jaccard_pairs" -> jaccardPairsSql,
+    "q122_prefix_jaccard" -> jaccardPairsSql,
     "q31_minhash_lsh" -> minhashLshSql,
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Date/time scalar family + batch sessionization.
@@ -211,7 +212,49 @@ object Temporal {
       |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
       |ORDER BY step_idx""".stripMargin
 
+  /** Markov transition matrix over per-user event sequences: for every
+    * ordered (type → next type) step the count and the row-normalized
+    * transition probability — the "what do users do next" statistic
+    * behind funnel discovery and session modeling. One window shuffle
+    * on user (the same partitioning q108's range window pays);
+    * everything after is on the types×types frame. Probabilities are
+    * 1e-6 fixed point via exact integer division — no float sums.
+    * Ordering ties (same user, same ts) break on event_id so both
+    * engines walk the identical sequence. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val trans = events.select(col(userCol), col(typeCol), col(tsCol), col("event_id"))
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans
+      .withColumn("tot", sum(col("n_trans")).over(
+        Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("(n_trans * 1000000) div tot").as("p_fx"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** q123 — event-type transition matrix over events. */
+  def transitions(s: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.events(s, dir), "user_id", "event_type", "ts")
+
+  val transitionsSql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (SELECT event_type AS from_type, to_type, count(*) AS n_trans
+      |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT from_type, sum(n_trans) AS tot FROM t GROUP BY 1)
+      |SELECT from_type, to_type, n_trans,
+      |  CAST((n_trans * 1000000) // tot AS BIGINT) AS p_fx
+      |FROM t JOIN r USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_transition_matrix" -> transitions,
     "q50_date_math" -> dateMath,
     "q51_sessions" -> sessions,
     "q108_prior_events" -> priorEvents,
@@ -219,6 +262,7 @@ object Temporal {
     "q115_funnel" -> funnel)
 
   def oracles: Map[String, String] = Map(
+    "q123_transition_matrix" -> transitionsSql,
     "q50_date_math" -> dateMathSql,
     "q51_sessions" -> sessionsSql,
     "q108_prior_events" -> priorEventsSql,

@@ -644,4 +644,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dc.count() == delta.count() * 8)
   }
 
+
+  test("prefixFilterJaccard ≡ naive jaccardPairs on the sf0.001 corpus") {
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val sets = Dedup.wordBigrams(docs, "doc_id", "text")
+      val naive = Dedup.jaccardPairs(sets, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pruned = Dedup.prefixFilterJaccard(sets, tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == naive, s"tau=$tau")
+    }
+  }
+
+  test("prefixFilterJaccard prunes: candidate keys ≪ full shingle keys") {
+    // with a hot shingle shared by everyone, the naive equi-join is
+    // quadratic in the corpus; prefixes keep only rare shingles
+    val sets = Dedup.wordBigrams(docs, "doc_id", "text")
+    val fullKeys = sets.count()
+    val dfreq = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefKeys = sets.join(dfreq, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"),
+        count(lit(1)).as("sz"))
+      .select(explode(slice(transform(col("ord"), x => x("sh")), lit(1),
+        (col("sz") - ceil(col("sz") * 0.5) + 1).cast("int"))))
+      .count()
+    assert(prefKeys * 3 < fullKeys * 2, s"pref=$prefKeys full=$fullKeys")
+  }
 }

@@ -123,4 +123,44 @@ class GraphFunnelSketchSpec extends SparkSpec {
     // every token lands in the single cell: estimate = total count
     assert(est == Map("a" -> 6L, "b" -> 6L))
   }
+
+  // ------------------------------------------------------------- HLL
+
+  test("HLL registers max-merge across shards (the 100 TB combine)") {
+    val all = (1 to 3000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val (a, b) = ((1 to 1500).map(i => ("g", i.toLong)).toDF("g", "v"),
+      (1501 to 3000).map(i => ("g", i.toLong)).toDF("g", "v"))
+    val whole = Aggregates.hllRegisters(all, "g", "v")
+      .as[(String, Int, Int)].collect().map(r => (r._2, r._3)).toMap
+    val merged = Aggregates.hllRegisters(a, "g", "v")
+      .unionByName(Aggregates.hllRegisters(b, "g", "v"))
+      .groupBy(col("g"), col("bkt")).agg(max(col("mj")).as("mj"))
+      .as[(String, Int, Int)].collect().map(r => (r._2, r._3)).toMap
+    assert(whole == merged)
+  }
+
+  test("HLL estimate within 25% at 5000 distinct (m=64 regime)") {
+    val df = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = Aggregates.hllEstimate(Aggregates.hllRegisters(df, "g", "v"), "g")
+      .select("hll_est").as[Long].head()
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"est=$est")
+  }
+
+  test("HLL linear-counting branch fires at tiny cardinality and is close") {
+    val df = (1 to 20).map(i => ("g", i.toLong)).toDF("g", "v")
+    val row = Aggregates.hllEstimate(Aggregates.hllRegisters(df, "g", "v"), "g")
+      .select("n_zero_regs", "hll_est").as[(Long, Long)].head()
+    assert(row._1 > 0) // empty registers present -> small-range regime
+    assert(math.abs(row._2 - 20.0) <= 6.0, s"est=${row._2}")
+  }
+
+  test("HLL estimate is a pure function of the value SET (dup-invariant)") {
+    val once = (1 to 400).map(i => ("g", i.toLong)).toDF("g", "v")
+    val dup = ((1 to 400) ++ (1 to 400)).map(i => ("g", i.toLong)).toDF("g", "v")
+    val e1 = Aggregates.hllEstimate(Aggregates.hllRegisters(once, "g", "v"), "g")
+      .select("hll_est").as[Long].head()
+    val e2 = Aggregates.hllEstimate(Aggregates.hllRegisters(dup, "g", "v"), "g")
+      .select("hll_est").as[Long].head()
+    assert(e1 == e2)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q123 transition matrix + q124 grouped exact-moment trend. */
+class TrendTransitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitionMatrix: counts follow each user's time order") {
+    // user 1: a→b→a ; user 2: a→b — transitions: (a,b)×2, (b,a)×1
+    val ev = Seq(
+      (1L, "a", 100L, 10L), (1L, "b", 200L, 11L), (1L, "a", 300L, 12L),
+      (2L, "a", 150L, 20L), (2L, "b", 250L, 21L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Temporal.transitionMatrix(ev, "user_id", "event_type", "ts")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L, 1000000L), ("b", "a", 1L, 1000000L)))
+  }
+
+  test("transitionMatrix: row probabilities are exact integer shares") {
+    // from 'a': 2×b, 1×c → p = 666666 / 333333 (floor division)
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L),
+      (2L, "a", 1L, 3L), (2L, "b", 2L, 4L),
+      (3L, "a", 1L, 5L), (3L, "c", 2L, 6L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val m = Temporal.transitionMatrix(ev, "user_id", "event_type", "ts")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(m == Map(("a", "b") -> 666666L, ("a", "c") -> 333333L))
+  }
+
+  test("transitionMatrix: same-ts ties break on event_id deterministically") {
+    val ev = Seq((1L, "x", 100L, 2L), (1L, "y", 100L, 1L), (1L, "z", 200L, 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    // order: y (id 1) → x (id 2) → z: transitions (y,x), (x,z)
+    val got = Temporal.transitionMatrix(ev, "user_id", "event_type", "ts")
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(got == Set(("y", "x"), ("x", "z")))
+  }
+
+  test("groupedTrend recovers an exact linear relationship") {
+    // y = 2.5 + 0.25x dollars over x = 0..4 hours (ts in nanos)
+    val h = 3600L * 1000 * 1000 * 1000
+    val ev = (0 to 4).map(i => ("g", i * h, 2.50 + 0.25 * i))
+      .toDF("event_type", "ts", "value")
+    val row = Aggregates.groupedTrend(ev, "event_type", "ts", "value")
+      .as[(String, Long, Long, Long)].head()
+    // slope 25 cents/hour → 250000 in 1e-4 units; intercept 250 cents
+    assert(row == (("g", 5L, 250000L, 2500000L)))
+  }
+
+  test("groupedTrend drops degenerate groups (zero x variance)") {
+    val ev = Seq(("g", 100L, 1.0), ("g", 200L, 2.0)) // same hour bucket
+      .toDF("event_type", "ts", "value")
+    assert(Aggregates.groupedTrend(ev, "event_type", "ts", "value").count() == 0L)
+  }
+
+  test("groupedTrend is partition-order invariant (exact moments)") {
+    val h = 3600L * 1000 * 1000 * 1000
+    val rows = (0 until 500).map(i => ("g", (i % 97) * h, (i % 13) * 1.07))
+    val a = Aggregates.groupedTrend(rows.toDF("event_type", "ts", "value")
+      .repartition(1), "event_type", "ts", "value")
+      .as[(String, Long, Long, Long)].head()
+    val b = Aggregates.groupedTrend(scala.util.Random.shuffle(rows)
+      .toDF("event_type", "ts", "value").repartition(32),
+      "event_type", "ts", "value")
+      .as[(String, Long, Long, Long)].head()
+    assert(a == b)
+  }
+}

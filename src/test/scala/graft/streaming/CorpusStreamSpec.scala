@@ -380,4 +380,43 @@ class CorpusStreamSpec extends SparkSpec {
       graft.functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
     assert(e.exceptAll(expected).isEmpty && expected.exceptAll(e).isEmpty)
   }
+
+  test("HLL registers build identically on a live stream (sketches ingest continuously)") {
+    val rows = (1 to 800).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+    val in = memStream[(String, Long)]
+    val q = graft.ops.Aggregates.hllRegisters(in.toDF().toDF("g", "v"), "g", "v")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(rows.take(300))
+      q.processAllAvailable()
+      in.addData(rows.drop(300)) // second batch updates register maxima
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .as[(String, Int, Int)].collect().toSet
+      val batch = graft.ops.Aggregates.hllRegisters(
+          rows.toDF("g", "v"), "g", "v")
+        .as[(String, Int, Int)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("CMS counters build identically on a live stream") {
+    val rows = (1 to 500).map(i => s"t${i % 37}")
+    val in = memStream[String]
+    val q = graft.ops.TextAnalysis.cmsCounters(in.toDF().toDF("tok"), "tok")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(rows.take(200))
+      q.processAllAvailable()
+      in.addData(rows.drop(200))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = graft.ops.TextAnalysis.cmsCounters(rows.toDF("tok"), "tok")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
