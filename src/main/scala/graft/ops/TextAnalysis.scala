@@ -1459,7 +1459,59 @@ object TextAnalysis {
       |  round(sum(kfx) / 1e9, 6) AS kl
       |FROM fx GROUP BY source ORDER BY source""".stripMargin
 
+  /** Cross-source content-overlap matrix: pairwise Jaccard between
+    * each source's DISTINCT word-bigram shingle set — the set-based
+    * counterpart to q112's distributional KL (KL says "source X's
+    * token mix drifted"; this says "sources X and Y carry the same
+    * phrases" — the scraped-from-each-other / mirror-site signal a
+    * corpus audit needs before mixing weights are trusted).
+    *
+    * Scale shape: one corpus scan → distinct (source, shingle) — the
+    * only corpus-sized shuffle, map-side distinct first; the
+    * shingle-keyed self-join fans out per shingle only to the sources
+    * CONTAINING it (bounded by source count, not docs), and the
+    * output is source-pair bounded. All-integer output (counts +
+    * 1e-6 fixed-point Jaccard by integer division) — hash-stable by
+    * construction. */
+  def sourceSimilarity(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sh = df.select(col(sourceCol).as("src"),
+        split(trim(col(textCol)), WS).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("src"),
+        explode(array_distinct(graft.functions.TextFunctions.ngramArray(col("ts"), 2))).as("sh"))
+      .distinct()
+    val sz = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("src").as("src_a"), col("sh"))
+      .join(sh.select(col("src").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sz.select(col("src").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sz.select(col("src").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)").as("jacc_fx"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q125 — source-pair bigram-set overlap over the documents corpus. */
+  def sourceSimilarityGate(s: SparkSession, dir: String): DataFrame =
+    sourceSimilarity(docs(s, dir), "source", "text")
+
+  val sourceSimilarityGateSql: String =
+    s"""WITH toks AS (SELECT source AS src, string_split_regex(trim(text), '$WS') AS ts
+       |  FROM documents WHERE len(string_split_regex(trim(text), '$WS')) >= 2),
+       |pos AS (SELECT src, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks),
+       |sh AS (SELECT DISTINCT src, ts[i] || ' ' || ts[i+1] AS sh FROM pos),
+       |sz AS (SELECT src, count(*) AS n FROM sh GROUP BY src),
+       |sp AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       |  CAST((n_shared * 1000000) // (sa.n + sb.n - n_shared) AS BIGINT) AS jacc_fx
+       |FROM sp JOIN sz sa ON sp.src_a = sa.src JOIN sz sb ON sp.src_b = sb.src
+       |ORDER BY src_a, src_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_source_similarity" -> sourceSimilarityGate,
     "q112_domain_kl" -> domainKlGate,
     "q113_greedy_tokenize" -> greedyTokenizeGate,
     "q117_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -1489,6 +1541,7 @@ object TextAnalysis {
     "q61_containment" -> containment)
 
   def oracles: Map[String, String] = Map(
+    "q125_source_similarity" -> sourceSimilarityGateSql,
     "q112_domain_kl" -> domainKlGateSql,
     "q113_greedy_tokenize" -> greedyTokenizeGateSql,
     "q117_cms_heavy_hitters" -> cmsHeavyHittersSql,

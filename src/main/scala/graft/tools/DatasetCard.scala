@@ -11,10 +11,11 @@ import graft.ops.{CurationOps, TextAnalysis}
   * mixture a 1M-token run would sample (q76), the quality-decile
   * curriculum table (q79), the train/val split fractions (q66), and —
   * since round 7 — the release-gate observability: PII exposure
-  * (q87's audit), boilerplate span coverage (q89), and the URL host
-  * distribution (q92). Every number comes from an oracle-gated
-  * operator, so the card is a certified artifact, not a best-effort
-  * summary.
+  * (q87's audit), boilerplate span coverage (q89), the URL host
+  * distribution (q92), verbatim-duplication exposure (q101), and the
+  * most-overlapping source pairs (q125). Every number comes from an
+  * oracle-gated operator, so the card is a certified artifact, not a
+  * best-effort summary.
   *
   * Usage: runMain graft.tools.DatasetCard [sfDir]
   */
@@ -64,6 +65,14 @@ object DatasetCard {
         (col("n_docs") - col("docs_kept")).as("docs_dropped"))
   }
 
+  /** Most-overlapping source pairs off the q125-certified bigram-set
+    * similarity matrix — the mirror-site / scraped-content signal a
+    * release card surfaces before mixture weights are trusted. */
+  def sourceOverlapSummary(docs: DataFrame, topK: Int = 5): DataFrame =
+    TextAnalysis.sourceSimilarity(docs, "source", "text")
+      .orderBy(col("jacc_fx").desc, col("src_a"), col("src_b"))
+      .limit(topK)
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -106,6 +115,7 @@ object DatasetCard {
       s""""pii":${rowsJson(piiSummary(docs, "doc_id", "text"))},""" +
       s""""boilerplate":${rowsJson(boilerplateSummary(docs, "doc_id", "text"))},""" +
       s""""substring_dup":${rowsJson(substringDupSummary(docs, "doc_id", "text"))},""" +
-      s""""top_hosts":${rowsJson(hostSummary(docs, "doc_id", "text"))}}"""
+      s""""top_hosts":${rowsJson(hostSummary(docs, "doc_id", "text"))},""" +
+      s""""top_source_overlap":${rowsJson(sourceOverlapSummary(docs))}}"""
   }
 }

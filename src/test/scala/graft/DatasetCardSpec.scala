@@ -61,4 +61,18 @@ class DatasetCardSpec extends SparkSpec {
     assert(r.getAs[Long]("docs_kept") == 2L)
     assert(r.getAs[Long]("docs_dropped") == 1L)
   }
+
+  test("sourceOverlapSummary ranks the most-overlapping source pair first") {
+    import spark.implicits._
+    val docs = Seq(
+      ("m1", "the quick brown fox jumps"), ("m2", "the quick brown fox jumps"),
+      ("m3", "something else entirely here"), ("m1", "shared tail phrase"),
+      ("m3", "shared tail phrase"))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val top = graft.tools.DatasetCard.sourceOverlapSummary(docs).collect()
+    // m1/m2 are verbatim mirrors on one doc -> highest jaccard
+    assert(top.head.getString(0) == "m1" && top.head.getString(1) == "m2")
+    assert(top.head.getLong(5) > top.last.getLong(5) || top.length == 1)
+  }
 }

@@ -382,4 +382,24 @@ class TextPipelineSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Long, Double)].collect()
     assert(again.sortBy(_._1).toSeq == plan.sortBy(_._1).toSeq)
   }
+
+  test("sourceSimilarity: exact set Jaccard per source pair; disjoint pairs absent") {
+    import spark.implicits._
+    // srcA bigrams {a b, b c}; srcB {a b, b d}; srcC {x y} (disjoint)
+    val df = Seq(("A", "a b c"), ("B", "a b d"), ("C", "x y"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceSimilarity(df, "source", "text")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    // shared {a b}: J = 1/(2+2-1) = 1/3 -> 333333
+    assert(got == List(("A", "B", 1L, 2L, 2L, 333333L)))
+  }
+
+  test("sourceSimilarity: within-source duplication does not inflate the sets") {
+    import spark.implicits._
+    val df = Seq(("A", "a b"), ("A", "a b"), ("B", "a b"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceSimilarity(df, "source", "text")
+      .as[(String, String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("A", "B", 1L, 1L, 1L, 1000000L)))
+  }
 }
