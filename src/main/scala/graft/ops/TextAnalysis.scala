@@ -473,6 +473,22 @@ object TextAnalysis {
     * TakeOrderedAndProject — no corpus-sized shuffle but the length
     * aggregation. Deterministic: ranked on the rounded score with an
     * id tiebreak. */
+  /** The BM25 per-doc score as one Column tree over the pivoted
+    * (tf_i, df_i, dl, n_docs, avgdl) frame — shared expression-for-
+    * expression by the self-contained [[bm25Search]] and the
+    * persisted-index [[serveBm25]], so the two produce bit-identical
+    * doubles (spec-pinned equal). */
+  private def bm25ScoreCol(qts: Seq[String], k1: Double, b: Double): Column =
+    qts.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+            (col(s"df_$i") + lit(0.5)) + lit(1.0)) *
+          (col(s"tf_$i") * lit(k1 + 1.0)) /
+          (col(s"tf_$i") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+
   def bm25Search(docsDf: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -497,18 +513,96 @@ object TextAnalysis {
       (avg(col("dl")).as("avgdl") +:
         qts.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
-    val score = qts.indices.map { i =>
-      when(col(s"tf_$i") > 0,
-        log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
-            (col(s"df_$i") + lit(0.5)) + lit(1.0)) *
-          (col(s"tf_$i") * lit(k1 + 1.0)) /
-          (col(s"tf_$i") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .otherwise(lit(0.0))
-    }.reduce(_ + _)
+    val score = bm25ScoreCol(qts, k1, b)
     perDoc.crossJoin(broadcast(stats))
       .filter(qts.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .select(col("id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  // ------------------- persisted inverted index + BM25 serving
+
+  /** Term buckets for the postings layout (hive partition key). */
+  val IDX_BUCKETS = 64
+
+  /** Portable term → bucket: first 4 md5 hex digits mod
+    * [[IDX_BUCKETS]] — computable driver-side at query time, so a
+    * query's terms map to a partition-filter set without touching the
+    * index. */
+  def termBucket(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast("int") % IDX_BUCKETS
+
+  /** Driver-side twin of [[termBucket]] (same md5-hex formula). */
+  def termBucketOf(t: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 4), 16) % IDX_BUCKETS
+  }
+
+  /** Materialize the BM25 serving index as a TABLE LAYOUT (the
+    * writeBloom / writeIvfPqIndex pattern for text retrieval):
+    * `postings/` — (id, term, tf) hive-partitioned by the term
+    * bucket, so a query's terms become PARTITION PRUNING on the only
+    * corpus-sized read; `doclens/` — (id, dl), joined only for
+    * candidate docs; `stats/` — one row of exact integers (n_docs,
+    * sum_dl) from which avgdl re-derives bit-identically. Building
+    * the index pays the tokenize + groupBy once; every query after
+    * reads only its terms' buckets. */
+  def writeInvertedIndex(docsDf: DataFrame, idCol: String, textCol: String,
+      outDir: String): Unit = {
+    val toks = docsDf
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$outDir/postings")
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$outDir/doclens")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** BM25 OFF the persisted index — the same pivoted dataflow and the
+    * SAME score expression as [[bm25Search]] (spec-pinned row-equal),
+    * but the corpus never re-tokenizes: the query terms' buckets
+    * become an `isin` partition filter on `postings/` (asserted in
+    * the spec), per-term dfs reduce the pruned postings, doc lengths
+    * join only for docs containing ≥1 query term, and n_docs/avgdl
+    * come from the exact-integer stats row. This is the standing-
+    * index trio's text member (Bloom q107, IVF-PQ, inverted). */
+  def serveBm25(spark: SparkSession, indexDir: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "serveBm25 needs at least one query term")
+    val qts = queryTerms.distinct
+    val bkts = qts.map(termBucketOf).distinct
+    val posts = spark.read.parquet(s"$indexDir/postings")
+      .withColumn("bkt", col("bkt").cast("int"))
+      .filter(col("bkt").isin(bkts: _*))
+      .filter(col("term").isin(qts: _*))
+    val perDoc = posts.groupBy(col("id")).agg(
+      qts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+      }.head,
+      qts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+      }.tail: _*)
+      .join(spark.read.parquet(s"$indexDir/doclens"), Seq("id"))
+    val dfRow = posts.agg(
+      qts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
+      }.head,
+      qts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
+      }.tail: _*)
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      .crossJoin(dfRow)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(qts.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("id"), round(bm25ScoreCol(qts, k1, b), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }

@@ -228,6 +228,22 @@ object MicroBench {
           indexBloom = Some(bloom)).count())
       idx.unpersist(blocking = false); bloom.unpersist(blocking = false)
     }
+    locally {
+      // BM25 retrieval: self-contained (re-tokenize the corpus per
+      // query) vs the persisted inverted index (postings partition-
+      // pruned to the query terms' buckets) — the text member of the
+      // standing-index trio.
+      import graft.ops.TextAnalysis
+      val q = Seq("table", "scan", "merge")
+      val invDir = "/tmp/graft_inv_index"
+      time("bm25_index_build") {
+        TextAnalysis.writeInvertedIndex(docs, "doc_id", "text", invDir); 1L
+      }
+      time("bm25_selfcontained")(
+        TextAnalysis.bm25Search(docs, "doc_id", "text", q, k = 20).count())
+      time("bm25_serve_indexed")(
+        TextAnalysis.serveBm25(spark, invDir, q, k = 20).count())
+    }
     spark.stop()
   }
 }

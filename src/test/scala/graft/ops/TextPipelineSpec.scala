@@ -402,4 +402,30 @@ class TextPipelineSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long, Long)].collect().toList
     assert(got == List(("A", "B", 1L, 1L, 1L, 1000000L)))
   }
+
+  test("serveBm25 off the persisted inverted index pins to bm25Search; term buckets prune files") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val idx = java.nio.file.Files.createTempDirectory("inv_idx_").toString
+    TextAnalysis.writeInvertedIndex(d, "doc_id", "text", idx)
+    for (q <- Seq(Seq("table"), Seq("table", "scan", "merge"))) {
+      val self = TextAnalysis.bm25Search(d, "doc_id", "text", q, k = 20)
+      val served = TextAnalysis.serveBm25(spark, idx, q, k = 20)
+      assert(served.collect().map(_.toSeq).toSet ==
+        self.collect().map(_.toSeq).toSet, s"query=$q")
+      val plan = served.queryExecution.executedPlan.toString
+      // the bucket isin reaches the postings scan as a NON-EMPTY
+      // partition filter ('PartitionFilters: [' alone prints when empty)
+      assert("PartitionFilters: \\[[^\\]]".r.findAllIn(plan).nonEmpty,
+        "postings read must be partition-pruned")
+    }
+  }
+
+  test("termBucketOf (driver) ≡ termBucket (expression)") {
+    import spark.implicits._
+    val words = Seq("table", "scan", "a", "zzz", "merge")
+    val got = words.toDF("t")
+      .select(col("t"), TextAnalysis.termBucket(col("t")).as("b"))
+      .as[(String, Int)].collect().toMap
+    words.foreach(w => assert(got(w) == TextAnalysis.termBucketOf(w), w))
+  }
 }
