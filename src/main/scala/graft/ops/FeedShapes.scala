@@ -340,7 +340,55 @@ object FeedShapes {
       |  UNION ALL SELECT z FROM tri)
       |GROUP BY u ORDER BY u""".stripMargin
 
+  /** Time-decayed engagement ("hotness") ranking — the recency-
+    * weighted score a feed ranker keeps per user/item: each event
+    * contributes value × 2^(−age/halflife), so yesterday's engagement
+    * counts half of today's (halflife = 1 day). The decay is EXACT
+    * integer arithmetic: age quantizes to whole half-lives (capped at
+    * `maxBuckets`, past which an event's weight is the 1-unit floor),
+    * and the weight is the power-of-two 2^(maxBuckets − bucket) —
+    * value in cents × weight sums as BIGINT, so the score is a pure
+    * function of the event set (no float decay product, no partial-
+    * sum order). Map-side weight computation + one map-side-combined
+    * groupBy + TakeOrderedAndProject — never a global sort. The
+    * 100 TB form is identical; `maxBuckets` bounds the weight range
+    * so Σ stays far from the BIGINT edge. */
+  def decayedEngagement(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, halflifeNs: Long, maxBuckets: Int = 20,
+      topK: Int = 50): DataFrame = {
+    val tmax = events.agg(max(col(tsCol)).as("tmax"))
+    events.select(col(keyCol), col(tsCol), col(valCol))
+      .crossJoin(broadcast(tmax)) // 1-row frame
+      .withColumn("bkt",
+        least(expr(s"(tmax - $tsCol) div $halflifeNs"), lit(maxBuckets.toLong)))
+      .withColumn("w", pow(lit(2.0), lit(maxBuckets.toLong) - col("bkt")).cast("long"))
+      .withColumn("vc", round(col(valCol) * 100).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("vc") * col("w")).as("score_fx"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("score_fx").desc, col(keyCol))
+      .limit(topK)
+  }
+
+  /** q126 — top-50 users by 1-day-halflife decayed engagement. */
+  def hotUsers(s: SparkSession, dir: String): DataFrame =
+    decayedEngagement(Tables.events(s, dir), "user_id", "ts", "value",
+      86400L * 1000 * 1000 * 1000)
+
+  val hotUsersSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |mx AS (SELECT max(t) AS tmax FROM e),
+      |w AS (SELECT user_id, vc,
+      |    CAST(pow(2.0, 20 - least((tmax - t) // 86400000000, 20)) AS BIGINT) AS w
+      |  FROM e, mx)
+      |SELECT user_id, CAST(sum(vc * w) AS BIGINT) AS score_fx,
+      |  count(*) AS n_events
+      |FROM w GROUP BY user_id
+      |ORDER BY score_fx DESC, user_id LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_hot_users" -> hotUsers,
     "q46_two_hop" -> twoHop,
     "q103_follow_pagerank" -> followPageRank,
     "q116_triangles" -> followTriangles,
@@ -350,6 +398,7 @@ object FeedShapes {
     "q24_validation_split" -> validationSplit)
 
   def oracles: Map[String, String] = Map(
+    "q126_hot_users" -> hotUsersSql,
     "q46_two_hop" -> twoHopSql,
     "q103_follow_pagerank" -> followPageRankSql,
     "q116_triangles" -> followTrianglesSql,

@@ -68,4 +68,34 @@ class TrendTransitionSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].head()
     assert(a == b)
   }
+
+  test("decayedEngagement: exact power-of-two decay with age cap") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val ev = Seq(
+      ("a", 30L * day, 1.00),      // age 0  -> w = 2^20
+      ("a", 29L * day, 1.00),      // age 1d -> w = 2^19
+      ("b", 30L * day - 1, 2.00),  // age <1d -> bucket 0 -> 2^20
+      ("c", 0L, 1.00))             // age 30d -> capped at bucket 20 -> w=1
+      .toDF("user_id", "ts", "value")
+    val got = FeedShapes.decayedEngagement(ev, "user_id", "ts", "value",
+        day, maxBuckets = 20, topK = 10)
+      .as[(String, Long, Long)].collect().toList
+    val w20 = 1L << 20
+    assert(got == List(
+      ("b", 200L * w20, 1L),
+      ("a", 100L * w20 + 100L * (w20 / 2), 2L),
+      ("c", 100L, 1L)))
+  }
+
+  test("decayedEngagement: score is partition-order invariant") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rows = (0 until 1000).map(i =>
+      (s"u${i % 7}", (i % 40).toLong * day, (i % 9) * 1.11))
+    val a = FeedShapes.decayedEngagement(rows.toDF("user_id", "ts", "value")
+      .repartition(1), "user_id", "ts", "value", day).collect().map(_.toSeq).toList
+    val b = FeedShapes.decayedEngagement(scala.util.Random.shuffle(rows)
+      .toDF("user_id", "ts", "value").repartition(32),
+      "user_id", "ts", "value", day).collect().map(_.toSeq).toList
+    assert(a == b)
+  }
 }
