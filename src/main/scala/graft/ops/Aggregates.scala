@@ -625,7 +625,59 @@ object Aggregates {
       |FROM s WHERE sxx * n <> sx * sx
       |ORDER BY event_type""".stripMargin
 
+  /** Grouped Pearson correlation with exact integer moments — the
+    * `corr` builtin's deterministic twin (same argument as
+    * [[groupedTrend]]: six BIGINT moments, then a fixed sequence of
+    * IEEE double ops — products stay under 2⁵³ per factor, and the
+    * double rounding of each product/sqrt is identical in any
+    * engine). Degenerate groups (zero variance on either axis) are
+    * dropped by EXACT integer predicates, never a float epsilon. */
+  def groupedCorr(events: DataFrame, groupCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val m = events
+      .withColumn("x", xCol.cast("long")).withColumn("y", yCol.cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val num = col("sxy").cast("double") * n - col("sx").cast("double") * col("sy").cast("double")
+    val d1 = col("sxx").cast("double") * n - col("sx").cast("double") * col("sx").cast("double")
+    val d2 = col("syy").cast("double") * n - col("sy").cast("double") * col("sy").cast("double")
+    m.filter(col("sxx") * col("n") =!= col("sx") * col("sx") &&
+        col("syy") * col("n") =!= col("sy") * col("sy"))
+      .select(col(groupCol), col("n"),
+        round(num / sqrt(d1 * d2) * 1e6).cast("long").as("corr_fx"))
+  }
+
+  /** q127 — per-event_type correlation of value (cents) with
+    * hour-of-day: the seasonality screen run before trusting any
+    * per-hour aggregate. */
+  def groupedCorrGate(s: SparkSession, dir: String): DataFrame =
+    groupedCorr(Tables.events(s, dir), "event_type",
+      expr("(ts div 3600000000000) % 24"),
+      round(col("value") * 100))
+      .orderBy(col("event_type"))
+
+  val groupedCorrGateSql: String =
+    """WITH xy AS (SELECT event_type,
+      |    (epoch_us(ts) // 3600000000) % 24 AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM xy GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    * 1e6) AS BIGINT) AS corr_fx
+      |FROM s WHERE sxx * n <> sx * sx AND syy * n <> sy * sy
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_grouped_corr" -> groupedCorrGate,
     "q124_grouped_trend" -> groupedTrendGate,
     "q121_hll_distinct" -> hllDistinct,
     "q111_robust_outliers" -> robustOutliersGate,
@@ -645,6 +697,7 @@ object Aggregates {
     "q57_trimmed_mean_rank" -> trimmedMeanScalable)
 
   def oracles: Map[String, String] = Map(
+    "q127_grouped_corr" -> groupedCorrGateSql,
     "q124_grouped_trend" -> groupedTrendGateSql,
     "q121_hll_distinct" -> hllDistinctSql,
     "q111_robust_outliers" -> robustOutliersGateSql,

@@ -27,10 +27,12 @@ object Lexical {
     * Hanks 1990), used in curation to spot templated/boilerplate word
     * pairs (high PMI at high count) vs incidental co-occurrence.
     *
-    * Scale shape: one corpus scan feeds BOTH aggregations (unigrams
-    * and adjacent bigrams); each is map-side-combined and vocab- (resp.
-    * vocab²-) bounded, totals window over the POST-AGG frames (never
-    * the corpus), and the unigram frame joins back broadcast. The
+    * Scale shape: two map-only corpus passes (one per aggregation —
+    * cheaper than materializing the exploded token frame, which is
+    * larger than the corpus); each agg is map-side-combined and
+    * vocab- (resp. vocab²-) bounded, totals window over the POST-AGG
+    * frames (never the corpus), and the unigram frame joins back
+    * broadcast. The
     * emitted PMI is 1e-6 fixed point of ln(num/den) where num and den
     * are EXACT BIGINT products (both < 2^53, so the double division is
     * the same IEEE op in any engine).
@@ -105,7 +107,11 @@ object Lexical {
     */
   def editDistance1Join(strings: DataFrame, idCol: String = "sid",
       sCol: String = "s"): DataFrame = {
-    val s = strings.select(col(idCol).as("_id"), col(sCol).as("_s"))
+    // the (id, s) frame has FOUR consumers (both key sides, both
+    // verify sides) — materialize it once so the input lineage isn't
+    // recomputed per consumer (the materializeAndFree precedent)
+    val s = graft.PlanCapture.checkpoint(
+      strings.select(col(idCol).as("_id"), col(sCol).as("_s")), "edjoin-strings")
     val keys = s.select(col("_id"), col("_s"),
         explode(concat(
           array(struct(col("_s").as("k"), lit(0).as("p"))),

@@ -1398,6 +1398,48 @@ object TextAnalysis {
         round(sum(col("kfx")) / 1e9, 6).as("kl"))
   }
 
+  /** Per-source Shannon entropy of the token distribution — the
+    * diversity face of the q112 drift audit (KL says "source X
+    * differs from the corpus"; entropy says "source X is templated /
+    * repetitive in itself" — low entropy flags boilerplate farms and
+    * spun content before they skew a mixture). Same dataflow and the
+    * SAME 1e-9 fixed-point per-term recipe as [[domainKl]]: one
+    * checkpointed (source, token) count, everything downstream
+    * vocab-bounded. */
+  def sourceEntropy(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), WS)).as("t"))
+      .filter(col("t") =!= "")
+    val st = graft.PlanCapture.checkpoint(
+      toks.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c_st")), "entropy-st")
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    st.join(broadcast(ns), Seq("source"))
+      .withColumn("hfx", round(
+        (col("c_st").cast("double") / col("n_s")) *
+          log(col("n_s").cast("double") / col("c_st")) * 1e9).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        round(sum(col("hfx")) / 1e9, 6).as("entropy"))
+  }
+
+  /** q128 — token entropy per source over the documents corpus. */
+  def sourceEntropyGate(s: SparkSession, dir: String): DataFrame =
+    sourceEntropy(docs(s, dir), "source", "text").orderBy(col("source"))
+
+  val sourceEntropyGateSql: String =
+    s"""WITH t AS (SELECT source, unnest(string_split_regex(trim(text), '$WS')) AS tok
+       |  FROM documents),
+       |st AS (SELECT source, tok, count(*) AS c_st FROM t WHERE tok <> '' GROUP BY 1, 2),
+       |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+       |fx AS (SELECT source, c_st,
+       |    CAST(round((CAST(c_st AS DOUBLE) / n_s) *
+       |      ln(CAST(n_s AS DOUBLE) / c_st) * 1e9) AS BIGINT) AS hfx
+       |  FROM st JOIN ns USING (source))
+       |SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens, count(*) AS n_terms,
+       |  round(sum(hfx) / 1e9, 6) AS entropy
+       |FROM fx GROUP BY source ORDER BY source""".stripMargin
+
   /** Shared vocabulary for the q113 tokenizer gate: BPE-ish merges
     * (common English digrams/trigrams/words) over a full single-char
     * fallback alphabet. ASCII only — UTF-16 code units (Spark) and
@@ -1568,12 +1610,17 @@ object TextAnalysis {
     * 1e-6 fixed-point Jaccard by integer division) — hash-stable by
     * construction. */
   def sourceSimilarity(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    val sh = df.select(col(sourceCol).as("src"),
-        split(trim(col(textCol)), WS).as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("src"),
-        explode(array_distinct(graft.functions.TextFunctions.ngramArray(col("ts"), 2))).as("sh"))
-      .distinct()
+    // the distinct (source, shingle) frame has THREE consumers (sizes
+    // + both self-join sides) — materialize it so the corpus is
+    // scanned once, not three times (the q84/q112 precedent)
+    val sh = graft.PlanCapture.checkpoint(
+      df.select(col(sourceCol).as("src"),
+          split(trim(col(textCol)), WS).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("src"),
+          explode(array_distinct(graft.functions.TextFunctions.ngramArray(col("ts"), 2))).as("sh"))
+        .distinct(),
+      "srcsim-shingles")
     val sz = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val shared = sh.select(col("src").as("src_a"), col("sh"))
       .join(sh.select(col("src").as("src_b"), col("sh")), Seq("sh"))
@@ -1606,6 +1653,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_source_similarity" -> sourceSimilarityGate,
+    "q128_source_entropy" -> sourceEntropyGate,
     "q112_domain_kl" -> domainKlGate,
     "q113_greedy_tokenize" -> greedyTokenizeGate,
     "q117_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -1636,6 +1684,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q125_source_similarity" -> sourceSimilarityGateSql,
+    "q128_source_entropy" -> sourceEntropyGateSql,
     "q112_domain_kl" -> domainKlGateSql,
     "q113_greedy_tokenize" -> greedyTokenizeGateSql,
     "q117_cms_heavy_hitters" -> cmsHeavyHittersSql,

@@ -428,4 +428,16 @@ class TextPipelineSpec extends SparkSpec {
       .as[(String, Int)].collect().toMap
     words.foreach(w => assert(got(w) == TextAnalysis.termBucketOf(w), w))
   }
+
+  test("sourceEntropy: uniform = ln(k), single-token = 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", "a b c d"),       // uniform over 4 -> ln 4
+      ("z", "x x x x x"))     // degenerate -> 0
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceEntropy(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got("u") - math.log(4.0)) < 1e-5)
+    assert(got("z") == 0.0)
+  }
 }

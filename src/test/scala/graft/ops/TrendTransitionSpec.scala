@@ -98,4 +98,18 @@ class TrendTransitionSpec extends SparkSpec {
       "user_id", "ts", "value", day).collect().map(_.toSeq).toList
     assert(a == b)
   }
+
+  test("groupedCorr: perfect positive and negative correlation recover ±1e6") {
+    val ev = (1 to 40).flatMap(i => Seq(
+      ("pos", i.toLong, 2L * i), ("neg", i.toLong, 1000L - 3L * i)))
+      .toDF("g", "x", "y")
+    val m = Aggregates.groupedCorr(ev, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m == Map("pos" -> 1000000L, "neg" -> -1000000L))
+  }
+
+  test("groupedCorr drops zero-variance groups by exact predicate") {
+    val ev = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L)).toDF("g", "x", "y")
+    assert(Aggregates.groupedCorr(ev, "g", col("x"), col("y")).count() == 0L)
+  }
 }
