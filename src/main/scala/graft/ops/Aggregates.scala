@@ -586,13 +586,16 @@ object Aggregates {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(col("x") * col("x")).as("sxx"),
+        min(col("x")).as("mnx"), max(col("x")).as("mxx"))
     val n = col("n").cast("double")
     val xb = col("sx").cast("double") / n
     val yb = col("sy").cast("double") / n
     val den = col("sxx").cast("double") - n * xb * xb
     val num = col("sxy").cast("double") - n * xb * yb
-    m.filter(col("sxx") * col("n") =!= col("sx") * col("sx"))
+    // zero x-variance ⟺ min(x) = max(x): an exact, overflow-free
+    // degenerate test (n·sxx and sx² overflow BIGINT at large n)
+    m.filter(col("mnx") =!= col("mxx"))
       .select(col(groupCol), col("n"),
         round(num / den * 1e4).cast("long").as("slope_fx"),
         round((yb - num / den * xb) * 1e4).cast("long").as("intercept_fx"))
@@ -613,7 +616,8 @@ object Aggregates {
       |  FROM e JOIN m0 USING (event_type)),
       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    min(x) AS mnx, max(x) AS mxx
       |  FROM xy GROUP BY 1)
       |SELECT event_type, n,
       |  CAST(round((CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
@@ -622,7 +626,7 @@ object Aggregates {
       |    - (CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
       |      / (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
       |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * 1e4) AS BIGINT) AS intercept_fx
-      |FROM s WHERE sxx * n <> sx * sx
+      |FROM s WHERE mnx <> mxx
       |ORDER BY event_type""".stripMargin
 
   /** Grouped Pearson correlation with exact integer moments — the
@@ -639,13 +643,16 @@ object Aggregates {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+        min(col("y")).as("mny"), max(col("y")).as("mxy2"))
     val n = col("n").cast("double")
     val num = col("sxy").cast("double") * n - col("sx").cast("double") * col("sy").cast("double")
     val d1 = col("sxx").cast("double") * n - col("sx").cast("double") * col("sx").cast("double")
     val d2 = col("syy").cast("double") * n - col("sy").cast("double") * col("sy").cast("double")
-    m.filter(col("sxx") * col("n") =!= col("sx") * col("sx") &&
-        col("syy") * col("n") =!= col("sy") * col("sy"))
+    // zero variance ⟺ min = max on that axis — exact and
+    // overflow-free (n·syy and sy² overflow BIGINT at large n)
+    m.filter(col("mnx") =!= col("mxx") && col("mny") =!= col("mxy2"))
       .select(col(groupCol), col("n"),
         round(num / sqrt(d1 * d2) * 1e6).cast("long").as("corr_fx"))
   }
@@ -666,14 +673,15 @@ object Aggregates {
       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy2
       |  FROM xy GROUP BY 1)
       |SELECT event_type, n,
       |  CAST(round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |         * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
       |    * 1e6) AS BIGINT) AS corr_fx
-      |FROM s WHERE sxx * n <> sx * sx AND syy * n <> sy * sy
+      |FROM s WHERE mnx <> mxx AND mny <> mxy2
       |ORDER BY event_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -30,12 +30,13 @@ object Lexical {
     * Scale shape: two map-only corpus passes (one per aggregation —
     * cheaper than materializing the exploded token frame, which is
     * larger than the corpus); each agg is map-side-combined and
-    * vocab- (resp. vocab²-) bounded, totals window over the POST-AGG
-    * frames (never the corpus), and the unigram frame joins back
-    * broadcast. The
-    * emitted PMI is 1e-6 fixed point of ln(num/den) where num and den
-    * are EXACT BIGINT products (both < 2^53, so the double division is
-    * the same IEEE op in any engine).
+    * vocab- (resp. vocab²-) bounded, totals are 1-row aggregates
+    * broadcast back (never a window over a post-agg frame), and the
+    * unigram frame joins back broadcast. The emitted PMI is 1e-6
+    * fixed point of ln(num/den) with num and den computed as DOUBLE
+    * products of exact integer factors — every multiplication is the
+    * same correctly-rounded IEEE op in any engine, and nothing
+    * overflows at any corpus size.
     */
   def pmiCollocations(docsDf: DataFrame, idCol: String, textCol: String,
       minPair: Long = 5L): DataFrame = {
@@ -43,22 +44,30 @@ object Lexical {
       .select(col(idCol), split(trim(col(textCol)), WS).as("_l"))
     val toks = arrs.select(explode(col("_l")).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .withColumn("n1", sum(col("c")).over(Window.partitionBy()))
+    // totals as 1-row aggs broadcast back (the bm25 stats pattern) —
+    // never an empty-partitionBy window over the pair frame, which
+    // would funnel the largest post-agg frame through one task
+    val t1 = uni.agg(sum(col("c")).as("n1"))
     val pairs = arrs
       .withColumn("_a", slice(col("_l"), lit(1), size(col("_l")) - 1))
       .withColumn("_b", slice(col("_l"), lit(2), size(col("_l")) - 1))
       .select(explode(arrays_zip(col("_a"), col("_b"))).as("p"))
       .select(col("p._a").as("w1"), col("p._b").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cp"))
-      .withColumn("n2", sum(col("cp")).over(Window.partitionBy()))
-    val ua = uni.select(col("tok").as("w1"), col("c").as("ca"), col("n1"))
+    val t2 = pairs.agg(sum(col("cp")).as("n2"))
+    val ua = uni.select(col("tok").as("w1"), col("c").as("ca"))
     val ub = uni.select(col("tok").as("w2"), col("c").as("cb"))
+    // num/den as DOUBLE products: each factor is an exact integer and
+    // every multiplication rounds deterministically (identical IEEE
+    // sequence in DuckDB), with no BIGINT overflow at any corpus size
     pairs.filter(col("cp") >= minPair)
       .join(broadcast(ua), Seq("w1"))
       .join(broadcast(ub), Seq("w2"))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
       .select(col("w1"), col("w2"), col("cp").as("n_pair"),
-        round(log((col("cp") * col("n1") * col("n1")).cast("double") /
-          (col("n2") * col("ca") * col("cb")).cast("double")) * lit(1e6))
+        round(log(
+          (col("cp").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+          (col("n2").cast("double") * col("ca").cast("double") * col("cb").cast("double"))) * lit(1e6))
           .cast("long").as("pmi_fx"))
       .orderBy(col("pmi_fx").desc, col("w1"), col("w2"))
   }
@@ -79,8 +88,8 @@ object Lexical {
        |  GROUP BY 1, 2),
        |t2 AS (SELECT sum(cp) AS n2 FROM p)
        |SELECT w1, w2, cp AS n_pair,
-       |  CAST(round(ln(CAST(cp * t1.n1 * t1.n1 AS DOUBLE)
-       |    / CAST(t2.n2 * ua.c * ub.c AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_fx
+       |  CAST(round(ln((CAST(cp AS DOUBLE) * CAST(t1.n1 AS DOUBLE) * CAST(t1.n1 AS DOUBLE))
+       |    / (CAST(t2.n2 AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_fx
        |FROM p JOIN u ua ON p.w1 = ua.tok JOIN u ub ON p.w2 = ub.tok, t1, t2
        |WHERE cp >= 5
        |ORDER BY pmi_fx DESC, w1, w2""".stripMargin
@@ -133,9 +142,10 @@ object Lexical {
     cand
       .join(s.select(col("_id").as("id_a"), col("_s").as("s_a")), Seq("id_a"))
       .join(s.select(col("_id").as("id_b"), col("_s").as("s_b")), Seq("id_b"))
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      // compute the DP once per candidate, then filter on the column
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -250,7 +260,9 @@ object Lexical {
     try {
       var cur = base
       val ms = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (step <- 1 to merges) {
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
         val pairs = cur
           .withColumn("_a", slice(col("l"), lit(1), size(col("l")) - 1))
           .withColumn("_b", slice(col("l"), lit(2), size(col("l")) - 1))
@@ -261,10 +273,20 @@ object Lexical {
         // final lineage — surface one representative round to the audit
         if (step == 1) graft.PlanCapture.record(pairs, "bpe-pair-count")
         val best = pairs.orderBy(col("cnt").desc, col("pl"), col("pr"))
-          .limit(1).collect()(0)
-        val (al, ar, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        ms += ((step, al, ar, cnt))
-        cur = cur.withColumn("l", mergeFold(col("l"), al, ar))
+          .limit(1).collect()
+        if (best.isEmpty) {
+          // vocabulary fully merged (every word one symbol): no
+          // adjacent pairs remain — stop early rather than crash.
+          // (The unrolled oracle assumes ≥1 pair per round, which the
+          // gate corpus guarantees; LexicalSpec covers exhaustion.)
+          exhausted = true
+        } else {
+          val (al, ar, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          ms += ((step, al, ar, cnt))
+          cur = cur.withColumn("l", mergeFold(col("l"), al, ar))
+          step += 1
+        }
       }
       (cur, ms.toSeq)
     } finally base.unpersist(blocking = false)

@@ -463,16 +463,6 @@ object TextAnalysis {
       .select(col("id"), col("rnk"), col("term"), col("tfidf"))
   }
 
-  /** BM25 keyword retrieval (Robertson/Spärck Jones; k1/b defaults per
-    * the standard Okapi setting): score every document against a
-    * fixed term set, return the top `k`. The corpus-side work is one
-    * tokenize pass: doc lengths aggregate from it, and the tf of
-    * QUERY terms only survives the `isin` filter (pushed to the
-    * scan), so the scoring join is query-sized, the df/stats frames
-    * are broadcast-tiny, and the final top-k is a
-    * TakeOrderedAndProject — no corpus-sized shuffle but the length
-    * aggregation. Deterministic: ranked on the rounded score with an
-    * id tiebreak. */
   /** The BM25 per-doc score as one Column tree over the pivoted
     * (tf_i, df_i, dl, n_docs, avgdl) frame — shared expression-for-
     * expression by the self-contained [[bm25Search]] and the
@@ -489,6 +479,16 @@ object TextAnalysis {
         .otherwise(lit(0.0))
     }.reduce(_ + _)
 
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; k1/b defaults per
+    * the standard Okapi setting): score every document against a
+    * fixed term set, return the top `k`. The corpus-side work is one
+    * tokenize pass: doc lengths aggregate from it, and the tf of
+    * QUERY terms only survives the `isin` filter (pushed to the
+    * scan), so the scoring join is query-sized, the df/stats frames
+    * are broadcast-tiny, and the final top-k is a
+    * TakeOrderedAndProject — no corpus-sized shuffle but the length
+    * aggregation. Deterministic: ranked on the rounded score with an
+    * id tiebreak. */
   def bm25Search(docsDf: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -581,21 +581,15 @@ object TextAnalysis {
       .withColumn("bkt", col("bkt").cast("int"))
       .filter(col("bkt").isin(bkts: _*))
       .filter(col("term").isin(qts: _*))
-    val perDoc = posts.groupBy(col("id")).agg(
-      qts.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
-      }.head,
-      qts.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
-      }.tail: _*)
+    val tfs = qts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+    }
+    val dfs = qts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val perDoc = posts.groupBy(col("id")).agg(tfs.head, tfs.tail: _*)
       .join(spark.read.parquet(s"$indexDir/doclens"), Seq("id"))
-    val dfRow = posts.agg(
-      qts.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
-      }.head,
-      qts.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
-      }.tail: _*)
+    val dfRow = posts.agg(dfs.head, dfs.tail: _*)
     val stats = spark.read.parquet(s"$indexDir/stats")
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))

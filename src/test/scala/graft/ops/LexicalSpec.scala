@@ -105,4 +105,14 @@ class LexicalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { case (tok, joined) => assert(joined == tok + "#") }
   }
+
+  test("bpeTrain stops early when the vocabulary is fully merged") {
+    // single distinct word "ab": round1 merges (a,b), round2 (ab,#),
+    // round3 finds no pairs -> stop with 2 merges, no crash
+    val docsDf = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (fin, ms) = Lexical.bpeTrain(docsDf, "doc_id", "text", 5)
+    assert(ms.map(m => (m._2, m._3)) == Seq(("a", "b"), ("ab", "#")))
+    val seg = fin.select(concat_ws(" ", col("l"))).as[String].head()
+    assert(seg == "ab#")
+  }
 }
