@@ -43,17 +43,21 @@ object Lexical {
     val arrs = docsDf.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), split(trim(col(textCol)), WS).as("_l"))
     val toks = arrs.select(explode(col("_l")).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    // totals as 1-row aggs broadcast back (the bm25 stats pattern) —
-    // never an empty-partitionBy window over the pair frame, which
-    // would funnel the largest post-agg frame through one task
+    // both agg frames are vocab-bounded and have two consumers each
+    // (their total + the scoring join) — materialize them so neither
+    // the corpus pass nor the agg is recomputed, and compute totals
+    // as 1-row aggs broadcast back (the bm25 stats pattern), never an
+    // empty-partitionBy window funneling the pair frame into one task
+    val uni = graft.PlanCapture.checkpoint(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("c")), "pmi-uni")
     val t1 = uni.agg(sum(col("c")).as("n1"))
-    val pairs = arrs
-      .withColumn("_a", slice(col("_l"), lit(1), size(col("_l")) - 1))
-      .withColumn("_b", slice(col("_l"), lit(2), size(col("_l")) - 1))
-      .select(explode(arrays_zip(col("_a"), col("_b"))).as("p"))
-      .select(col("p._a").as("w1"), col("p._b").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cp"))
+    val pairs = graft.PlanCapture.checkpoint(
+      arrs
+        .withColumn("_a", slice(col("_l"), lit(1), size(col("_l")) - 1))
+        .withColumn("_b", slice(col("_l"), lit(2), size(col("_l")) - 1))
+        .select(explode(arrays_zip(col("_a"), col("_b"))).as("p"))
+        .select(col("p._a").as("w1"), col("p._b").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cp")), "pmi-pairs")
     val t2 = pairs.agg(sum(col("cp")).as("n2"))
     val ua = uni.select(col("tok").as("w1"), col("c").as("ca"))
     val ub = uni.select(col("tok").as("w2"), col("c").as("cb"))
