@@ -253,7 +253,79 @@ object Temporal {
       |FROM t JOIN r USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands shape on integer day numbers: distinct
+    * (user, day), rank days per user, and `day − rank` is constant
+    * exactly along a run of consecutive days. All-integer (epoch
+    * days), one user-keyed window shuffle over the user-day frame
+    * (≪ events), aggregates island- then user-sized. */
+  def activityStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = events
+      .select(col(userCol), expr(s"$tsCol div 86400000000000").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col("d"))
+    ud.withColumn("grp", col("d") - row_number().over(w))
+      .groupBy(col(userCol), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col(userCol))
+      .agg(sum(col("len")).as("n_active_days"), max(col("len")).as("longest_streak"))
+      .orderBy(col(userCol))
+  }
+
+  /** q129 — per-user activity streaks over events. */
+  def streaks(s: SparkSession, dir: String): DataFrame =
+    activityStreaks(Tables.events(s, dir), "user_id", "ts")
+
+  val streaksSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |g AS (SELECT user_id, d,
+      |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp FROM ud),
+      |runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(max(len) AS BIGINT) AS longest_streak
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Rolling active users — DAU and trailing-7-day WAU per day. The
+    * scale trick is the explode form: the distinct (user, day) frame
+    * (≪ events) fans each row out to the 7 observation days it keeps
+    * the user "active" for (map-side `sequence`), and WAU is then a
+    * plain day-keyed distinct count — no per-day range scan over
+    * history, no window over raw events. Observation days clamp to
+    * days that actually occur (left-semi on the day list). The
+    * oracle computes the same numbers INDEPENDENTLY as a range join
+    * (DuckDB IEJoin), so the fan-out construction itself is what the
+    * hash certifies. */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .select(col(userCol), expr(s"$tsCol div 86400000000000").as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d").as("day_num"))
+      .agg(countDistinct(col(userCol)).as("dau"))
+    val wau = ud
+      .select(col(userCol),
+        explode(sequence(col("d"), col("d") + (windowDays - 1))).as("day_num"))
+      .join(ud.select(col("d").as("day_num")).distinct(), Seq("day_num"), "left_semi")
+      .groupBy(col("day_num")).agg(countDistinct(col(userCol)).as("wau"))
+    dau.join(wau, Seq("day_num")).orderBy(col("day_num"))
+  }
+
+  /** q130 — daily DAU + trailing-7-day WAU over events. */
+  def activeUsers(s: SparkSession, dir: String): DataFrame =
+    rollingActiveUsers(Tables.events(s, dir), "user_id", "ts")
+
+  val activeUsersSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |days AS (SELECT DISTINCT d FROM ud),
+      |dau AS (SELECT d AS day_num, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+      |wau AS (SELECT days.d AS day_num, count(DISTINCT ud.user_id) AS wau
+      |  FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+      |  GROUP BY 1)
+      |SELECT day_num, dau, wau FROM dau JOIN wau USING (day_num)
+      |ORDER BY day_num""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_activity_streaks" -> streaks,
+    "q130_active_users" -> activeUsers,
     "q123_transition_matrix" -> transitions,
     "q50_date_math" -> dateMath,
     "q51_sessions" -> sessions,
@@ -262,6 +334,8 @@ object Temporal {
     "q115_funnel" -> funnel)
 
   def oracles: Map[String, String] = Map(
+    "q129_activity_streaks" -> streaksSql,
+    "q130_active_users" -> activeUsersSql,
     "q123_transition_matrix" -> transitionsSql,
     "q50_date_math" -> dateMathSql,
     "q51_sessions" -> sessionsSql,

@@ -112,4 +112,36 @@ class TrendTransitionSpec extends SparkSpec {
     val ev = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L)).toDF("g", "x", "y")
     assert(Aggregates.groupedCorr(ev, "g", col("x"), col("y")).count() == 0L)
   }
+
+  test("activityStreaks: islands split exactly at day gaps") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // u1 active days {0,1,2, 5,6}, u2 {3} (two events same day)
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 2L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (2L, 3L))
+      .map { case (u, d) => (u, d * day + 7L) }.toDF("user_id", "ts")
+    val got = Temporal.activityStreaks(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 5L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("rollingActiveUsers: WAU counts trailing-7-day distinct users") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // day 0: u1; day 3: u2; day 8: u1
+    val ev = Seq((1L, 0L), (2L, 3L), (1L, 8L))
+      .map { case (u, d) => (u, d * day) }.toDF("user_id", "ts")
+    val got = Temporal.rollingActiveUsers(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toList
+    // day 0: dau 1, wau {u1}; day 3: dau 1, wau {u1,u2};
+    // day 8: dau 1, wau {u2 (day3+5<..day8? 8-3=5 <=6 yes), u1}
+    assert(got == List((0L, 1L, 1L), (3L, 1L, 2L), (8L, 1L, 2L)))
+  }
+
+  test("rollingActiveUsers: users expire from the window after 7 days") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val ev = Seq((1L, 0L), (2L, 10L))
+      .map { case (u, d) => (u, d * day) }.toDF("user_id", "ts")
+    val got = Temporal.rollingActiveUsers(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((0L, 1L, 1L), (10L, 1L, 1L)))
+  }
 }
