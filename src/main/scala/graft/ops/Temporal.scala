@@ -296,17 +296,27 @@ object Temporal {
     * hash certifies. */
   def rollingActiveUsers(events: DataFrame, userCol: String,
       tsCol: String, windowDays: Int = 7): DataFrame = {
-    val ud = events
-      .select(col(userCol), expr(s"$tsCol div 86400000000000").as("d"))
-      .distinct()
+    // the user-day frame has THREE consumers (dau, the wau fan-out,
+    // and the day-list clamp) — materialize it so events is scanned
+    // once, not three times
+    val ud = graft.PlanCapture.checkpoint(
+      events
+        .select(col(userCol), expr(s"$tsCol div 86400000000000").as("d"))
+        .distinct(),
+      "rau-userdays")
+    // ud is already distinct, so DAU is a plain count; the day list
+    // and the DAU frame are day-cardinality-sized — broadcast both
     val dau = ud.groupBy(col("d").as("day_num"))
-      .agg(countDistinct(col(userCol)).as("dau"))
+      .agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col(userCol),
         explode(sequence(col("d"), col("d") + (windowDays - 1))).as("day_num"))
-      .join(ud.select(col("d").as("day_num")).distinct(), Seq("day_num"), "left_semi")
+      .join(broadcast(ud.select(col("d").as("day_num")).distinct()),
+        Seq("day_num"), "left_semi")
       .groupBy(col("day_num")).agg(countDistinct(col(userCol)).as("wau"))
-    dau.join(wau, Seq("day_num")).orderBy(col("day_num"))
+    wau.join(broadcast(dau), Seq("day_num")).select(col("day_num"),
+        col("dau"), col("wau"))
+      .orderBy(col("day_num"))
   }
 
   /** q130 — daily DAU + trailing-7-day WAU over events. */
