@@ -684,7 +684,73 @@ object Aggregates {
       |FROM s WHERE mnx <> mxx AND mny <> mxy2
       |ORDER BY event_type""".stripMargin
 
+  /** Chi-square homogeneity drift test per group: did the category
+    * distribution change between two periods (the A/B-significance /
+    * seasonal-drift screen)? Contingency counts are exact integers;
+    * each cell's (O−E)²/E is computed in double from exact integer
+    * factors and emitted as a 1e-6 fixed-point BIGINT so the final
+    * per-group SUM is integer — order-free (the q112 recipe; a raw
+    * double sum over cells would be partition-order dependent). One
+    * count aggregation over events; everything downstream is
+    * cell-bounded (groups × categories × 2). */
+  def chiSquareDrift(events: DataFrame, groupCol: String, catCol: Column,
+      periodCol: Column): DataFrame = {
+    val cells = events
+      .select(col(groupCol).as("g"), catCol.as("cat"), periodCol.as("per"))
+      .groupBy(col("g"), col("cat"), col("per")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("g"), col("cat")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("g"), col("per")).agg(sum(col("o")).as("ct"))
+    val gt = cells.groupBy(col("g")).agg(sum(col("o")).as("gt"),
+      countDistinct(col("cat")).as("ncat"), countDistinct(col("per")).as("nper"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("gt").cast("double")
+    cells
+      .join(broadcast(rt), Seq("g", "cat"))
+      .join(broadcast(ct), Seq("g", "per"))
+      .join(broadcast(gt), Seq("g"))
+      .withColumn("termfx", round(
+        (col("o").cast("double") - e) * (col("o").cast("double") - e) / e * 1e6)
+        .cast("long"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("gt")).as("n"),
+        ((max(col("ncat")) - 1) * (max(col("nper")) - 1)).as("dof"),
+        sum(col("termfx")).as("chi2_fx"))
+  }
+
+  /** q131 — per-event_type drift of the value-class distribution
+    * (q17's low/mid/high bands) between the first and second half of
+    * the observed month. */
+  def chiSquareGate(s: SparkSession, dir: String): DataFrame =
+    chiSquareDrift(Tables.events(s, dir), "event_type",
+      when(col("value") < 50, "low").when(col("value") < 150, "mid")
+        .otherwise("high"),
+      when(expr("ts div 86400000000000") < lit(19738L), lit(0)).otherwise(lit(1)))
+      .orderBy(col("event_type"))
+
+  // 19738 = 2024-01-16 in epoch days: the fixed mid-month split.
+  val chiSquareGateSql: String =
+    """WITH c AS (SELECT event_type AS g,
+      |    CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+      |         ELSE 'high' END AS cat,
+      |    CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 ELSE 1 END AS per,
+      |    count(*) AS o
+      |  FROM events GROUP BY 1, 2, 3),
+      |rt AS (SELECT g, cat, sum(o) AS rt FROM c GROUP BY 1, 2),
+      |ct AS (SELECT g, per, sum(o) AS ct FROM c GROUP BY 1, 2),
+      |gt AS (SELECT g, sum(o) AS gt, count(DISTINCT cat) AS ncat,
+      |    count(DISTINCT per) AS nper FROM c GROUP BY 1),
+      |fx AS (SELECT c.g, CAST(round(
+      |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
+      |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
+      |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)) * 1e6) AS BIGINT) AS termfx,
+      |    gt, ncat, nper
+      |  FROM c JOIN rt USING (g, cat) JOIN ct USING (g, per) JOIN gt USING (g))
+      |SELECT g AS event_type, CAST(max(gt) AS BIGINT) AS n,
+      |  CAST((max(ncat) - 1) * (max(nper) - 1) AS BIGINT) AS dof,
+      |  CAST(sum(termfx) AS BIGINT) AS chi2_fx
+      |FROM fx GROUP BY g ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_chi_square_drift" -> chiSquareGate,
     "q127_grouped_corr" -> groupedCorrGate,
     "q124_grouped_trend" -> groupedTrendGate,
     "q121_hll_distinct" -> hllDistinct,
@@ -705,6 +771,7 @@ object Aggregates {
     "q57_trimmed_mean_rank" -> trimmedMeanScalable)
 
   def oracles: Map[String, String] = Map(
+    "q131_chi_square_drift" -> chiSquareGateSql,
     "q127_grouped_corr" -> groupedCorrGateSql,
     "q124_grouped_trend" -> groupedTrendGateSql,
     "q121_hll_distinct" -> hllDistinctSql,

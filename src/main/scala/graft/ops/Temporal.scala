@@ -333,7 +333,48 @@ object Temporal {
       |SELECT day_num, dau, wau FROM dau JOIN wau USING (day_num)
       |ORDER BY day_num""".stripMargin
 
+  /** Last-touch conversion attribution: every conversion event is
+    * credited to the user's most recent PRIOR event of a different
+    * type (the standard marketing-attribution rule; first-touch is
+    * the same window with `first` over an unbounded-preceding
+    * frame). One user-window shuffle — `last(..., ignoreNulls)` over
+    * rows [unbounded, −1] — then a types-sized count. Conversions
+    * with no prior touch credit "(none)". Ties on ts break on
+    * event_id (the q123 contract), so both engines walk the same
+    * sequence. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col(userCol), col(typeCol), col(tsCol), col("event_id"))
+      .withColumn("touch",
+        last(when(col(typeCol) =!= conversionType, col(typeCol)), ignoreNulls = true)
+          .over(w))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("attributed_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("attributed_type"))
+  }
+
+  /** q132 — purchases attributed to the last prior non-purchase
+    * touch. */
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(s, dir), "user_id", "event_type",
+      "ts", "purchase")
+
+  val attributionSql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, '(none)') AS attributed_type,
+      |  count(*) AS n_conversions
+      |FROM e WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY attributed_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_last_touch" -> attribution,
     "q129_activity_streaks" -> streaks,
     "q130_active_users" -> activeUsers,
     "q123_transition_matrix" -> transitions,
@@ -344,6 +385,7 @@ object Temporal {
     "q115_funnel" -> funnel)
 
   def oracles: Map[String, String] = Map(
+    "q132_last_touch" -> attributionSql,
     "q129_activity_streaks" -> streaksSql,
     "q130_active_users" -> activeUsersSql,
     "q123_transition_matrix" -> transitionsSql,

@@ -144,4 +144,34 @@ class TrendTransitionSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(got == List((0L, 1L, 1L), (10L, 1L, 1L)))
   }
+
+  test("chiSquareDrift: hand-computed 2x2 statistic; equal split is 0") {
+    // g1: cats a/b x periods 0/1 = 10,10,10,30 -> chi2 = 3.75, dof 1
+    // g2: perfectly proportional -> chi2 = 0
+    val rows =
+      Seq.fill(10)(("g1", "a", 0)) ++ Seq.fill(10)(("g1", "b", 0)) ++
+      Seq.fill(10)(("g1", "a", 1)) ++ Seq.fill(30)(("g1", "b", 1)) ++
+      Seq.fill(5)(("g2", "a", 0)) ++ Seq.fill(10)(("g2", "b", 0)) ++
+      Seq.fill(10)(("g2", "a", 1)) ++ Seq.fill(20)(("g2", "b", 1))
+    val ev = rows.toDF("g", "cat", "per")
+    val got = Aggregates.chiSquareDrift(ev, "g", col("cat"), col("per"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("g2") == ((45L, 1L, 0L)))
+    val (n1, dof1, chi1) = got("g1")
+    assert(n1 == 60L && dof1 == 1L && math.abs(chi1 - 3750000L) <= 3L)
+  }
+
+  test("lastTouchAttribution: credits the last prior non-conversion touch") {
+    val ev = Seq(
+      (1L, "view", 1L, 1L), (1L, "click", 2L, 2L),
+      (1L, "purchase", 3L, 3L), (1L, "purchase", 4L, 4L),
+      (2L, "purchase", 1L, 5L),
+      (3L, "view", 1L, 6L), (3L, "purchase", 2L, 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Temporal.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "purchase")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("click" -> 2L, "(none)" -> 1L, "view" -> 1L))
+  }
 }
