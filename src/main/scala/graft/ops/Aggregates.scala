@@ -691,13 +691,20 @@ object Aggregates {
     * factors and emitted as a 1e-6 fixed-point BIGINT so the final
     * per-group SUM is integer — order-free (the q112 recipe; a raw
     * double sum over cells would be partition-order dependent). One
-    * count aggregation over events; everything downstream is
-    * cell-bounded (groups × categories × 2). */
+    * count aggregation over events; every later exchange (the
+    * row/column/grand totals the plan audit counts) operates on the
+    * checkpointed contingency frame of groups × categories × periods
+    * rows — cell-bounded, never corpus-sized. */
   def chiSquareDrift(events: DataFrame, groupCol: String, catCol: Column,
       periodCol: Column): DataFrame = {
-    val cells = events
-      .select(col(groupCol).as("g"), catCol.as("cat"), periodCol.as("per"))
-      .groupBy(col("g"), col("cat"), col("per")).agg(count(lit(1)).as("o"))
+    // the cell-bounded contingency frame has FOUR consumers (row,
+    // column, grand totals + the term join) — materialize it so the
+    // events scan runs once
+    val cells = graft.PlanCapture.checkpoint(
+      events
+        .select(col(groupCol).as("g"), catCol.as("cat"), periodCol.as("per"))
+        .groupBy(col("g"), col("cat"), col("per")).agg(count(lit(1)).as("o")),
+      "chisq-cells")
     val rt = cells.groupBy(col("g"), col("cat")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("g"), col("per")).agg(sum(col("o")).as("ct"))
     val gt = cells.groupBy(col("g")).agg(sum(col("o")).as("gt"),
