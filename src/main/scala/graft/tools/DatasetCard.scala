@@ -12,10 +12,10 @@ import graft.ops.{CurationOps, TextAnalysis}
   * curriculum table (q79), the train/val split fractions (q66), and —
   * since round 7 — the release-gate observability: PII exposure
   * (q87's audit), boilerplate span coverage (q89), the URL host
-  * distribution (q92), verbatim-duplication exposure (q101), and the
-  * most-overlapping source pairs (q125). Every number comes from an
-  * oracle-gated operator, so the card is a certified artifact, not a
-  * best-effort summary.
+  * distribution (q92), verbatim-duplication exposure (q101), the
+  * most-overlapping source pairs (q125), and the lowest-entropy
+  * sources (q128). Every number comes from an oracle-gated operator,
+  * so the card is a certified artifact, not a best-effort summary.
   *
   * Usage: runMain graft.tools.DatasetCard [sfDir]
   */
@@ -73,6 +73,14 @@ object DatasetCard {
       .orderBy(col("jacc_fx").desc, col("src_a"), col("src_b"))
       .limit(topK)
 
+  /** Lowest-entropy sources off the q128-certified per-source token
+    * entropy — the templated/spun-content flag (low entropy = the
+    * source repeats itself). */
+  def lowEntropySummary(docs: DataFrame, topK: Int = 5): DataFrame =
+    TextAnalysis.sourceEntropy(docs, "source", "text")
+      .orderBy(col("entropy"), col("source"))
+      .limit(topK)
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -116,6 +124,7 @@ object DatasetCard {
       s""""boilerplate":${rowsJson(boilerplateSummary(docs, "doc_id", "text"))},""" +
       s""""substring_dup":${rowsJson(substringDupSummary(docs, "doc_id", "text"))},""" +
       s""""top_hosts":${rowsJson(hostSummary(docs, "doc_id", "text"))},""" +
-      s""""top_source_overlap":${rowsJson(sourceOverlapSummary(docs))}}"""
+      s""""top_source_overlap":${rowsJson(sourceOverlapSummary(docs))},""" +
+      s""""low_entropy_sources":${rowsJson(lowEntropySummary(docs))}}"""
   }
 }

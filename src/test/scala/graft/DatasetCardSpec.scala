@@ -75,4 +75,15 @@ class DatasetCardSpec extends SparkSpec {
     assert(top.head.getString(0) == "m1" && top.head.getString(1) == "m2")
     assert(top.head.getLong(5) > top.last.getLong(5) || top.length == 1)
   }
+
+  test("lowEntropySummary surfaces the degenerate source first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x x x x x", "degenerate"),
+      (2L, "a b c d e f g h", "diverse"))
+      .toDF("doc_id", "text", "source")
+    val top = graft.tools.DatasetCard.lowEntropySummary(docs).collect()
+    assert(top.head.getString(0) == "degenerate")
+    assert(top.head.getDouble(3) == 0.0)
+  }
 }
