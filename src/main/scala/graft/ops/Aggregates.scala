@@ -694,17 +694,30 @@ object Aggregates {
     * count aggregation over events; every later exchange (the
     * row/column/grand totals the plan audit counts) operates on the
     * checkpointed contingency frame of groups × categories × periods
-    * rows — cell-bounded, never corpus-sized. */
+    * rows — cell-bounded, never corpus-sized.
+    *
+    * The contingency grid is the FULL cross of each group's observed
+    * categories × periods, with unobserved cells coalesced to O=0 —
+    * a vanished category still contributes its (0−E)²/E = E term, so
+    * extreme drift (a class present in only one period) is not
+    * understated. */
   def chiSquareDrift(events: DataFrame, groupCol: String, catCol: Column,
       periodCol: Column): DataFrame = {
     // the cell-bounded contingency frame has FOUR consumers (row,
     // column, grand totals + the term join) — materialize it so the
     // events scan runs once
-    val cells = graft.PlanCapture.checkpoint(
+    val observed = graft.PlanCapture.checkpoint(
       events
         .select(col(groupCol).as("g"), catCol.as("cat"), periodCol.as("per"))
         .groupBy(col("g"), col("cat"), col("per")).agg(count(lit(1)).as("o")),
       "chisq-cells")
+    // complete the grid: every (group, cat) × (group, per) observed
+    // anywhere gets a cell, missing ones at O=0 (cell-bounded frames,
+    // both broadcastable)
+    val cells = observed.select(col("g"), col("cat")).distinct()
+      .join(observed.select(col("g"), col("per")).distinct(), Seq("g"))
+      .join(observed, Seq("g", "cat", "per"), "left")
+      .na.fill(0L, Seq("o"))
     val rt = cells.groupBy(col("g"), col("cat")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("g"), col("per")).agg(sum(col("o")).as("ct"))
     val gt = cells.groupBy(col("g")).agg(sum(col("o")).as("gt"),
@@ -735,12 +748,16 @@ object Aggregates {
 
   // 19738 = 2024-01-16 in epoch days: the fixed mid-month split.
   val chiSquareGateSql: String =
-    """WITH c AS (SELECT event_type AS g,
+    """WITH c0 AS (SELECT event_type AS g,
       |    CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
       |         ELSE 'high' END AS cat,
       |    CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 ELSE 1 END AS per,
       |    count(*) AS o
       |  FROM events GROUP BY 1, 2, 3),
+      |cats AS (SELECT DISTINCT g, cat FROM c0),
+      |pers AS (SELECT DISTINCT g, per FROM c0),
+      |c AS (SELECT g, cat, per, coalesce(o, 0) AS o
+      |  FROM cats JOIN pers USING (g) LEFT JOIN c0 USING (g, cat, per)),
       |rt AS (SELECT g, cat, sum(o) AS rt FROM c GROUP BY 1, 2),
       |ct AS (SELECT g, per, sum(o) AS ct FROM c GROUP BY 1, 2),
       |gt AS (SELECT g, sum(o) AS gt, count(DISTINCT cat) AS ncat,

@@ -281,8 +281,9 @@ object Lexical {
         if (best.isEmpty) {
           // vocabulary fully merged (every word one symbol): no
           // adjacent pairs remain — stop early rather than crash.
-          // (The unrolled oracle assumes ≥1 pair per round, which the
-          // gate corpus guarantees; LexicalSpec covers exhaustion.)
+          // (The unrolled oracle mirrors this: each round's s$i falls
+          // back to s$(i-1) via NOT EXISTS when no pair remains;
+          // LexicalSpec covers exhaustion.)
           exhausted = true
         } else {
           val (al, ar, cnt) =
@@ -327,7 +328,10 @@ object Lexical {
          |    CASE WHEN m.i < len(m.l) AND m.l[m.i] = b.pl AND m.l[m.i + 1] = b.pr
          |      THEN list_append(m.acc, b.pl || b.pr) ELSE list_append(m.acc, m.l[m.i]) END
          |  FROM m$i m, b$i b WHERE m.i <= len(m.l)),
-         |s$i AS MATERIALIZED (SELECT tok, freq, acc AS l FROM m$i WHERE i = len(l) + 1),""".stripMargin
+         |s$i AS MATERIALIZED (SELECT tok, freq, acc AS l FROM m$i WHERE i = len(l) + 1
+         |  UNION ALL
+         |  SELECT tok, freq, l FROM $prev
+         |  WHERE NOT EXISTS (SELECT 1 FROM b$i)),""".stripMargin
     }.mkString("\n")
     s"""WITH RECURSIVE t AS MATERIALIZED (
        |  SELECT unnest(string_split_regex(trim(text), '$WS')) AS tok

@@ -219,12 +219,13 @@ object Temporal {
     * on user (the same partitioning q108's range window pays);
     * everything after is on the types×types frame. Probabilities are
     * 1e-6 fixed point via exact integer division — no float sums.
-    * Ordering ties (same user, same ts) break on event_id so both
-    * engines walk the identical sequence. */
+    * Ordering ties (same user, same ts) break on `tieCol` (a unique
+    * row id — default event_id) so both engines walk the identical
+    * sequence. */
   def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
-    val trans = events.select(col(userCol), col(typeCol), col(tsCol), col("event_id"))
+      tsCol: String, tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = events.select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
       .withColumn("to_type", lead(col(typeCol), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("to_type"))
@@ -343,10 +344,11 @@ object Temporal {
     * event_id (the q123 contract), so both engines walk the same
     * sequence. */
   def lastTouchAttribution(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, conversionType: String): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+      tsCol: String, conversionType: String,
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events.select(col(userCol), col(typeCol), col(tsCol), col("event_id"))
+    events.select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
       .withColumn("touch",
         last(when(col(typeCol) =!= conversionType, col(typeCol)), ignoreNulls = true)
           .over(w))

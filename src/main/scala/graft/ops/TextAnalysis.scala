@@ -509,8 +509,12 @@ object TextAnalysis {
       qts.zipWithIndex.map { case (t, i) =>
         sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
       }: _*)
+    // avgdl as exact-integer sum/count (NOT avg(dl), whose double
+    // partials are partition-ordered) so this path and serveBm25's
+    // sum_dl/n_docs form share the identical IEEE division — the
+    // "bit-identical doubles" pairing holds by construction
     val stats = perDoc.agg(count(lit(1)).as("n_docs"),
-      (avg(col("dl")).as("avgdl") +:
+      ((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
         qts.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
     val score = bm25ScoreCol(qts, k1, b)
@@ -737,7 +741,8 @@ object TextAnalysis {
        |  FROM documents),
        |tk2 AS (SELECT id, term FROM tk WHERE term <> ''),
        |lens AS (SELECT id, count(*) AS dl FROM tk2 GROUP BY 1),
-       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
        |tf AS (SELECT id, term, count(*) AS tf FROM tk2
        |  WHERE term IN ('spark', 'join', 'query') GROUP BY 1, 2),
        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

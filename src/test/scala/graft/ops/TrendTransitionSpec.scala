@@ -162,6 +162,36 @@ class TrendTransitionSpec extends SparkSpec {
     assert(n1 == 60L && dof1 == 1L && math.abs(chi1 - 3750000L) <= 3L)
   }
 
+  test("chiSquareDrift: a category vanishing in one period contributes its E term") {
+    // cat a: 10/10 across periods; cat b: 10/0 — the zero cell (b,1)
+    // has E = 10*10/30 and must contribute (0-E)^2/E = E = 3.3333.
+    // Full grid: chi2 = 0.8333 + 1.6667 + 1.6667 + 3.3333 = 7.5
+    // (observed-cells-only would understate it as 4.1667).
+    val rows =
+      Seq.fill(10)(("g1", "a", 0)) ++ Seq.fill(10)(("g1", "a", 1)) ++
+      Seq.fill(10)(("g1", "b", 0))
+    val ev = rows.toDF("g", "cat", "per")
+    val r = Aggregates.chiSquareDrift(ev, "g", col("cat"), col("per"))
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 30L && r(0).getLong(2) == 1L)
+    assert(math.abs(r(0).getLong(3) - 7500000L) <= 5L)
+  }
+
+  test("transitionMatrix / lastTouchAttribution accept a custom tiebreak column") {
+    val ev = Seq(
+      (1L, "view", 1L, 10L), (1L, "click", 1L, 20L), (1L, "purchase", 2L, 30L))
+      .toDF("user_id", "event_type", "ts", "row_id")
+    val tm = Temporal.transitionMatrix(ev, "user_id", "event_type", "ts",
+        tieCol = "row_id")
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(tm == Set("view" -> "click", "click" -> "purchase"))
+    val lt = Temporal.lastTouchAttribution(ev, "user_id", "event_type", "ts",
+        "purchase", tieCol = "row_id")
+      .as[(String, Long)].collect().toMap
+    assert(lt == Map("click" -> 1L))
+  }
+
   test("lastTouchAttribution: credits the last prior non-conversion touch") {
     val ev = Seq(
       (1L, "view", 1L, 1L), (1L, "click", 2L, 2L),
