@@ -29,7 +29,8 @@ object SparkEntry {
     QueryModule(AsOf.queries, AsOf.oracles),
     QueryModule(Temporal.queries, Temporal.oracles),
     QueryModule(BloomIndex.queries, BloomIndex.oracles),
-    QueryModule(Lexical.queries, Lexical.oracles))
+    QueryModule(Lexical.queries, Lexical.oracles),
+    QueryModule(Analytics.queries, Analytics.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

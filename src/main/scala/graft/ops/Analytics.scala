@@ -1,0 +1,418 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Warehouse analytics surface (round 8): the multi-way-join report
+  * shapes a Spark-native engine must plan well (TPC-H Q3/Q5 families,
+  * market-basket lift) plus the SQL analytics gaps — distribution
+  * window functions, unpivot, exact mode, equal-width histograms,
+  * conversion-latency percentiles.
+  *
+  * Money math follows the repo's fixed-point discipline: prices in
+  * exact integer cents (`round(x*100)::long`), discounts as integer
+  * percents, so every revenue SUM is a BIGINT sum — partition-order
+  * free on both engines (see .claude/skills/verify gotchas).
+  */
+object Analytics {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Exact integer cents of a dollar double. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** TPC-H Q3-shaped shipping priority: top-10 open orders of one
+    * market segment by pending revenue. Plan shape: the filtered
+    * customer key set is a BROADCAST to the orders scan, orders⋈
+    * lineitem shuffles on the order key once, and the top-10 is a
+    * TakeOrderedAndProject (no global sort). At 100 TB the only large
+    * exchange is lineitem's, keyed on its natural join key. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_fx"))
+      .orderBy(col("revenue_fx").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"), col("revenue_fx"))
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fx
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue_fx DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped local supplier volume: revenue by nation where
+    * the supplier and customer share the nation, one region, one
+    * order-date year. Six tables; every dimension side (region →
+    * nation → customer key set, supplier) broadcasts, so the only
+    * shuffle is orders⋈lineitem on the order key — the join-reorder /
+    * broadcast-selection showcase. */
+  def supplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val asia = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_fx"))
+      .orderBy(col("revenue_fx").desc, col("n_name"))
+  }
+
+  val supplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fx
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_fx DESC, n_name""".stripMargin
+
+  /** Market-basket brand co-occurrence with lift: for every ordered
+    * brand pair, in how many orders do both appear, and the lift
+    * n_ab·N / (n_a·n_b) as 1e-6 fixed point by exact integer
+    * division. Scale shape: the (order, brand) frame is distinct-ed
+    * once (one shuffle on order key), the pair self-join is
+    * CO-PARTITIONED on that same key (pairs per order are bounded by
+    * distinct brands per order, ~lines², never corpus²), and the
+    * per-brand totals are a tiny broadcast. */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+    basketLiftOf(items, "okey", "brand", minPairs = 5)
+  }
+
+  /** Generic basket-lift core over a (basket id, item) frame. */
+  def basketLiftOf(items: DataFrame, basketCol: String, itemCol: String,
+      minPairs: Long): DataFrame = {
+    val ob = items
+      .select(col(basketCol).as("okey"), col(itemCol).as("brand"))
+      .distinct()
+    val totals = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+    val nOrd = ob.select(countDistinct(col("okey")).as("n_ord"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), col("a.okey") === col("b.okey") &&
+        col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("n_brand", "n_a")), Seq("brand_a"))
+      .join(broadcast(totals.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("n_brand", "n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(nOrd))
+      .filter(col("n_ab") >= minPairs)
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        expr("(n_ab * n_ord * 1000000) div (n_a * n_b)").as("lift_fx"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  val basketLiftSql: String =
+    """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |tot AS (SELECT brand, count(*) AS n_brand FROM ob GROUP BY 1),
+      |n AS (SELECT count(DISTINCT okey) AS n_ord FROM ob),
+      |p AS (SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_ab,
+      |  CAST((n_ab * n_ord * 1000000) // (ta.n_brand * tb.n_brand) AS BIGINT) AS lift_fx
+      |FROM p JOIN tot ta ON ta.brand = brand_a
+      |       JOIN tot tb ON tb.brand = brand_b
+      |CROSS JOIN n
+      |WHERE n_ab >= 5
+      |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** Distribution window functions (ntile + cumulative distribution):
+    * per event type, the 4 value quartile buckets with counts, exact
+    * cent bounds, and the cumulative fraction at each bucket top as
+    * 1e-6 fixed point. The ntile runs over a TOTAL order (cents, then
+    * event_id) so bucket assignment is deterministic on both engines;
+    * the cumulative pass is a window over the 20-row aggregate, not
+    * the corpus. */
+  def valueQuartiles(s: SparkSession, dir: String): DataFrame =
+    quartileSummary(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("v_fx")),
+      "event_type", "v_fx", "event_id")
+
+  /** Generic ntile-quartile core over (group, fixed-point value,
+    * tiebreak id) columns. */
+  def quartileSummary(df: DataFrame, groupCol: String, valFxCol: String,
+      tieCol: String): DataFrame = {
+    val b = df
+      .select(col(groupCol).as("_g"), col(valFxCol).as("v_fx"),
+        col(tieCol).as("_tie"))
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("_g")).orderBy(col("v_fx"), col("_tie"))))
+      .groupBy(col("_g"), col("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("v_fx")).as("min_fx"),
+        max(col("v_fx")).as("max_fx"))
+    val cw = Window.partitionBy(col("_g")).orderBy(col("quartile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(col("_g"))
+    b.withColumn("cum_n", sum(col("n")).over(cw))
+      .withColumn("tot_n", sum(col("n")).over(tw))
+      .select(col("_g").as(groupCol), col("quartile"), col("n"),
+        col("min_fx"), col("max_fx"),
+        expr("cum_n * 1000000 div tot_n").as("cume_fx"))
+      .orderBy(col(groupCol), col("quartile"))
+  }
+
+  val valueQuartilesSql: String =
+    """WITH e AS (SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v_fx FROM events),
+      |q AS (SELECT event_type, v_fx,
+      |    ntile(4) OVER (PARTITION BY event_type ORDER BY v_fx, event_id) AS quartile
+      |  FROM e),
+      |b AS (SELECT event_type, quartile, count(*) AS n,
+      |    min(v_fx) AS min_fx, max(v_fx) AS max_fx
+      |  FROM q GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY quartile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |    sum(n) OVER (PARTITION BY event_type) AS tot_n
+      |  FROM b)
+      |SELECT event_type, quartile, n, min_fx, max_fx,
+      |  CAST(cum_n * 1000000 // tot_n AS BIGINT) AS cume_fx
+      |FROM c ORDER BY event_type, quartile""".stripMargin
+
+  /** Unpivot (melt): the q47 pivoted per-user event-count frame turned
+    * back long via `Dataset.unpivot` — the oracle derives the long
+    * form INDEPENDENTLY (plain group-by), so the gate certifies the
+    * pivot→unpivot round trip, not unpivot against itself. */
+  def unpivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .filter(col("user_id") < 30)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L)
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val unpivotEventsSql: String =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events WHERE user_id < 30
+      |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+
+  /** Exact per-group mode with a deterministic tiebreak (most frequent
+    * event type per user; ties → lexicographically first type). One
+    * shuffle to the (user, type) counts, a row_number window on that
+    * small frame, never a global sort of events. */
+  def modePerUser(s: SparkSession, dir: String): DataFrame =
+    modePerGroup(Tables.events(s, dir), "user_id", "event_type")
+      .orderBy(col("user_id"))
+
+  /** Generic exact mode: the most frequent `valCol` per `groupCol`,
+    * ties to the lexicographically first value. */
+  def modePerGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_mode").desc, col("mode_type"))
+    df.groupBy(col(groupCol), col(valCol).as("mode_type"))
+      .agg(count(lit(1)).as("n_mode"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
+  val modePerUserSql: String =
+    """WITH c AS (SELECT user_id, event_type AS mode_type, count(*) AS n_mode
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY n_mode DESC, mode_type) AS rk FROM c)
+      |SELECT user_id, mode_type, n_mode FROM r WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Equal-width histogram: 10 bins per event type over the exact
+    * cent range — bin index by exact integer arithmetic
+    * (`(v−mn)·10 div (mx−mn)`, top value clamped into bin 9), so
+    * both engines bucket identically with no float edges. Two passes:
+    * a per-type min/max broadcast, then one map-side bucket + count
+    * aggregation. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    histogram(
+      Tables.events(s, dir).select(col("event_type"), cents(col("value")).as("v_fx")),
+      "event_type", "v_fx", bins = 10)
+
+  /** Generic equal-width histogram over a (group, fixed-point value)
+    * frame; a degenerate single-value group lands entirely in bin 0. */
+  def histogram(df: DataFrame, groupCol: String, valFxCol: String,
+      bins: Int): DataFrame = {
+    val e = df.select(col(groupCol).as("_g"), col(valFxCol).as("v_fx"))
+    val ranges = e.groupBy(col("_g"))
+      .agg(min(col("v_fx")).as("mn"), max(col("v_fx")).as("mx"))
+    e.join(broadcast(ranges), Seq("_g"))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), 0L) // degenerate single-value range
+          .otherwise(least(lit(bins - 1L),
+            expr(s"(v_fx - mn) * $bins div (mx - mn)"))))
+      .groupBy(col("_g"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("mn")).as("range_lo_fx"),
+        max(col("mx")).as("range_hi_fx"))
+      .select(col("_g").as(groupCol), col("bin"), col("n"),
+        col("range_lo_fx"), col("range_hi_fx"))
+      .orderBy(col(groupCol), col("bin"))
+  }
+
+  val valueHistogramSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS v_fx FROM events),
+      |r AS (SELECT event_type, min(v_fx) AS mn, max(v_fx) AS mx
+      |  FROM e GROUP BY 1)
+      |SELECT event_type,
+      |  CASE WHEN mx = mn THEN 0
+      |       ELSE least(9, CAST((v_fx - mn) * 10 // (mx - mn) AS BIGINT)) END AS bin,
+      |  count(*) AS n,
+      |  CAST(min(mn) AS BIGINT) AS range_lo_fx,
+      |  CAST(max(mx) AS BIGINT) AS range_hi_fx
+      |FROM e JOIN r USING (event_type)
+      |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
+  /** Signup→purchase conversion latency: per user the gap between the
+    * first signup and the first LATER purchase, summarized as exact
+    * interpolated percentiles (micros). The per-user reduction is two
+    * filtered min-aggregations sharing one user-keyed shuffle; the
+    * percentile runs over the user-sized frame. */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame =
+    conversionLatencyOf(Tables.events(s, dir), "user_id", "event_type", "ts",
+      "signup", "purchase")
+
+  /** Generic first-A→first-later-B latency percentiles; `tsCol` is
+    * exact epoch-nanos (the Tables.events contract), latencies are
+    * emitted in micros. */
+  def conversionLatencyOf(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String): DataFrame = {
+    val firstFrom = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("s_ts"))
+    val lat = events.filter(col(typeCol) === toType)
+      .join(firstFrom, Seq(userCol))
+      .filter(col(tsCol) > col("s_ts"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("p_ts"),
+        min(col("s_ts")).as("s_ts2"))
+      .select(expr("(p_ts - s_ts2) div 1000").as("lat_us"))
+    lat.agg(count(lit(1)).as("n_users"),
+      round(expr("percentile(lat_us, 0.25)"), 4).as("p25_us"),
+      round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+      round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |l AS (SELECT e.user_id, min(epoch_us(e.ts)) - min(s.s_ts) AS lat_us
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_ts
+      |  GROUP BY 1)
+      |SELECT count(*) AS n_users,
+      |  round(quantile_cont(lat_us, 0.25), 4) AS p25_us,
+      |  round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+      |  round(quantile_cont(lat_us, 0.9), 4) AS p90_us
+      |FROM l""".stripMargin
+
+  /** Top session paths: 30-minute sessionization (the q51 machinery),
+    * each session reduced to its first five event types in (ts,
+    * event_id) order, top 20 paths by session count. The per-session
+    * ordering happens INSIDE the aggregate via sort_array over
+    * (ts, event_id, type) structs — no second shuffle after the
+    * session grouping; the path histogram is path-cardinality-sized. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPathsOf(Tables.events(s, dir), "user_id", "event_type",
+      gap = "30 minutes", maxSteps = 5, topK = 20)
+
+  /** Generic top session paths over the Tables.events contract
+    * (`ts` exact nanos + `ts_utc` micros timestamp). */
+  def sessionPathsOf(events: DataFrame, userCol: String, typeCol: String,
+      gap: String, maxSteps: Int, topK: Int): DataFrame =
+    events
+      .groupBy(session_window(col("ts_utc"), gap), col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col(typeCol)))).as("evs"))
+      .select(concat_ws(">",
+        slice(transform(col("evs"), e => e.getField(typeCol)), 1, maxSteps))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+
+  val sessionPathsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |flagged AS (SELECT *,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |grp AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |paths AS (SELECT array_to_string(
+      |    list_slice(list(event_type ORDER BY us, event_id), 1, 5), '>') AS path
+      |  FROM grp GROUP BY user_id, sid)
+      |SELECT path, count(*) AS n_sessions FROM paths
+      |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_shipping_priority" -> shippingPriority,
+    "q134_supplier_volume" -> supplierVolume,
+    "q135_basket_lift" -> basketLift,
+    "q136_value_quartiles" -> valueQuartiles,
+    "q137_unpivot_events" -> unpivotEvents,
+    "q138_mode_per_user" -> modePerUser,
+    "q139_value_histogram" -> valueHistogram,
+    "q140_conversion_latency" -> conversionLatency,
+    "q144_session_paths" -> sessionPaths)
+
+  val oracles: Map[String, String] = Map(
+    "q133_shipping_priority" -> shippingPrioritySql,
+    "q134_supplier_volume" -> supplierVolumeSql,
+    "q135_basket_lift" -> basketLiftSql,
+    "q136_value_quartiles" -> valueQuartilesSql,
+    "q137_unpivot_events" -> unpivotEventsSql,
+    "q138_mode_per_user" -> modePerUserSql,
+    "q139_value_histogram" -> valueHistogramSql,
+    "q140_conversion_latency" -> conversionLatencySql,
+    "q144_session_paths" -> sessionPathsSql)
+}

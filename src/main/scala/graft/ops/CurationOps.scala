@@ -942,7 +942,40 @@ object CurationOps {
        |FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------- stratified k-fold
+
+  /** Deterministic stratified k-fold assignment: fold(id) = md5-hash
+    * of the seeded id mod k — reproducible under any partitioning and
+    * any corpus growth (a doc's fold never changes when others are
+    * added, unlike round-robin or rank-based folds). Stratification is
+    * by construction: a uniform hash splits EVERY stratum ~evenly, and
+    * the report certifies the realized balance per (stratum, fold).
+    * Map-only fold stamping + one (source, fold)-keyed aggregation. */
+  def stratifiedKFold(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, seed: String = "fold"): DataFrame =
+    df.withColumn("fold",
+      conv(substring(md5(concat(lit(seed + "|"), col(idCol).cast("string"))),
+        1, 4), 16, 10).cast("int") % k)
+
+  /** q142 — 5-fold balance report over documents, stratified by
+    * source: per (source, fold) the doc count and exact char volume
+    * (the number a training run uses to verify no fold is skewed). */
+  def kfoldGate(s: SparkSession, dir: String): DataFrame =
+    stratifiedKFold(docs(s, dir), "doc_id", "source", 5)
+      .groupBy(col("source"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"), col("fold"))
+
+  val kfoldGateSql: String =
+    """SELECT source,
+      |  CAST('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 4)
+      |    AS INTEGER) % 5 AS fold,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1, 2 ORDER BY source, fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_stratified_kfold" -> kfoldGate,
     "q86_fuzzy_decontam" -> fuzzyDecontam,
     "q87_pii_audit" -> piiAuditGate,
     "q88_importance_resample" -> importanceGate,
@@ -956,6 +989,7 @@ object CurationOps {
     "q110_weighted_sample" -> weightedSampleGate)
 
   val oracles: Map[String, String] = Map(
+    "q142_stratified_kfold" -> kfoldGateSql,
     "q86_fuzzy_decontam" -> fuzzyDecontamSql,
     "q87_pii_audit" -> piiAuditGateSql,
     "q88_importance_resample" -> importanceGateSql,

@@ -757,4 +757,67 @@ object Similarity {
     out
   }
 
+  /** Maximal Marginal Relevance diversified retrieval (Carbonell &
+    * Goldstein SIGIR'98): greedily pick `k` results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected, so the
+    * result set trades raw relevance for coverage.
+    *
+    * Architecture is the serving split the probe family documented
+    * (MICRO_r7): the RELEVANCE pass is distributed — one broadcast of
+    * the query vector, a map-side codegen'd cosine over the whole
+    * corpus, and a TakeOrderedAndProject shortlist of `poolK` — then
+    * the greedy walk runs driver-side over the pool (model-sized:
+    * poolK rows + poolK² similarities; poolK is a constant, never
+    * corpus-scaled). The walk itself is EXACT INTEGER arithmetic:
+    * relevance and pairwise cosines are frozen to 1e-6 fixed point
+    * first, λ is in tenths, so the selection trajectory cannot ride a
+    * float partial-sum — the only float op is the initial per-pair
+    * cosine, shared with the q33-certified recipe.
+    *
+    * Returns (step 1..k, id, mmr_fx = 10λ·rel_fx − (10−10λ)·maxsim_fx).
+    */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, poolK: Int, k: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = withNorm(emb, idCol, vecCol)
+    val q = n.filter(queryPred)
+      .select(col(vecCol).as("qv"), col("norm").as("qn"))
+    val pool = graft.PlanCapture.checkpoint(
+      n.filter(!queryPred)
+        .crossJoin(broadcast(q))
+        .withColumn("rel_fx",
+          round(cosine(col(vecCol), col("qv"), col("norm"), col("qn")) * 1e6)
+            .cast("long"))
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          col("norm").as("nm"), col("rel_fx"))
+        .orderBy(col("rel_fx").desc, col("id"))
+        .limit(poolK),
+      "mmr-pool")
+    val sims = pool.as("a").join(pool.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ai"), col("b.id").as("bi"),
+        round(cosine(col("a.v"), col("b.v"), col("a.nm"), col("b.nm")) * 1e6)
+          .cast("long").as("sim_fx"))
+    // the pool is the model, not data: collect and walk greedily
+    val rels = pool.select(col("id").cast("long"), col("rel_fx"))
+      .as[(Long, Long)].collect().toSeq
+    val simMap = sims.as[(Long, Long, Long)].collect()
+      .map { case (a, b, sfx) => (a, b) -> sfx }.toMap
+    var selected = Vector.empty[(Int, Long, Long)]
+    var remaining = rels
+    for (step <- 1 to math.min(k, rels.size)) {
+      val scored = remaining.map { case (id, rel) =>
+        val pen =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simMap((id, s._2))).max
+        (id, lambdaTenths * rel - (10L - lambdaTenths) * pen)
+      }
+      val (bid, bscore) = scored.maxBy { case (id, sc) => (sc, -id) }
+      selected :+= ((step, bid, bscore))
+      remaining = remaining.filterNot(_._1 == bid)
+    }
+    selected.toDF("step", "id", "mmr_fx")
+  }
+
 }

@@ -629,7 +629,67 @@ object SimilarityShapes {
        |    FROM d1) WHERE rk = 1)
        |SELECT vec_id, s, code FROM enc ORDER BY vec_id, s""".stripMargin
 
+  /** q141 — MMR diversified top-5 against vec_id 0's embedding over a
+    * top-20 relevance pool (λ=0.7). The DuckDB mirror recomputes the
+    * pool, the pairwise 1e-6 fixed-point cosines, and UNROLLS all five
+    * greedy rounds — the hash certifies the entire selection
+    * trajectory (any divergent argmax changes a later penalty). */
+  def mmrGate(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(emb(s, dir), "vec_id", "embedding",
+        col("vec_id") === 0, poolK = 20, k = 5)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("step"))
+
+  val mmrGateSql: String = {
+    val rounds = (2 to 5).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""c$i AS (SELECT p.vec_id,
+         |    7 * p.rel_fx - 3 * (SELECT max(sim_fx) FROM sims
+         |      WHERE ai = p.vec_id AND bi IN (SELECT vec_id FROM $prev)) AS mmr
+         |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev)),
+         |s$i AS (SELECT vec_id, mmr FROM c$i ORDER BY mmr DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM s$i),""".stripMargin
+    }.mkString("\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |px AS (SELECT vec_id, embedding AS e, qe,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |relr AS (SELECT vec_id,
+       |    sum(CAST(e[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS dp,
+       |    sum(CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)) AS n2,
+       |    sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS q2
+       |  FROM px GROUP BY 1),
+       |pool AS (SELECT vec_id,
+       |    CAST(round(dp / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS rel_fx
+       |  FROM relr ORDER BY rel_fx DESC, vec_id LIMIT 20),
+       |pv AS (SELECT p.vec_id, e.embedding AS e FROM pool p
+       |  JOIN embeddings e USING (vec_id)),
+       |ppx AS (SELECT a.vec_id AS ai, b.vec_id AS bi, a.e AS ae, b.e AS be,
+       |    unnest(generate_series(1, len(a.e))) AS i
+       |  FROM pv a JOIN pv b ON a.vec_id <> b.vec_id),
+       |simr AS (SELECT ai, bi,
+       |    sum(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dp,
+       |    sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS a2,
+       |    sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS b2
+       |  FROM ppx GROUP BY 1, 2),
+       |sims AS (SELECT ai, bi,
+       |    CAST(round(dp / (sqrt(a2) * sqrt(b2)) * 1e6) AS BIGINT) AS sim_fx
+       |  FROM simr),
+       |s1 AS (SELECT vec_id, 7 * rel_fx AS mmr FROM pool
+       |  ORDER BY rel_fx DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$rounds
+       |fin AS (SELECT 1 AS step, vec_id, mmr FROM s1
+       |  UNION ALL SELECT 2, vec_id, mmr FROM s2
+       |  UNION ALL SELECT 3, vec_id, mmr FROM s3
+       |  UNION ALL SELECT 4, vec_id, mmr FROM s4
+       |  UNION ALL SELECT 5, vec_id, mmr FROM s5)
+       |SELECT step, vec_id, CAST(mmr AS BIGINT) AS mmr_fx
+       |FROM fin ORDER BY step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_mmr_topk" -> mmrGate,
     "q33_cosine_topk" -> cosineTopK,
     "q94_ann_recall" -> annRecall,
     "q95_pq_codes" -> pqCodes,
@@ -647,6 +707,7 @@ object SimilarityShapes {
     "q82_hybrid_search" -> hybridSearch)
 
   def oracles: Map[String, String] = Map(
+    "q141_mmr_topk" -> mmrGateSql,
     "q33_cosine_topk" -> cosineTopKSql,
     "q94_ann_recall" -> annRecallSql,
     "q95_pq_codes" -> pqCodesSql,

@@ -1650,7 +1650,51 @@ object TextAnalysis {
        |FROM sp JOIN sz sa ON sp.src_a = sa.src JOIN sz sb ON sp.src_b = sb.src
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- repeated n-grams
+
+  /** Memorization-risk report: the word n-grams repeated across the
+    * most documents (the training-data side of verbatim memorization —
+    * Lee et al. 2022 measure duplication exactly at this granularity),
+    * with how many distinct sources carry each — a cross-source repeat
+    * is template/boilerplate; a single-source repeat is a true
+    * duplicate family. One shuffle on the gram (map-side-combined
+    * counts + two-phase distinct counts); at 100 TB the gram stream
+    * would first pass the q117 CMS heavy-hitter prefilter so only
+    * candidate grams shuffle — this exact report then runs on that
+    * survivor set. */
+  def repeatedNgrams(docsDf: DataFrame, idCol: String, srcCol: String,
+      textCol: String, n: Int, minDocs: Int, topK: Int): DataFrame = {
+    val ts = split(trim(col(textCol)), WS)
+    docsDf.filter(length(trim(col(textCol))) > 0 && size(ts) >= n)
+      .select(col(idCol).as("id"), col(srcCol).as("src"),
+        explode(graft.functions.TextFunctions.ngramArray(ts, n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        countDistinct(col("src")).as("n_srcs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+      .limit(topK)
+  }
+
+  /** q143 — top 30 cross-document 8-grams over the corpus. */
+  def repeatedNgramsGate(s: SparkSession, dir: String): DataFrame =
+    repeatedNgrams(docs(s, dir), "doc_id", "source", "text",
+      n = 8, minDocs = 2, topK = 30)
+
+  val repeatedNgramsGateSql: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '$WS') AS toks
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |g AS (SELECT doc_id, source, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+       |  FROM d, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+       |a AS (SELECT gram, count(DISTINCT doc_id) AS n_docs,
+       |    count(DISTINCT source) AS n_srcs, count(*) AS n_occ
+       |  FROM g GROUP BY 1)
+       |SELECT gram, n_docs, n_srcs, n_occ FROM a WHERE n_docs >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_repeated_ngrams" -> repeatedNgramsGate,
     "q125_source_similarity" -> sourceSimilarityGate,
     "q128_source_entropy" -> sourceEntropyGate,
     "q112_domain_kl" -> domainKlGate,
@@ -1682,6 +1726,7 @@ object TextAnalysis {
     "q61_containment" -> containment)
 
   def oracles: Map[String, String] = Map(
+    "q143_repeated_ngrams" -> repeatedNgramsGateSql,
     "q125_source_similarity" -> sourceSimilarityGateSql,
     "q128_source_entropy" -> sourceEntropyGateSql,
     "q112_domain_kl" -> domainKlGateSql,
