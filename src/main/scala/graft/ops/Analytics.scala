@@ -126,15 +126,24 @@ object Analytics {
   /** Generic basket-lift core over a (basket id, item) frame. */
   def basketLiftOf(items: DataFrame, basketCol: String, itemCol: String,
       minPairs: Long): DataFrame = {
-    val ob = items
-      .select(col(basketCol).as("okey"), col(itemCol).as("brand"))
-      .distinct()
-    val totals = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
-    val nOrd = ob.select(countDistinct(col("okey")).as("n_ord"))
-    val pairs = ob.as("a")
-      .join(ob.as("b"), col("a.okey") === col("b.okey") &&
-        col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+    // ONE corpus shuffle (on the basket key): per-basket distinct item
+    // sets via collect_set; pairs explode MAP-SIDE from the sorted set
+    // (bounded by per-basket item count², never a self-join), so no
+    // second corpus-sized exchange exists. The set frame has three
+    // consumers (pairs, totals, basket count) — materialized once.
+    val sets = graft.PlanCapture.checkpoint(
+      items
+        .groupBy(col(basketCol).as("okey"))
+        .agg(sort_array(collect_set(col(itemCol))).as("bs")),
+      "basket-sets")
+    val totals = sets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+    val nOrd = sets.select(count(lit(1)).as("n_ord"))
+    val pairs = sets
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), " +
+          "y -> struct(x AS brand_a, y AS brand_b))))")).as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(totals.withColumnRenamed("brand", "brand_a")
