@@ -403,7 +403,251 @@ object Analytics {
       |SELECT path, count(*) AS n_sessions FROM paths
       |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** GROUPING SETS (the explicit member of the group-by-extension
+    * family next to rollup q18 / cube q40): revenue at (flag, status),
+    * (flag) and grand-total granularities in ONE aggregation pass —
+    * Catalyst expands the sets into a single Expand + hash aggregate,
+    * not three scans. gid is the explicit grouping bitmask, computed
+    * the same way on both engines. */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+        .cast("long").as("gid"),
+        sum(cents(col("l_extendedprice"))).as("revenue_fx"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("revenue_fx"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val groupingSetsRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_fx,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q8-shaped market share: within one region's revenue, the
+    * share supplied by one nation, per order year — conditional
+    * aggregation over the q134 join tree (both totals come out of ONE
+    * pass; share by exact integer division). */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val asia = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val supNat = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val rev = cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("yr"))
+      .agg(sum(rev).as("total_fx"),
+        sum(when(col("n_name") === "NATION_5", rev).otherwise(0L))
+          .as("nation_fx"))
+      .withColumn("share_fx", expr("(nation_fx * 1000000) div total_fx"))
+      .orderBy(col("yr"))
+  }
+
+  val marketShareSql: String =
+    """WITH l AS (
+      |  SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr, n2.n_name,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+      |  FROM region
+      |  JOIN nation ON n_regionkey = r_regionkey
+      |  JOIN customer ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      |  WHERE r_name = 'ASIA')
+      |SELECT yr, CAST(sum(rev) AS BIGINT) AS total_fx,
+      |  CAST(sum(CASE WHEN n_name = 'NATION_5' THEN rev ELSE 0 END) AS BIGINT) AS nation_fx,
+      |  CAST((sum(CASE WHEN n_name = 'NATION_5' THEN rev ELSE 0 END) * 1000000)
+      |    // sum(rev) AS BIGINT) AS share_fx
+      |FROM l GROUP BY yr ORDER BY yr""".stripMargin
+
+  /** Vocabulary growth curve (Heaps' law audit): the corpus in
+    * doc_id order split into 5 equal ntile chunks; per checkpoint the
+    * cumulative token volume and cumulative distinct vocabulary —
+    * sublinear vocab growth is the health signal, a LINEAR curve
+    * means unbounded novel tokens (OCR noise, ids, serials). Scale
+    * shape: a token's first-seen chunk is one min-aggregation on the
+    * token (vocab-bounded); cumulative sums run over the 5-row
+    * frame. */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    vocabGrowthOf(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+
+  /** Generic vocabulary-growth core. The ntile over the doc-id order
+    * is a doc-count-sized window (at 100 TB replace with range
+    * partitioning on the id — the chunk boundary math is unchanged). */
+  def vocabGrowthOf(docsDf: DataFrame, idCol: String, textCol: String,
+      nChunks: Int): DataFrame = {
+    val toks = docsDf
+      .filter(length(trim(col(textCol))) > 0)
+      .withColumn("chunk", ntile(nChunks).over(Window.orderBy(col(idCol))))
+      .select(col("chunk"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tokVol = toks.groupBy(col("chunk")).agg(count(lit(1)).as("n_tok"))
+    val firstSeen = toks.groupBy(col("tok")).agg(min(col("chunk")).as("chunk"))
+      .groupBy(col("chunk")).agg(count(lit(1)).as("n_new"))
+    val cw = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // left join: a chunk introducing ZERO new vocabulary (saturated
+    // corpus) still emits its checkpoint row
+    tokVol.join(firstSeen, Seq("chunk"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("tokens_cum", sum(col("n_tok")).over(cw))
+      .withColumn("vocab_cum", sum(col("n_new")).over(cw))
+      .select(col("chunk"), col("tokens_cum"), col("vocab_cum"))
+      .orderBy(col("chunk"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    ntile(5) OVER (ORDER BY doc_id) AS chunk
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tk AS (SELECT chunk, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM d),
+      |tk2 AS (SELECT chunk, tok FROM tk WHERE tok <> ''),
+      |vol AS (SELECT chunk, count(*) AS n_tok FROM tk2 GROUP BY 1),
+      |fs AS (SELECT min(chunk) AS chunk FROM tk2 GROUP BY tok),
+      |nv AS (SELECT chunk, count(*) AS n_new FROM fs GROUP BY 1)
+      |SELECT chunk,
+      |  CAST(sum(n_tok) OVER (ORDER BY chunk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_cum,
+      |  CAST(sum(n_new) OVER (ORDER BY chunk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+      |FROM (SELECT vol.chunk, n_tok, coalesce(n_new, 0) AS n_new
+      |      FROM vol LEFT JOIN nv USING (chunk))
+      |ORDER BY chunk""".stripMargin
+
+  /** Zipf rank-frequency slope over the top-1000 terms: ln(freq) vs
+    * ln(rank) least squares with the q124 exact-moment recipe — logs
+    * quantized to 1e-6 fixed point first, BIGINT moment sums, one
+    * deterministic double closing sequence. A healthy natural-language
+    * corpus sits near slope −1; a flat or cliffed curve flags
+    * templated or synthetic text. */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame =
+    zipfSlopeOf(Tables.load(s, dir, "documents"), "text", 1000)
+
+  /** Generic Zipf-slope core over a text column. */
+  def zipfSlopeOf(docsDf: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val top = docsDf
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok"))))
+      .select(round(log(col("rnk").cast("double")) * 1e6).cast("long").as("x_fx"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y_fx"))
+    top.agg(count(lit(1)).as("n_terms"), sum(col("x_fx")).as("sx"),
+        sum(col("y_fx")).as("sy"), sum(col("x_fx") * col("y_fx")).as("sxy"),
+        sum(col("x_fx") * col("x_fx")).as("sxx"))
+      .select(col("n_terms"),
+        round((col("sxy").cast("double") * col("n_terms").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("sxx").cast("double") * col("n_terms").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")) * 1e6)
+          .cast("long").as("slope_fx"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |f AS (SELECT tok, count(*) AS freq FROM tk WHERE tok <> '' GROUP BY 1
+      |  ORDER BY freq DESC, tok LIMIT 1000),
+      |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk FROM f),
+      |q AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x_fx,
+      |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y_fx FROM r),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(x_fx) AS BIGINT) AS sx, CAST(sum(y_fx) AS BIGINT) AS sy,
+      |    CAST(sum(x_fx * y_fx) AS BIGINT) AS sxy,
+      |    CAST(sum(x_fx * x_fx) AS BIGINT) AS sxx
+      |  FROM q)
+      |SELECT n_terms,
+      |  CAST(round((CAST(sxy AS DOUBLE) * CAST(n_terms AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(sxx AS DOUBLE) * CAST(n_terms AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) AS BIGINT) AS slope_fx
+      |FROM m""".stripMargin
+
+  /** Single-pass column profiling (the Deequ/data-quality shape):
+    * null and distinct counts for every events column out of ONE
+    * corpus aggregation, emitted long-form. The distinct counts are
+    * exact two-phase aggregates; at 100 TB swap in approx_count_
+    * distinct per column — the dataflow is unchanged. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame =
+    columnProfileOf(Tables.events(s, dir),
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+  /** Generic single-pass profiler over the named columns. */
+  def columnProfileOf(e: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"))
+    }
+    // the 1-row profile frame has one consumer PER COLUMN — checkpoint
+    // so the events scan runs once, not |cols| times
+    val one = graft.PlanCapture.checkpoint(
+      e.agg(aggs.head, aggs.tail: _*), "profile-row")
+    val longForm = cols.map { c =>
+      one.select(lit(c).as("column"), col(s"null_$c").as("n_null"),
+        col(s"dist_$c").as("n_distinct"))
+    }.reduce(_ unionByName _)
+    longForm.orderBy(col("column"))
+  }
+
+  val columnProfileSql: String =
+    """WITH p AS (SELECT
+      |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_event_id,
+      |  count(DISTINCT event_id) AS dist_event_id,
+      |  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+      |  count(DISTINCT epoch_us(ts) * 1000) AS dist_ts,
+      |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+      |  count(DISTINCT user_id) AS dist_user_id,
+      |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+      |  count(DISTINCT event_type) AS dist_event_type,
+      |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+      |  count(DISTINCT value) AS dist_value,
+      |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+      |  count(DISTINCT props) AS dist_props
+      |FROM events)
+      |SELECT 'event_id' AS column, CAST(null_event_id AS BIGINT) AS n_null,
+      |  CAST(dist_event_id AS BIGINT) AS n_distinct FROM p
+      |UNION ALL SELECT 'ts', CAST(null_ts AS BIGINT), CAST(dist_ts AS BIGINT) FROM p
+      |UNION ALL SELECT 'user_id', CAST(null_user_id AS BIGINT), CAST(dist_user_id AS BIGINT) FROM p
+      |UNION ALL SELECT 'event_type', CAST(null_event_type AS BIGINT), CAST(dist_event_type AS BIGINT) FROM p
+      |UNION ALL SELECT 'value', CAST(null_value AS BIGINT), CAST(dist_value AS BIGINT) FROM p
+      |UNION ALL SELECT 'props', CAST(null_props AS BIGINT), CAST(dist_props AS BIGINT) FROM p
+      |ORDER BY "column"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_grouping_sets" -> groupingSetsRevenue,
+    "q147_market_share" -> marketShare,
+    "q148_vocab_growth" -> vocabGrowth,
+    "q149_zipf_slope" -> zipfSlope,
+    "q150_column_profile" -> columnProfile,
     "q133_shipping_priority" -> shippingPriority,
     "q134_supplier_volume" -> supplierVolume,
     "q135_basket_lift" -> basketLift,
@@ -415,6 +659,11 @@ object Analytics {
     "q144_session_paths" -> sessionPaths)
 
   val oracles: Map[String, String] = Map(
+    "q145_grouping_sets" -> groupingSetsRevenueSql,
+    "q147_market_share" -> marketShareSql,
+    "q148_vocab_growth" -> vocabGrowthSql,
+    "q149_zipf_slope" -> zipfSlopeSql,
+    "q150_column_profile" -> columnProfileSql,
     "q133_shipping_priority" -> shippingPrioritySql,
     "q134_supplier_volume" -> supplierVolumeSql,
     "q135_basket_lift" -> basketLiftSql,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.feed.{Fanout, IdempotentSink}
 
@@ -387,7 +388,95 @@ object FeedShapes {
       |FROM w GROUP BY user_id
       |ORDER BY score_fx DESC, user_id LIMIT 50""".stripMargin
 
+  /** Synchronous label propagation (Raghavan et al. 2007) —
+    * community detection as iterated neighbor-majority voting: every
+    * node starts as its own label; each round a node adopts the most
+    * frequent label among its neighbors (ties → smallest label),
+    * isolated nodes keep their own. Deterministic by construction
+    * (synchronous update + total tie order), so the whole trajectory
+    * is oracle-certifiable — unlike the asynchronous formulation.
+    *
+    * Scale shape (the q103 Pregel-by-hand pattern): the undirected
+    * adjacency is built once and cached partitioned on `u`; per round
+    * ONE join against the node-bounded label frame (broadcast when it
+    * fits — the default here), a (node, label)-bounded count, and a
+    * per-node argmax window on that count frame. Nothing corpus-sized
+    * moves after the initial edge build. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    // adjacency and node set are each consumed every round — material-
+    // ize once (the Pregel edge-partition-once contract); u-partitioned
+    // so each round's vote join meets the broadcast labels in place
+    val und = graft.PlanCapture.checkpoint(
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .repartition(col("u")),
+      "lpa-adjacency").persist()
+    val nodes = graft.PlanCapture.checkpoint(
+      und.select(col("u")).distinct(), "lpa-nodes").persist()
+    try {
+      var lab = nodes.select(col("u"), col("u").cast("long").as("lab"))
+      for (_ <- 1 to iterations) {
+        val votes = und
+          .join(broadcast(lab.withColumnRenamed("u", "v")), Seq("v"))
+          .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
+        val best = votes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("u")).orderBy(col("cnt").desc, col("lab"))))
+          .filter(col("rk") === 1)
+          .select(col("u"), col("lab").as("new_lab"))
+        // node-bounded frame, consumed by the next round's join AND
+        // broadcast — materialize per round (the q103 pageRank shape)
+        // so round N+1's plan starts from labels, not the full lineage
+        lab = graft.PlanCapture.checkpoint(
+          nodes
+            .join(broadcast(lab), Seq("u"))
+            .join(broadcast(best), Seq("u"), "left")
+            .select(col("u"), coalesce(col("new_lab"), col("lab")).as("lab")),
+          "lpa-labels")
+      }
+      lab
+    } finally { und.unpersist(blocking = false); nodes.unpersist(blocking = false) }
+  }
+
+  /** q146 — label propagation ORACLE GATE over the q46 follow graph
+    * (3 synchronous rounds): DuckDB unrolls the identical rounds, so
+    * the hash certifies every vote, tie-break and adoption. */
+  def followCommunities(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("u"))
+    val edges = c.select(col("u"), (col("u") % 97).as("v"))
+      .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
+      .filter(col("u") =!= col("v"))
+    labelPropagation(edges, iterations = 3)
+      .orderBy(col("u"))
+  }
+
+  val followCommunitiesSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (SELECT a.u, p.lab, count(*) AS cnt
+         |  FROM adj a JOIN $prev p ON p.u = a.v GROUP BY 1, 2),
+         |b$i AS (SELECT u, lab AS new_lab FROM (
+         |    SELECT u, lab, row_number() OVER (PARTITION BY u
+         |      ORDER BY cnt DESC, lab) AS rk FROM c$i) WHERE rk = 1),
+         |l$i AS (SELECT n.u, coalesce(b.new_lab, p.lab) AS lab
+         |  FROM nodes n JOIN $prev p USING (u) LEFT JOIN b$i b USING (u)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH c AS (SELECT c_custkey AS u FROM customer),
+       |raw AS (SELECT u, u % 97 AS v FROM c
+       |  UNION ALL SELECT u, (u * 3 + 1) % 97 FROM c),
+       |adj AS (SELECT DISTINCT u, v FROM (
+       |  SELECT u, v FROM raw WHERE u <> v
+       |  UNION ALL SELECT v, u FROM raw WHERE u <> v)),
+       |nodes AS (SELECT DISTINCT u FROM adj),
+       |l0 AS (SELECT u, CAST(u AS BIGINT) AS lab FROM nodes),
+       |$rounds
+       |sel AS (SELECT 1)
+       |SELECT u, lab FROM l3 ORDER BY u""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_label_propagation" -> followCommunities,
     "q126_hot_users" -> hotUsers,
     "q46_two_hop" -> twoHop,
     "q103_follow_pagerank" -> followPageRank,
@@ -398,6 +487,7 @@ object FeedShapes {
     "q24_validation_split" -> validationSplit)
 
   def oracles: Map[String, String] = Map(
+    "q146_label_propagation" -> followCommunitiesSql,
     "q126_hot_users" -> hotUsersSql,
     "q46_two_hop" -> twoHopSql,
     "q103_follow_pagerank" -> followPageRankSql,

@@ -117,6 +117,48 @@ class AnalyticsSpec extends SparkSpec {
       r.getLong(2) == 2L && r.getLong(3) == 3L)
   }
 
+  test("labelPropagation: two triangles bridged by one edge settle into two communities") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (7L, 8L)) // plus an isolated pair
+      .toDF("u", "v")
+    val got = FeedShapes.labelPropagation(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 3L && got(5L) == 3L && got(6L) == 3L)
+    // the 7-8 pair oscillates synchronously: after odd rounds each
+    // holds the other's id — deterministic either way
+    assert(Set(got(7L), got(8L)) == Set(7L, 8L))
+  }
+
+  test("vocabGrowthOf: cumulative volume and vocabulary per chunk") {
+    // 4 docs -> 2 chunks of 2; chunk1 vocab {a,b,c}, chunk2 adds {d}
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a d"), (4L, "d d d"))
+      .toDF("doc_id", "text")
+    val got = Analytics.vocabGrowthOf(docs, "doc_id", "text", 2)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 4L, 3L), (2, 9L, 4L)))
+  }
+
+  test("zipfSlopeOf: exact power-law frequencies recover slope -1") {
+    // freq(r) = 720/r for r=1..6 exactly (720 = lcm), one token per rank
+    val words = (1 to 6).flatMap(r => Seq.fill(720 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = Analytics.zipfSlopeOf(docs, "text", 10).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getLong(1) + 1000000L) < 100L) // slope_fx ~ -1e6
+  }
+
+  test("columnProfileOf: null and distinct counts per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (None, Some("b")),
+      (Some(2L), Some("a")))
+      .toDF("x", "y")
+    val got = Analytics.columnProfileOf(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("x") == ((1L, 2L)))
+    assert(got("y") == ((1L, 2L)))
+  }
+
   test("mmrTopK: pure-relevance lambda reduces to top-k; diversity skips the near-dup") {
     // 0 = query; 1 and 2 nearly identical and most relevant; 3 orthogonal-ish
     val vecs = Seq(
