@@ -403,6 +403,27 @@ object Analytics {
       |SELECT path, count(*) AS n_sessions FROM paths
       |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** Streaming twin of [[sessionPathsOf]]'s per-session reduction:
+    * session_window aggregation with a watermark, emitting one
+    * (user, path) row per CLOSED session in append mode. The top-K
+    * path histogram is a second aggregation — in production it runs
+    * downstream of the sink this stream writes (the q117/q121 sketch
+    * twins' layering); `AnalyticsStreamSpec` pins stream ∘ close ≡
+    * batch on the same events. */
+  def sessionPathsStreaming(events: DataFrame, userCol: String,
+      typeCol: String, gap: String, maxSteps: Int,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(session_window(col("ts_utc"), gap), col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col(typeCol)))).as("evs"))
+      .select(col(userCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        concat_ws(">",
+          slice(transform(col("evs"), e => e.getField(typeCol)), 1, maxSteps))
+          .as("path"))
+
   /** GROUPING SETS (the explicit member of the group-by-extension
     * family next to rollup q18 / cube q40): revenue at (flag, status),
     * (flag) and grand-total granularities in ONE aggregation pass —

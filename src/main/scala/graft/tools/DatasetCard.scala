@@ -13,9 +13,12 @@ import graft.ops.{CurationOps, TextAnalysis}
   * since round 7 — the release-gate observability: PII exposure
   * (q87's audit), boilerplate span coverage (q89), the URL host
   * distribution (q92), verbatim-duplication exposure (q101), the
-  * most-overlapping source pairs (q125), and the lowest-entropy
-  * sources (q128). Every number comes from an oracle-gated operator,
-  * so the card is a certified artifact, not a best-effort summary.
+  * most-overlapping source pairs (q125), the lowest-entropy
+  * sources (q128), and — since round 8 — the memorization-risk
+  * headline (q143's repeated n-grams) and vocabulary health (q148
+  * growth + q149 Zipf slope). Every number comes from an oracle-gated
+  * operator, so the card is a certified artifact, not a best-effort
+  * summary.
   *
   * Usage: runMain graft.tools.DatasetCard [sfDir]
   */
@@ -81,6 +84,26 @@ object DatasetCard {
       .orderBy(col("entropy"), col("source"))
       .limit(topK)
 
+  /** Memorization-risk headline off the q143-certified repeated-ngram
+    * report: the most widely duplicated n-grams with their doc and
+    * source spread — the spans most likely to surface verbatim from a
+    * model trained on this corpus. */
+  def memorizationSummary(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, topK: Int = 5): DataFrame =
+    TextAnalysis.repeatedNgrams(docs, idCol, srcCol, textCol,
+      n = 8, minDocs = 2, topK = topK)
+
+  /** Vocabulary health off the q148/q149-certified corpus statistics:
+    * the growth curve's final checkpoint plus the Zipf slope — one row
+    * a reader checks against Heaps/Zipf expectations. */
+  def vocabHealthSummary(docs: DataFrame, textCol: String): DataFrame = {
+    val growth = graft.ops.Analytics.vocabGrowthOf(docs, "doc_id", textCol, 5)
+      .orderBy(col("chunk").desc).limit(1)
+      .select(col("tokens_cum"), col("vocab_cum"))
+    val slope = graft.ops.Analytics.zipfSlopeOf(docs, textCol, 1000)
+    growth.crossJoin(slope) // two 1-row frames
+  }
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -125,6 +148,8 @@ object DatasetCard {
       s""""substring_dup":${rowsJson(substringDupSummary(docs, "doc_id", "text"))},""" +
       s""""top_hosts":${rowsJson(hostSummary(docs, "doc_id", "text"))},""" +
       s""""top_source_overlap":${rowsJson(sourceOverlapSummary(docs))},""" +
-      s""""low_entropy_sources":${rowsJson(lowEntropySummary(docs))}}"""
+      s""""low_entropy_sources":${rowsJson(lowEntropySummary(docs))},""" +
+      s""""top_repeated_ngrams":${rowsJson(memorizationSummary(docs, "doc_id", "source", "text"))},""" +
+      s""""vocab_health":${rowsJson(vocabHealthSummary(docs, "text"))}}"""
   }
 }

@@ -86,4 +86,28 @@ class DatasetCardSpec extends SparkSpec {
     assert(top.head.getString(0) == "degenerate")
     assert(top.head.getDouble(3) == 0.0)
   }
+
+  test("memorizationSummary surfaces the planted cross-doc span") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span alpha beta", "s1"),
+      (2L, s"gamma $span", "s2"),
+      (3L, "totally different text with no repeats at all ok", "s3"))
+      .toDF("doc_id", "text", "source")
+    val top = graft.tools.DatasetCard
+      .memorizationSummary(docs, "doc_id", "source", "text").collect()
+    assert(top.head.getString(0) == span)
+    assert(top.head.getLong(1) == 2L && top.head.getLong(2) == 2L)
+  }
+
+  test("vocabHealthSummary reports final totals plus the Zipf slope") {
+    import spark.implicits._
+    val words = (1 to 4).flatMap(r => Seq.fill(12 / r)(s"w$r")) // 12,6,4,3
+    val docs = (1L to 5L).map(i => (i, words.mkString(" "))).toDF("doc_id", "text")
+    val r = graft.tools.DatasetCard.vocabHealthSummary(docs, "text").collect().head
+    assert(r.getAs[Long]("tokens_cum") == 125L) // 25 tokens x 5 docs
+    assert(r.getAs[Long]("vocab_cum") == 4L)
+    assert(r.getAs[Long]("slope_fx") < -800000L) // steep negative power law
+  }
 }
