@@ -663,7 +663,107 @@ object Analytics {
       |UNION ALL SELECT 'props', CAST(null_props AS BIGINT), CAST(dist_props AS BIGINT) FROM p
       |ORDER BY "column"""".stripMargin
 
+  /** TPC-H Q10-shaped returned-item report: customers ranked by
+    * revenue lost to returns in one quarter — the churn-risk list.
+    * lineitem filters on return flag BEFORE the join (pushed to the
+    * scan), the order window prunes orders-side, customer attributes
+    * broadcast in last; top-20 is a TakeOrderedAndProject. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .as("revenue_fx"), count(lit(1)).as("n_items"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("revenue_fx"), col("n_items"))
+      .orderBy(col("revenue_fx").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemsSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fx,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue_fx DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-shaped promo revenue share per month: what fraction of
+    * each month's lineitem revenue came from PROMO-type parts —
+    * conditional aggregation over one broadcast part join, share by
+    * exact integer division. */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+        .as("month"))
+      .agg(sum(rev).as("total_fx"),
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_fx"))
+      .withColumn("share_fx", expr("(promo_fx * 1000000) div total_fx"))
+      .orderBy(col("month"))
+  }
+
+  val promoShareSql: String =
+    """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_fx,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_fx,
+      |  CAST((sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) * 1000000)
+      |    // sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS share_fx
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Power-user curve (engagement-depth histogram): how many users
+    * were active on exactly-N distinct days — the DAU-quality
+    * companion to q130's rolling counts. The (user, day) distinct
+    * frame is ONE shuffle; everything after is user- then
+    * histogram-sized. */
+  def powerUserCurve(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+      .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("active_days"))
+
+  val powerUserCurveSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |ad AS (SELECT user_id, count(*) AS active_days FROM ud GROUP BY 1)
+      |SELECT active_days, count(*) AS n_users FROM ad
+      |GROUP BY 1 ORDER BY active_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_returned_items" -> returnedItems,
+    "q152_promo_share" -> promoShare,
+    "q153_power_users" -> powerUserCurve,
     "q145_grouping_sets" -> groupingSetsRevenue,
     "q147_market_share" -> marketShare,
     "q148_vocab_growth" -> vocabGrowth,
@@ -680,6 +780,9 @@ object Analytics {
     "q144_session_paths" -> sessionPaths)
 
   val oracles: Map[String, String] = Map(
+    "q151_returned_items" -> returnedItemsSql,
+    "q152_promo_share" -> promoShareSql,
+    "q153_power_users" -> powerUserCurveSql,
     "q145_grouping_sets" -> groupingSetsRevenueSql,
     "q147_market_share" -> marketShareSql,
     "q148_vocab_growth" -> vocabGrowthSql,

@@ -244,6 +244,35 @@ object MicroBench {
       time("bm25_serve_indexed")(
         TextAnalysis.serveBm25(spark, invDir, q, k = 20).count())
     }
+
+    locally {
+      // round-8 additions: MMR (distributed relevance + driver walk),
+      // LPA rounds, basket pair expansion, repeated-ngram report
+      val emb = Tables.load(spark, dir, "embeddings")
+      time("mmr_top5_pool20")(
+        graft.ops.Similarity.mmrTopK(emb, "vec_id", "embedding",
+          col("vec_id") === 0, poolK = 20, k = 5).count())
+      time("mmr_top10_pool100")(
+        graft.ops.Similarity.mmrTopK(emb, "vec_id", "embedding",
+          col("vec_id") === 0, poolK = 100, k = 10).count())
+      val c = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("u"))
+      val edges = c.select(col("u"), (col("u") % 97).as("v"))
+        .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
+        .filter(col("u") =!= col("v"))
+      time("lpa_3_rounds")(
+        graft.ops.FeedShapes.labelPropagation(edges, 3).count())
+      val items = Tables.load(spark, dir, "lineitem")
+        .join(Tables.load(spark, dir, "part")
+          .select(col("p_partkey"), col("p_brand")).hint("broadcast"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      time("basket_lift_pairs")(
+        graft.ops.Analytics.basketLiftOf(items, "okey", "brand", 5).count())
+      time("repeated_8grams")(
+        TextAnalysis.repeatedNgrams(docs, "doc_id", "source", "text",
+          8, 2, 30).count())
+    }
     spark.stop()
   }
 }
