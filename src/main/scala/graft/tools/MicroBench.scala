@@ -270,7 +270,7 @@ object MicroBench {
       time("basket_lift_pairs")(
         graft.ops.Analytics.basketLiftOf(items, "okey", "brand", 5).count())
       time("repeated_8grams")(
-        TextAnalysis.repeatedNgrams(docs, "doc_id", "source", "text",
+        graft.ops.TextAnalysis.repeatedNgrams(docs, "doc_id", "source", "text",
           8, 2, 30).count())
     }
     spark.stop()
