@@ -30,7 +30,8 @@ object SparkEntry {
     QueryModule(Temporal.queries, Temporal.oracles),
     QueryModule(BloomIndex.queries, BloomIndex.oracles),
     QueryModule(Lexical.queries, Lexical.oracles),
-    QueryModule(Analytics.queries, Analytics.oracles))
+    QueryModule(Analytics.queries, Analytics.oracles),
+    QueryModule(Evaluation.queries, Evaluation.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

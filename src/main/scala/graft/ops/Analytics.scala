@@ -760,7 +760,266 @@ object Analytics {
       |SELECT active_days, count(*) AS n_users FROM ad
       |GROUP BY 1 ORDER BY active_days""".stripMargin
 
+  /** TPC-H Q4-shaped order-priority checking: per priority, how many
+    * of one quarter's orders had at least one badly late line
+    * (shipped >60 days after the order date) — the fulfilment-SLA
+    * report. The EXISTS is a LEFT SEMI join on the order key; the
+    * quarter filter prunes the orders scan and, because the lateness
+    * predicate implies `l_shipdate > quarter_start + 60 days`, that
+    * bound is ALSO pushed to the lineitem scan as a plain pushdown
+    * filter — at 100 TB the semi join's build side is one quarter of
+    * orders and its probe side only the lineitems that could possibly
+    * qualify, not the whole table. */
+  def orderPriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val late = t(s, dir, "lineitem")
+      // conservative scan-level bound implied by the join predicate:
+      // every qualifying order has o_orderdate >= lo
+      .filter(col("l_shipdate") > lo + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(late, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderPriorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q11-shaped value concentration: the parts whose lifetime
+    * revenue exceeds 4/3 of the MEAN per-part share — the "important stock"
+    * screen. ONE lineitem shuffle keyed on the part (map-side partial
+    * sums first), then the global total is a 1-row broadcast and the
+    * HAVING is the exact integer cross-multiplication
+    * `part_fx * n_parts * 3 > total_fx * 4` — no division, no float threshold,
+    * so the cut is reproducible at any scale. */
+  def valueConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice")) *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    val perPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(sum(rev).as("value_fx"))
+    val total = perPart.agg(sum(col("value_fx")).as("total_fx"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_fx") * col("n_parts") * 3 > col("total_fx") * 4)
+      .select(col("l_partkey"), col("value_fx"))
+      .orderBy(col("value_fx").desc, col("l_partkey"))
+  }
+
+  val valueConcentrationSql: String =
+    """WITH pp AS (SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS value_fx
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey, value_fx FROM pp
+      |WHERE value_fx * (SELECT count(*) FROM pp) * 3 > (SELECT sum(value_fx) FROM pp) * 4
+      |ORDER BY value_fx DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed exactly-N open orders, INCLUDING the
+    * zero-order customers the inner-join family silently drops — the
+    * left-outer twin of q153's power-user curve. The status filter
+    * sits on the orders side of the LEFT join (so it can't fabricate
+    * rows); one shuffle keyed on the customer, then the distribution
+    * aggregate is count-bounded. */
+  def custOrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val custOrderDistributionSql: String =
+    """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus = 'O'
+      |  GROUP BY 1)
+      |SELECT c_count, count(*) AS custdist FROM co
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q22-shaped dormant high-balance accounts: per market
+    * segment, the count and total balance of customers richer than
+    * the positive-balance average who placed NO order since 2000 — the reactivation-campaign list. The average threshold
+    * is applied by exact cross-multiplication against a 1-row
+    * broadcast (`bal_cents * n_pos > sum_pos_cents` — no division,
+    * no float compare), and the dormancy test is a LEFT ANTI join
+    * against the date-pruned orders scan. */
+  def dormantAccounts(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val posStats = cust.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("sum_pos"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(posStats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val dormantAccountsSql: String =
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+      |p AS (SELECT count(*) AS n_pos, sum(bal_cents) AS sum_pos
+      |  FROM c WHERE bal_cents > 0)
+      |SELECT c_mktsegment, count(*) AS n_custs,
+      |  CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+      |FROM c, p
+      |WHERE bal_cents * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume orders: the orders whose total
+    * line quantity exceeds 250 units, with their customer — the
+    * bulk-buyer screen. ONE lineitem shuffle keyed on the order
+    * (map-side partial sums), the HAVING cut applied BEFORE any join
+    * (so only qualifying order keys move), customers broadcast, and
+    * the top-100 a TakeOrderedAndProject. Quantity is integral in
+    * the data — summed as exact BIGINT units. */
+  def largeVolumeOrders(s: SparkSession, dir: String): DataFrame = {
+    val oq = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    t(s, dir, "orders")
+      .join(oq, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        cents(col("o_totalprice")).as("totalprice_cents"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val largeVolumeOrdersSql: String =
+    """WITH oq AS (SELECT l_orderkey,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING total_qty > 250)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents, total_qty
+      |FROM oq JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q17-shaped small-quantity revenue per brand: revenue from
+    * lines ordering less than 20% of their part's average quantity —
+    * the "lost bulk discount" report. The per-part (Σqty, n) stats
+    * frame is part-bounded and BROADCASTS back onto the lineitem
+    * scan; the 20%-of-average cut is the exact cross-multiplication
+    * `qty·5·n < Σqty` (no division, no float average). Two lineitem
+    * scans are inherent to the self-statistic (scan once for stats,
+    * once for the probe); at 100 TB the stats side is a pure
+    * map-side-combined aggregate. */
+  def smallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val qty = round(col("l_quantity")).cast("long")
+    val ps = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_lines_part"))
+    t(s, dir, "lineitem")
+      .join(broadcast(ps), col("l_partkey") === col("ps_partkey"))
+      .filter(qty * 5 * col("n_lines_part") < col("sum_qty"))
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_fx"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val smallQuantityRevenueSql: String =
+    """WITH ps AS (SELECT l_partkey AS pk,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    count(*) AS n_lines_part
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fx,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN ps ON l_partkey = pk
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE CAST(round(l_quantity) AS BIGINT) * 5 * n_lines_part < sum_qty
+      |GROUP BY 1 ORDER BY p_brand""".stripMargin
+
+  /** Audience-overlap matrix: for every event-type pair, how many
+    * distinct users did both, with the exact Jaccard of the two
+    * audiences — the co-engagement report. Same scale contract as
+    * basket lift: ONE corpus shuffle builds each user's sorted
+    * distinct type set, pairs explode MAP-SIDE (bounded by types²
+    * per user, never corpus²), and the per-type audience totals
+    * broadcast into the final exact-integer Jaccard. */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sets = graft.PlanCapture.checkpoint(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("ts")),
+      "audience-sets")
+    val totals = sets.select(explode(col("ts")).as("et"))
+      .groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val pairs = sets
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)), " +
+          "y -> struct(x AS type_a, y AS type_b))))")).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select(col("et").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(totals.select(col("et").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        expr("(n_both * 1000000) div (n_a + n_b - n_both)").as("jaccard_fx"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val audienceOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |t AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b,
+      |  CAST((n_both * 1000000) // (ta.n + tb.n - n_both) AS BIGINT) AS jaccard_fx
+      |FROM p JOIN t ta ON ta.event_type = type_a
+      |JOIN t tb ON tb.event_type = type_b
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_large_volume" -> largeVolumeOrders,
+    "q164_small_qty_revenue" -> smallQuantityRevenue,
+    "q166_audience_overlap" -> audienceOverlap,
+    "q154_order_priority" -> orderPriorityCheck,
+    "q155_value_concentration" -> valueConcentration,
+    "q156_cust_order_dist" -> custOrderDistribution,
+    "q157_dormant_accounts" -> dormantAccounts,
     "q151_returned_items" -> returnedItems,
     "q152_promo_share" -> promoShare,
     "q153_power_users" -> powerUserCurve,
@@ -780,6 +1039,13 @@ object Analytics {
     "q144_session_paths" -> sessionPaths)
 
   val oracles: Map[String, String] = Map(
+    "q163_large_volume" -> largeVolumeOrdersSql,
+    "q164_small_qty_revenue" -> smallQuantityRevenueSql,
+    "q166_audience_overlap" -> audienceOverlapSql,
+    "q154_order_priority" -> orderPriorityCheckSql,
+    "q155_value_concentration" -> valueConcentrationSql,
+    "q156_cust_order_dist" -> custOrderDistributionSql,
+    "q157_dormant_accounts" -> dormantAccountsSql,
     "q151_returned_items" -> returnedItemsSql,
     "q152_promo_share" -> promoShareSql,
     "q153_power_users" -> powerUserCurveSql,

@@ -475,7 +475,82 @@ object FeedShapes {
        |SELECT u, lab FROM l3 ORDER BY u""".stripMargin
   }
 
+  /** k-core decomposition by synchronous peeling (Seidman 1983;
+    * Batagelj–Zaveršnik gives the sequential version — the
+    * round-synchronous peel here is the standard distributed
+    * adaptation): each round drops every node whose degree in the
+    * current induced subgraph is < k, truncated at `rounds` rounds
+    * (peeling converges in O(peel-depth) rounds; the spec pins
+    * convergence on a known graph). Scale shape mirrors q146's LPA
+    * contract: the undirected adjacency is built ONCE, checkpointed
+    * u-partitioned; each round is one semi-join against the
+    * node-bounded alive set (broadcast) + one count — nothing
+    * edge-sized shuffles after the initial build. Returns the
+    * surviving nodes with their degree in the final induced
+    * subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = graft.PlanCapture.checkpoint(
+      edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .repartition(col("u")),
+      "kcore-adjacency").persist()
+    try {
+      def induceDeg(alive: DataFrame): DataFrame = und
+        .join(broadcast(alive), Seq("u"), "left_semi")
+        .join(broadcast(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      var alive = graft.PlanCapture.checkpoint(
+        und.select(col("u")).distinct(), "kcore-nodes")
+      for (_ <- 1 to rounds) {
+        alive = graft.PlanCapture.checkpoint(
+          induceDeg(alive).filter(col("deg") >= k).select(col("u")),
+          "kcore-alive")
+      }
+      induceDeg(alive)
+    } finally { und.unpersist(blocking = false) }
+  }
+
+  /** q158 — 3-core ORACLE GATE over a deterministic customer graph
+    * with mixed degrees (every node has 2 base edges, every third
+    * node a long-range extra, hub moduli 211/431 — so the peel
+    * actually cascades: degree-2 leaves fall first, hub degrees then
+    * decay round by round). DuckDB unrolls the identical 4 rounds, so
+    * the hash certifies every removal decision. */
+  def followKCore(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("u"))
+    val edges = c.select(col("u"), (col("u") % 211).as("v"))
+      .unionByName(c.select(col("u"), ((col("u") * 7 + 3) % 211).as("v")))
+      .unionByName(c.filter(col("u") % 3 === 0)
+        .select(col("u"), ((col("u") * 13 + 5) % 431).as("v")))
+      .filter(col("u") =!= col("v"))
+    kCore(edges, k = 3, rounds = 4).orderBy(col("u"))
+  }
+
+  val followKCoreSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = s"a${i - 1}"
+      s"""d$i AS (SELECT e.u AS u, count(*) AS deg FROM adj e
+         |  JOIN $prev x ON x.u = e.u JOIN $prev y ON y.u = e.v GROUP BY e.u),
+         |a$i AS (SELECT u FROM d$i WHERE deg >= 3),""".stripMargin
+    }.mkString("\n")
+    s"""WITH c AS (SELECT c_custkey AS u FROM customer),
+       |raw AS (SELECT u, u % 211 AS v FROM c
+       |  UNION ALL SELECT u, (u * 7 + 3) % 211 FROM c
+       |  UNION ALL SELECT u, (u * 13 + 5) % 431 FROM c WHERE u % 3 = 0),
+       |adj AS (SELECT DISTINCT u, v FROM (
+       |  SELECT u, v FROM raw WHERE u <> v
+       |  UNION ALL SELECT v, u FROM raw WHERE u <> v)),
+       |a0 AS (SELECT DISTINCT u FROM adj),
+       |$rounds
+       |sel AS (SELECT 1)
+       |SELECT e.u AS u, count(*) AS deg FROM adj e
+       |JOIN a4 x ON x.u = e.u JOIN a4 y ON y.u = e.v
+       |GROUP BY e.u ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_kcore" -> followKCore,
     "q146_label_propagation" -> followCommunities,
     "q126_hot_users" -> hotUsers,
     "q46_two_hop" -> twoHop,
@@ -487,6 +562,7 @@ object FeedShapes {
     "q24_validation_split" -> validationSplit)
 
   def oracles: Map[String, String] = Map(
+    "q158_kcore" -> followKCoreSql,
     "q146_label_propagation" -> followCommunitiesSql,
     "q126_hot_users" -> hotUsersSql,
     "q46_two_hop" -> twoHopSql,

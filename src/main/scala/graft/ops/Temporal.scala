@@ -375,7 +375,182 @@ object Temporal {
       |FROM e WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY attributed_type""".stripMargin
 
+  /** q161 — classical additive seasonal decomposition of daily order
+    * revenue: trend = centered 7-day moving average (RANGE window over
+    * the integer day, emitted only when all 7 calendar days exist, so
+    * missing days can't silently shrink the mean), day-of-week
+    * seasonal = mean detrended value per dow, residual = value −
+    * trend − seasonal. All terms are exact integer cents with one
+    * truncating division each (Spark `div` ≡ DuckDB `//` — both
+    * truncate toward zero, verified). Scale: the only corpus-sized
+    * work is the orders scan + day aggregation; everything after is
+    * day-grain (≤ a few thousand rows/decade), checkpointed once and
+    * re-used by the window, the dow aggregate, and the final join. */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    seasonalOf(Tables.load(s, dir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_fx")))
+
+  /** Generic core over any (day BIGINT, rev_fx BIGINT) daily frame. */
+  def seasonalOf(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("day")).rangeBetween(-3, 3)
+    val tr = graft.PlanCapture.checkpoint(
+      daily
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend_fx",
+          when(col("n_win") === 7, expr("sum(rev_fx) OVER (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+        .select(col("day"), col("rev_fx"), col("trend_fx")),
+      "seasonal-trend")
+    val dow = tr.filter(col("trend_fx").isNotNull)
+      .groupBy((col("day") % 7).as("dow"))
+      .agg(expr("sum(rev_fx - trend_fx) div count(1)").as("seasonal_fx"))
+    tr.join(broadcast(dow), col("day") % 7 === col("dow"))
+      .select(col("day"), col("rev_fx"), col("trend_fx"), col("seasonal_fx"),
+        (col("rev_fx") - col("trend_fx") - col("seasonal_fx")).as("resid_fx"))
+      .orderBy(col("day"))
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_fx
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT day, rev_fx,
+      |    count(*) OVER win AS n_win, sum(rev_fx) OVER win AS s_win
+      |  FROM d WINDOW win AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |t2 AS (SELECT day, CAST(rev_fx AS BIGINT) AS rev_fx,
+      |    CASE WHEN n_win = 7 THEN CAST(s_win // 7 AS BIGINT) END AS trend_fx FROM t),
+      |se AS (SELECT day % 7 AS dow,
+      |    CAST(sum(rev_fx - trend_fx) // count(*) AS BIGINT) AS seasonal_fx
+      |  FROM t2 WHERE trend_fx IS NOT NULL GROUP BY 1)
+      |SELECT day, rev_fx, trend_fx, seasonal_fx,
+      |  rev_fx - trend_fx - seasonal_fx AS resid_fx
+      |FROM t2 JOIN se ON day % 7 = dow
+      |ORDER BY day""".stripMargin
+
+  /** q162 — truncated exponentially-weighted moving average of daily
+    * per-user activity (α = 1/4 over the user's 8 most recent OBSERVED
+    * days — gap-insensitive by contract, like every lag-based EWMA on
+    * sparse activity data). The geometric weights are exact rationals
+    * over the common denominator 4⁸: w_i = 3^i·4^(7−i), so the whole
+    * statistic is one BIGINT dot product and one truncating division
+    * — no float powers anywhere. One shuffle builds the (user, day)
+    * count frame; the 8-lag window rides the same user partitioning;
+    * the final screen is a TakeOrderedAndProject top-50. */
+  def ewmaActivity(s: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt")))
+      .orderBy(col("ewma_fx").desc, col("user_id"))
+      .limit(50)
+
+  /** Generic core over any (user_id, day, cnt) frame: each user's
+    * final-day truncated-EWMA row. */
+  def ewmaOf(ud: DataFrame): DataFrame = {
+    val weights = (0 to 7).map(i =>
+      math.pow(3, i).toLong * math.pow(4, 7 - i).toLong)
+    val uw = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val dot = (0 to 7).map(i =>
+      lag(col("cnt"), i, 0L).over(uw) * lit(weights(i))).reduce(_ + _)
+    ud.withColumn("wsum", dot)
+      .withColumn("ewma_fx", expr("(wsum * 1000000) div 65536"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day").desc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("day"), col("ewma_fx"))
+  }
+
+  val ewmaActivitySql: String = {
+    val weights = (0 to 7).map(i =>
+      math.pow(3, i).toLong * math.pow(4, 7 - i).toLong)
+    val dot = (0 to 7).map(i =>
+      s"lag(cnt, $i, 0) OVER (PARTITION BY user_id ORDER BY day) * ${weights(i)}")
+      .mkString(" + ")
+    s"""WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    count(*) AS cnt FROM events GROUP BY 1, 2),
+       |w AS (SELECT user_id, day, $dot AS wsum FROM ud),
+       |f AS (SELECT user_id, day,
+       |    CAST((wsum * 1000000) // 65536 AS BIGINT) AS ewma_fx,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rk
+       |  FROM w)
+       |SELECT user_id, day, ewma_fx FROM f WHERE rk = 1
+       |ORDER BY ewma_fx DESC, user_id LIMIT 50""".stripMargin
+  }
+
+  /** Streaming twin of [[ewmaOf]] (ST9): per-user truncated EWMA
+    * maintained across micro-batches with flatMapGroupsWithState.
+    * State = the per-day counts of the user's 8 newest OBSERVED days
+    * (same-day arrivals across batches merge into one count, so any
+    * batch split of an in-order stream converges to the batch
+    * result — spec-pinned). Emits the user's current
+    * (final day, ewma_fx) on every update; same exact rational
+    * weights 3^i·4^(7−i)/4^8 as batch. */
+  def ewmaStreaming(events: DataFrame, userCol: String, dayCol: String)
+      : org.apache.spark.sql.Dataset[EwmaRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val weights = (0 to 7).map(i =>
+      math.pow(3, i).toLong * math.pow(4, 7 - i).toLong)
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col(userCol).cast("long").as("u"), col(dayCol).cast("long").as("d"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[(Long, Long)], st: GroupState[EwmaState]) =>
+          val prev: Map[Long, Long] = st.getOption
+            .map(s0 => s0.days.zip(s0.cnts).toMap).getOrElse(Map.empty)
+          val merged = it.foldLeft(prev) { case (m, (_, d)) =>
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val kept = merged.toSeq.sortBy(-_._1).take(8) // newest first
+          st.update(EwmaState(kept.map(_._1), kept.map(_._2)))
+          val wsum = kept.zipWithIndex.map { case ((_, c), i) => c * weights(i) }.sum
+          Iterator.single(EwmaRow(u, kept.head._1, wsum * 1000000L / 65536L))
+      }
+  }
+
+  /** q165 — inter-arrival gap percentiles: per event type, the exact
+    * interpolated p50/p90 of the time between a user's consecutive
+    * events of that type — the engagement-cadence statistic behind
+    * notification tuning and churn models. One (user, type) window
+    * shuffle computes the lag diffs; successive differences of a
+    * sorted multiset are tie-order invariant, so ORDER BY ts alone is
+    * deterministic. Gaps are exact integer micros; `percentile` is
+    * Spark's exact interpolating aggregate ≡ DuckDB quantile_cont
+    * (the q13 recipe, rounded to 6dp on both sides). */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_us", expr("(ts - prev) div 1000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)"), 6).as("p50_us"),
+        round(expr("percentile(gap_us, 0.9)"), 6).as("p90_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val interArrivalSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us)
+      |      AS gap_us
+      |  FROM e)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+      |  round(quantile_cont(gap_us, 0.9), 6) AS p90_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_inter_arrival" -> interArrival,
+    "q161_seasonal_decompose" -> seasonalDecompose,
+    "q162_ewma_activity" -> ewmaActivity,
     "q132_last_touch" -> attribution,
     "q129_activity_streaks" -> streaks,
     "q130_active_users" -> activeUsers,
@@ -387,6 +562,9 @@ object Temporal {
     "q115_funnel" -> funnel)
 
   def oracles: Map[String, String] = Map(
+    "q165_inter_arrival" -> interArrivalSql,
+    "q161_seasonal_decompose" -> seasonalDecomposeSql,
+    "q162_ewma_activity" -> ewmaActivitySql,
     "q132_last_touch" -> attributionSql,
     "q129_activity_streaks" -> streaksSql,
     "q130_active_users" -> activeUsersSql,
@@ -397,3 +575,10 @@ object Temporal {
     "q114_retention_cohorts" -> retentionSql,
     "q115_funnel" -> funnelSql)
 }
+
+/** Emitted row of [[Temporal.ewmaStreaming]]. */
+final case class EwmaRow(user_id: Long, day: Long, ewma_fx: Long)
+
+/** State of [[Temporal.ewmaStreaming]]: per-day counts of the 8
+  * newest observed days, parallel sequences (encoder-friendly). */
+final case class EwmaState(days: Seq[Long], cnts: Seq[Long])

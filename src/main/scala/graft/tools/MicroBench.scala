@@ -273,6 +273,28 @@ object MicroBench {
         graft.ops.TextAnalysis.repeatedNgrams(docs, "doc_id", "source", "text",
           8, 2, 30).count())
     }
+
+    locally {
+      // round-8b additions: k-core peel rounds, evaluation metrics,
+      // day-grain time-series paths
+      val c = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("u"))
+      val edges = c.select(col("u"), (col("u") % 211).as("v"))
+        .unionByName(c.select(col("u"), ((col("u") * 7 + 3) % 211).as("v")))
+        .unionByName(c.filter(col("u") % 3 === 0)
+          .select(col("u"), ((col("u") * 13 + 5) % 431).as("v")))
+        .filter(col("u") =!= col("v"))
+      time("kcore_4_rounds")(
+        graft.ops.FeedShapes.kCore(edges, 3, 4).count())
+      time("auc_exact")(
+        graft.ops.Evaluation.scoreAuc(spark, dir).count())
+      time("calibration_bins")(
+        graft.ops.Evaluation.calibrationBins(spark, dir).count())
+      time("seasonal_decompose")(
+        graft.ops.Temporal.seasonalDecompose(spark, dir).count())
+      time("ewma_activity")(
+        graft.ops.Temporal.ewmaActivity(spark, dir).count())
+    }
     spark.stop()
   }
 }

@@ -130,6 +130,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(Set(got(7L), got(8L)) == Set(7L, 8L))
   }
 
+  test("kCore: K4 survives 3-core peeling, pendant chain and triangle dissolve") {
+    // K4 on {1,2,3,4} + chain 4-5-6 + triangle {7,8,9}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("u", "v")
+    val got = FeedShapes.kCore(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1 drops 6 (deg 1), 5 (deg 2) and the whole triangle
+    // (deg 2 each); the K4 then induces degree exactly 3 and is stable
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k=2 keeps every cycle, drops only the pendant path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = FeedShapes.kCore(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("vocabGrowthOf: cumulative volume and vocabulary per chunk") {
     // 4 docs -> 2 chunks of 2; chunk1 vocab {a,b,c}, chunk2 adds {d}
     val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a d"), (4L, "d d d"))

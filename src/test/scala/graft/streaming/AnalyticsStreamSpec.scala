@@ -8,6 +8,8 @@ import org.apache.spark.sql.streaming.OutputMode
 case class AnalyticsStreamEv(event_id: Long, ts: Long, user_id: Long,
     event_type: String)
 
+case class EwmaEv(user_id: Long, day: Long)
+
 /** Streaming twins for the round-8 analytics family. */
 class AnalyticsStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -49,6 +51,37 @@ class AnalyticsStreamSpec extends SparkSpec {
       // the downstream histogram over closed sessions matches batch
       val hist = streamed.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
       assert(hist == batch)
+    } finally q.stop()
+  }
+
+  test("ewmaStreaming: stateful per-user EWMA converges to batch across any split") {
+    import graft.ops.Temporal
+    // user 1: days 1,2,3 with counts 1,2,4 (day 3 split across batches)
+    // user 2: single day
+    val batch1 = Seq(EwmaEv(1, 1), EwmaEv(1, 2), EwmaEv(1, 2), EwmaEv(1, 3))
+    val batch2 = Seq(EwmaEv(1, 3), EwmaEv(1, 3), EwmaEv(1, 3), EwmaEv(2, 7))
+    val in = memStream[EwmaEv]
+    val q = Temporal.ewmaStreaming(in.toDF(), "user_id", "day")
+      .writeStream.format("memory").queryName("stream_ewma")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      // keep only each user's LAST update (memory sink appends updates)
+      val streamed = spark.table("stream_ewma")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("day"), col("ewma_fx"))).as("s"))
+        .select(col("user_id"), col("s.day"), col("s.ewma_fx"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val ud = (batch1 ++ batch2).toDF()
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+      val batch = Temporal.ewmaOf(ud)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed == batch)
+      // hand value: user 1 wsum = 4*16384 + 2*12288 + 1*9216 = 99328
+      assert(streamed(1L) == ((3L, 1515625L)))
     } finally q.stop()
   }
 
