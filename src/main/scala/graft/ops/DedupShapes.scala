@@ -455,7 +455,93 @@ object DedupShapes {
        |WHERE hamming(h_a, h_b) <= 1 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q167 — SimHash estimator CALIBRATION: for every banded candidate
+    * pair (any of the 4 8-bit bands agreeing, the q44 candidate
+    * space), bucket by exact Hamming distance and report the count
+    * and the min/avg/max EXACT token Jaccard per bucket — the audit
+    * that tells you what "hamming ≤ k" actually means in similarity
+    * terms on YOUR corpus before you pick a near-dup threshold.
+    * Per-pair Jaccard is exact-integer 1e-6 fixed point, the bucket
+    * mean one truncating division — hash-stable. Scale contract:
+    * single-band 8-bit keys make bucket population ~N/256 — this is
+    * an AUDIT op meant for a bounded sample (as here); the
+    * production near-dup path with capped buckets is q44/q55's. */
+  def simhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sh = Dedup.simhashBits(d, "doc_id", "text", 32)
+      .withColumn("hl", conv(col("simhash"), 2, 10).cast("long"))
+    val bands = sh.select(col("id"), col("hl"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("b"),
+        substring(col("simhash"), b * 8 + 1, 8).as("key"))): _*)).as("c"))
+      .select(col("id"), col("hl"), col("c.b").as("b"), col("c.key").as("key"))
+    // bucket-local pair expansion (the q44 shape, WITHOUT the distance
+    // filter — calibration wants the full candidate distance spectrum)
+    val cand = bands.groupBy(col("b"), col("key"))
+      .agg(sort_array(collect_list(struct(col("id"), col("hl")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+             transform(slice(ms, i + 2, size(ms) - i - 1),
+               y -> struct(x.id AS id_a, y.id AS id_b,
+                           bit_count(x.hl ^ y.hl) AS hamming))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .distinct()
+    val toksets = graft.PlanCapture.checkpoint(
+      d.select(col("doc_id").as("id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_set(col("tok"))).as("ts")),
+      "calib-toksets")
+    cand
+      .join(toksets.select(col("id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(toksets.select(col("id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .withColumn("ni", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("jacc_fx", expr(
+        "(ni * 1000000) div (size(ts_a) + size(ts_b) - ni)"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jacc_fx) div count(1)").as("avg_jaccard_fx"),
+        min(col("jacc_fx")).as("min_jaccard_fx"),
+        max(col("jacc_fx")).as("max_jaccard_fx"))
+      .orderBy(col("hamming"))
+  }
+
+  val simhashCalibrationSql: String = {
+    val highDigits = "('8','9','a','b','c','d','e','f')"
+    val votes = (0 until 32).map(j =>
+      s"sum(CASE WHEN substr(th, ${j + 1}, 1) IN $highDigits THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+    val bits = (0 until 32).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH t AS (SELECT doc_id AS id,
+       |    md5(unnest(string_split_regex(trim(text), '${"\\s+"}'))) AS th
+       |  FROM documents),
+       |v AS (SELECT id, $votes FROM t GROUP BY id),
+       |sh AS (SELECT id, $bits AS simhash FROM v),
+       |band AS (SELECT id, simhash, b, substr(simhash, b * 8 + 1, 8) AS key
+       |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(hamming(a.simhash, b.simhash) AS BIGINT) AS hamming
+       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+       |tk AS (SELECT DISTINCT doc_id AS id,
+       |    unnest(string_split_regex(trim(text), '${"\\s+"}')) AS tok
+       |  FROM documents),
+       |sz AS (SELECT id, count(*) AS nt FROM tk GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+       |  FROM cand c JOIN tk ta ON ta.id = c.id_a
+       |  JOIN tk tb ON tb.id = c.id_b AND tb.tok = ta.tok GROUP BY 1, 2),
+       |j AS (SELECT c.hamming,
+       |    (coalesce(i.ni, 0) * 1000000) // (sa.nt + sb.nt - coalesce(i.ni, 0))
+       |      AS jacc_fx
+       |  FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN sz sa ON sa.id = c.id_a JOIN sz sb ON sb.id = c.id_b)
+       |SELECT hamming, count(*) AS n_pairs,
+       |  CAST(sum(jacc_fx) // count(*) AS BIGINT) AS avg_jaccard_fx,
+       |  CAST(min(jacc_fx) AS BIGINT) AS min_jaccard_fx,
+       |  CAST(max(jacc_fx) AS BIGINT) AS max_jaccard_fx
+       |FROM j GROUP BY 1 ORDER BY hamming""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_simhash_calibration" -> simhashCalibration,
     "q30_jaccard_pairs" -> jaccardPairs,
     "q122_prefix_jaccard" -> prefixJaccard,
     "q31_minhash_lsh" -> minhashLsh,
@@ -471,6 +557,7 @@ object DedupShapes {
     "q83_split_leakage" -> splitLeakage)
 
   def oracles: Map[String, String] = Map(
+    "q167_simhash_calibration" -> simhashCalibrationSql,
     "q30_jaccard_pairs" -> jaccardPairsSql,
     "q122_prefix_jaccard" -> jaccardPairsSql,
     "q31_minhash_lsh" -> minhashLshSql,
