@@ -1012,7 +1012,174 @@ object Analytics {
       |JOIN t tb ON tb.event_type = type_b
       |ORDER BY 1, 2""".stripMargin
 
+  /** RFM customer segmentation: quintile scores for Recency (last
+    * order date), Frequency (order count) and Monetary (lifetime
+    * cents), concatenated into the classic 111–555 segment grid, with
+    * per-segment population and value — the marketing-analytics
+    * workhorse. ntile windows are made deterministic by the custkey
+    * tiebreak. Scale: the scored frame is customer-bounded (orders
+    * aggregate first — the only corpus-sized shuffle); the three
+    * global ntile sorts run on that bounded frame. At true 100 TB
+    * customer counts the global ntile becomes a range-partitioned
+    * sort — still one exchange of the bounded frame. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("o_totalprice"))).as("monetary_cents"))
+    val r = ntile(5).over(Window.orderBy(col("last_order"), col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
+    val m = ntile(5).over(Window.orderBy(col("monetary_cents"), col("o_custkey")))
+    cust
+      .withColumn("segment", concat(r.cast("string"), f.cast("string"),
+        m.cast("string")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("monetary_cents")).as("total_monetary_cents"))
+      .orderBy(col("segment"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |sc AS (SELECT monetary_cents,
+      |    ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+      |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+      |    ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m
+      |  FROM c)
+      |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+      |    AS segment,
+      |  count(*) AS n_custs,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS total_monetary_cents
+      |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** Pareto concentration: per market segment, how many of its
+    * customers cover 80% of its revenue — the "how top-heavy is this
+    * business" number. One orders shuffle to the customer grain, a
+    * per-segment descending cumulative window on the customer-bounded
+    * frame, and the 80% line applied as the exact integer inequality
+    * `cum_before·5 < total·4` (a customer counts while the revenue
+    * BEFORE them is under 80%). */
+  def paretoConcentration(s: SparkSession, dir: String): DataFrame = {
+    val cr = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+    cr
+      .withColumn("cum_before", coalesce(sum(col("rev_cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("rev_cents")).over(
+        Window.partitionBy(col("c_mktsegment"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(when(col("cum_before") * 5 < col("total") * 4, 1L).otherwise(0L))
+          .as("n_top80"))
+      .withColumn("top80_share_fx", expr("(n_top80 * 1000000) div n_custs"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val paretoConcentrationSql: String =
+    """WITH cr AS (SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |j AS (SELECT c_mktsegment, c_custkey, rev_cents
+      |  FROM cr JOIN customer ON c_custkey = o_custkey),
+      |wnd AS (SELECT c_mktsegment, rev_cents,
+      |    coalesce(sum(rev_cents) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY rev_cents DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |    sum(rev_cents) OVER (PARTITION BY c_mktsegment) AS total
+      |  FROM j)
+      |SELECT c_mktsegment, count(*) AS n_custs,
+      |  CAST(sum(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_top80,
+      |  CAST((sum(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END)
+      |    * 1000000) // count(*) AS BIGINT) AS top80_share_fx
+      |FROM wnd GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Benford first-digit screen on order totals: observed leading-
+    * digit shares vs Benford's law log10(1+1/d) — the classic
+    * anomaly/fabrication screen over financial facts. The expected
+    * shares are PINNED integer constants (1e-6 fixed point) so no
+    * engine's log10 ulp can flip a rounding; observed shares are
+    * exact integer division. One aggregation pass. */
+  def benfordScreen(s: SparkSession, dir: String): DataFrame = {
+    // round(log10(1 + 1/d) * 1e6) for d = 1..9, hardcoded identically
+    // in the oracle
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val byDigit = t(s, dir, "orders")
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val total = byDigit.agg(sum(col("n_orders")).as("total"))
+    byDigit.crossJoin(broadcast(total))
+      .withColumn("obs_share_fx", expr("(n_orders * 1000000) div total"))
+      .withColumn("benford_fx",
+        element_at(array(benford.map(lit): _*), col("digit")))
+      .withColumn("abs_dev_fx", abs(col("obs_share_fx") - col("benford_fx")))
+      .select(col("digit"), col("n_orders"), col("obs_share_fx"),
+        col("benford_fx"), col("abs_dev_fx"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordScreenSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+      |t AS (SELECT sum(n_orders) AS total FROM g),
+      |e AS (SELECT digit, n_orders,
+      |    CAST((n_orders * 1000000) // total AS BIGINT) AS obs_share_fx,
+      |    ([301030, 176091, 124939, 96910, 79181,
+      |      66947, 57992, 51153, 45757])[digit] AS benford_fx
+      |  FROM g, t)
+      |SELECT digit, n_orders, obs_share_fx,
+      |  CAST(benford_fx AS BIGINT) AS benford_fx,
+      |  CAST(abs(obs_share_fx - benford_fx) AS BIGINT) AS abs_dev_fx
+      |FROM e ORDER BY digit""".stripMargin
+
+  /** Lexical novelty (hapax legomena) per source: the share of a
+    * source's vocabulary that occurs exactly once — low hapax share
+    * flags templated/machine-generated text (pairs with the Zipf
+    * slope q149 and repetition q65 screens). ONE (source, token)
+    * shuffle; everything after is vocabulary-bounded. */
+  def hapaxRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_share_fx", expr("(n_hapax * 1000000) div n_distinct"))
+      .orderBy(col("source"))
+
+  val hapaxRatioSql: String =
+    """WITH tk AS (SELECT source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |g AS (SELECT source, tok, count(*) AS n FROM tk GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_distinct,
+      |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+      |    AS BIGINT) AS hapax_share_fx
+      |FROM g GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_rfm_segments" -> rfmSegments,
+    "q169_pareto_concentration" -> paretoConcentration,
+    "q170_benford_screen" -> benfordScreen,
+    "q171_hapax_ratio" -> hapaxRatio,
     "q163_large_volume" -> largeVolumeOrders,
     "q164_small_qty_revenue" -> smallQuantityRevenue,
     "q166_audience_overlap" -> audienceOverlap,
@@ -1039,6 +1206,10 @@ object Analytics {
     "q144_session_paths" -> sessionPaths)
 
   val oracles: Map[String, String] = Map(
+    "q168_rfm_segments" -> rfmSegmentsSql,
+    "q169_pareto_concentration" -> paretoConcentrationSql,
+    "q170_benford_screen" -> benfordScreenSql,
+    "q171_hapax_ratio" -> hapaxRatioSql,
     "q163_large_volume" -> largeVolumeOrdersSql,
     "q164_small_qty_revenue" -> smallQuantityRevenueSql,
     "q166_audience_overlap" -> audienceOverlapSql,
