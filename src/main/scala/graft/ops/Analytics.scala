@@ -1175,7 +1175,196 @@ object Analytics {
       |    AS BIGINT) AS hapax_share_fx
       |FROM g GROUP BY 1 ORDER BY source""".stripMargin
 
+  private def revFx: Column = cents(col("l_extendedprice")) *
+    (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  /** TPC-H Q7-shaped volume shipping: revenue between one nation PAIR
+    * (both directions) by supplier nation, customer nation and ship
+    * year. The pair predicate `(s=A∧c=B)∨(s=B∧c=A)` lives on the
+    * joined row; both nation-key maps broadcast; the only big
+    * exchange is orders⋈lineitem. Customer/supplier sides are
+    * pre-filtered to the two nations BEFORE joining (the OR can't be
+    * pushed whole, but its per-side projection `nation ∈ {A,B}`
+    * can — that cut IS pushed). */
+  def volumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val two = Seq("NATION_3", "NATION_7")
+    val nat = t(s, dir, "nation").filter(col("n_name").isin(two: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revFx).as("revenue_fx"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val volumeShippingSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(date_part('year', l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fx
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation cn ON cn.n_nationkey = c_nationkey
+      |JOIN nation sn ON sn.n_nationkey = s_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+      |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q19-shaped disjunctive discounted revenue: OR-of-ANDs over
+    * (brand, size band, quantity band) — the predicate-pushdown /
+    * CNF-conversion stress shape. The common bounds (size ≥ 1,
+    * quantity bands' hull 1..30) ARE pushable and reach the scans;
+    * the disjunction evaluates post-join on the broadcast part row. */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val qty = round(col("l_quantity")).cast("long")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        qty.between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        qty.between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        qty.between(20, 30))
+    t(s, dir, "lineitem")
+      // pushable hull of the three quantity bands: any row whose
+      // ROUNDED quantity lands in [1, 30] has raw value in [0.5, 30.5)
+      .filter(col("l_quantity") >= 0.5 && col("l_quantity") < 30.5)
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(revFx).as("revenue_fx"), count(lit(1)).as("n_lines"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fx,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |    AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) whose one-quarter
+    * revenue equals the maximum — the max-of-aggregate (view) shape.
+    * One supplier-keyed shuffle, the max a 1-row broadcast compared
+    * EXACTLY (integer fx, so "equals max" is unambiguous — the
+    * documented Q15 tie semantics). */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revFx).as("total_revenue_fx"))
+    val mx = rev.agg(max(col("total_revenue_fx")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_fx") === col("max_rev"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_fx"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val topSupplierSql: String =
+    """WITH r AS (SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |      AS total_revenue_fx
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue_fx
+      |FROM r JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total_revenue_fx = (SELECT max(total_revenue_fx) FROM r)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q6-shaped banded-filter revenue: one scan, THREE pushed
+    * predicates (ship year, discount band, quantity cap), no join —
+    * the pure pushdown gate (`PushedFilters` must carry all three).
+    * Revenue here is price × discount (the "what did discounting
+    * cost" number), exact integer cents × integer percent. */
+  def bandedRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice")) *
+        round(col("l_discount") * 100).cast("long")).as("discount_cost_fx"),
+        count(lit(1)).as("n_lines"))
+
+  val bandedRevenueSql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS discount_cost_fx,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q16-shaped supplier variety: distinct suppliers per
+    * (brand, size) observed in lineitem, excluding one brand and the
+    * negative-balance suppliers (the NOT-IN → LEFT ANTI shape). The
+    * (part, supplier) pair frame is distinct-ed once on its natural
+    * key; the exclusion list broadcasts as an anti join; top-40 by
+    * variety is a TakeOrderedAndProject. */
+  def supplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    ps
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(40)
+  }
+
+  val supplierVarietySql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ok AS (SELECT l_partkey, l_suppkey FROM ps
+      |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+      |SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ok JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 40""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_volume_shipping" -> volumeShipping,
+    "q173_disjunctive_revenue" -> disjunctiveRevenue,
+    "q174_top_supplier" -> topSupplier,
+    "q175_banded_revenue" -> bandedRevenue,
+    "q176_supplier_variety" -> supplierVariety,
     "q168_rfm_segments" -> rfmSegments,
     "q169_pareto_concentration" -> paretoConcentration,
     "q170_benford_screen" -> benfordScreen,
@@ -1206,6 +1395,11 @@ object Analytics {
     "q144_session_paths" -> sessionPaths)
 
   val oracles: Map[String, String] = Map(
+    "q172_volume_shipping" -> volumeShippingSql,
+    "q173_disjunctive_revenue" -> disjunctiveRevenueSql,
+    "q174_top_supplier" -> topSupplierSql,
+    "q175_banded_revenue" -> bandedRevenueSql,
+    "q176_supplier_variety" -> supplierVarietySql,
     "q168_rfm_segments" -> rfmSegmentsSql,
     "q169_pareto_concentration" -> paretoConcentrationSql,
     "q170_benford_screen" -> benfordScreenSql,
