@@ -1154,7 +1154,11 @@ object Analytics {
     * slope q149 and repetition q65 screens). ONE (source, token)
     * shuffle; everything after is vocabulary-bounded. */
   def hapaxRatio(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    hapaxRatioOf(t(s, dir, "documents"))
+
+  /** Generic core over any (source, text) frame. */
+  def hapaxRatioOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))

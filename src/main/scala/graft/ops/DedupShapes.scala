@@ -466,8 +466,11 @@ object DedupShapes {
     * single-band 8-bit keys make bucket population ~N/256 — this is
     * an AUDIT op meant for a bounded sample (as here); the
     * production near-dup path with capped buckets is q44/q55's. */
-  def simhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def simhashCalibration(s: SparkSession, dir: String): DataFrame =
+    simhashCalibrationOf(docs(s, dir))
+
+  /** Generic core over any (doc_id, text) frame. */
+  def simhashCalibrationOf(d: DataFrame): DataFrame = {
     val sh = Dedup.simhashBits(d, "doc_id", "text", 32)
       .withColumn("hl", conv(col("simhash"), 2, 10).cast("long"))
     val bands = sh.select(col("id"), col("hl"), explode(array(

@@ -104,6 +104,22 @@ object DatasetCard {
     growth.crossJoin(slope) // two 1-row frames
   }
 
+  /** Lexical-novelty screen off the q171-certified hapax ratio: the
+    * sources whose vocabulary repeats the most (lowest hapax share —
+    * templated/machine-generated text floats to the top). */
+  def hapaxSummary(docs: DataFrame, topK: Int = 5): DataFrame =
+    graft.ops.Analytics.hapaxRatioOf(docs)
+      .orderBy(col("hapax_share_fx"), col("source"))
+      .limit(topK)
+
+  /** Near-dup estimator calibration off the q167-certified audit:
+    * what exact token Jaccard each SimHash hamming bucket carries on
+    * THIS corpus — the number that justifies the dedup threshold the
+    * card's dup statistics depend on. */
+  def calibrationSummary(docs: DataFrame): DataFrame =
+    graft.ops.DedupShapes.simhashCalibrationOf(docs)
+      .filter(col("hamming") <= 4)
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -150,6 +166,8 @@ object DatasetCard {
       s""""top_source_overlap":${rowsJson(sourceOverlapSummary(docs))},""" +
       s""""low_entropy_sources":${rowsJson(lowEntropySummary(docs))},""" +
       s""""top_repeated_ngrams":${rowsJson(memorizationSummary(docs, "doc_id", "source", "text"))},""" +
-      s""""vocab_health":${rowsJson(vocabHealthSummary(docs, "text"))}}"""
+      s""""vocab_health":${rowsJson(vocabHealthSummary(docs, "text"))},""" +
+      s""""lowest_hapax_sources":${rowsJson(hapaxSummary(docs))},""" +
+      s""""simhash_calibration":${rowsJson(calibrationSummary(docs))}}"""
   }
 }

@@ -101,6 +101,33 @@ class DatasetCardSpec extends SparkSpec {
     assert(top.head.getLong(1) == 2L && top.head.getLong(2) == 2L)
   }
 
+  test("hapaxSummary floats the most-templated source to the top") {
+    import spark.implicits._
+    val docs = Seq(
+      ("templated", "spam spam spam spam eggs eggs"), // 0 hapax of 2 distinct
+      ("novel", "every single token here is unique honestly"))
+      .toDF("source", "text")
+    val got = graft.tools.DatasetCard.hapaxSummary(docs).collect()
+    assert(got.head.getString(0) == "templated")
+    assert(got.head.getAs[Long]("hapax_share_fx") == 0L)
+    assert(got.last.getString(0) == "novel")
+    assert(got.last.getAs[Long]("hapax_share_fx") == 1000000L)
+  }
+
+  test("calibrationSummary: planted exact dup lands in the hamming-0 bucket at Jaccard 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "completely unrelated words about some other topic entirely"))
+      .toDF("doc_id", "text")
+    val byHam = graft.tools.DatasetCard.calibrationSummary(docs).collect()
+      .map(r => r.getAs[Long]("hamming") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("min_jaccard_fx"),
+          r.getAs[Long]("max_jaccard_fx"))).toMap
+    assert(byHam(0L) == ((1L, 1000000L, 1000000L)))
+  }
+
   test("vocabHealthSummary reports final totals plus the Zipf slope") {
     import spark.implicits._
     val words = (1 to 4).flatMap(r => Seq.fill(12 / r)(s"w$r")) // 12,6,4,3
