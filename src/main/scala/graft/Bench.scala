@@ -7,16 +7,25 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one untimed warm-up pass (JIT + codegen + OS page
   * cache — a native engine's steady state is the fair baseline), then
-  * TWO timed passes per query in sorted name order; each query reports
-  * the min of its two runs, with an adaptive THIRD rep for queries
-  * over 1s whose two reps disagree by >30% (at least one rep caught
-  * neighbor contention). Min-of-reps because single-shot times on a
-  * shared box showed 2-30× transient outliers (C2 compilation still
-  * in flight on the earliest queries, neighbor contention) that say
-  * nothing about the plan. `value` is the sum of per-query minima;
-  * `cold_total_sec`/`cold_queries` report the warm-up pass in total
-  * and per query, and `load_before/after` + `jvms_before/after` stamp
-  * host load so driver-vs-local deltas are attributable.
+  * THREE timed passes per query in sorted name order; each query
+  * reports the MEDIAN of its three runs (round-9 change: round-8
+  * driver numbers were taken at loadavg ~15 and min-of-2 still let a
+  * doubly-contended query read as a plan regression — the median of
+  * three is robust to one outlier rep in either direction). `value`
+  * is the sum of per-query medians; `cold_total_sec`/`cold_queries`
+  * report the warm-up pass in total and per query, and
+  * `load_before/after` + `jvms_before/after` + `high_load_at_start`
+  * stamp host load so driver-vs-local deltas are attributable — a
+  * run stamped high_load_at_start=true is NOT comparable round-over-
+  * round and should be re-taken on a quiesced box.
+  *
+  * Train-vs-serve split (round-8 verdict item 5): the q95–q98 PQ/IVF
+  * gates and the q102 quality-probe gate train their models IN-QUERY
+  * (the DuckDB oracle must see one self-contained statement), but
+  * production trains once and serves per batch. `serve_queries`
+  * reports the serve-only timings (model/index pre-built, untimed)
+  * and `train_in_query` names the gate rows whose warm time includes
+  * training, so suite totals stop reading training as query cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -91,25 +100,71 @@ object Bench {
     val cold = (System.nanoTime() - coldT0) / 1e9
 
     val pass1 = names.map(n => n -> run(n)).toMap
+    val pass2 = names.map(n => n -> run(n)).toMap
     val results = names.map { n =>
-      val a = pass1(n); val b = run(n)
-      val m = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
-      // Adaptive third rep: when a heavy query's two reps disagree by
-      // >30%, at least one caught neighbor contention (this box shows
-      // up to 2× transient load bursts) — one more rep, overall min.
-      // Bounded cost: only slow AND noisy queries pay it.
-      n -> (if (m > 1.0 && a > 0 && b > 0 &&
-                math.max(a, b) / math.min(a, b) > 1.3) math.min(m, run(n))
-            else m)
+      val reps = Seq(pass1(n), pass2(n), run(n)).filter(_ >= 0)
+      n -> (if (reps.isEmpty) -1.0 else reps.sorted.apply(reps.size / 2))
     }
+
+    // Serve-only rows: build each standing model/index ONCE (untimed),
+    // then time the per-batch serving path — the cost that repeats at
+    // 100 TB. Median-of-3 warm, same as the gate rows.
+    def med3(f: => Long): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      try { f; Seq(one(), one(), one()).sorted.apply(1) }
+      catch { case _: Throwable => -1.0 }
+      finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+      }
+    }
+    import org.apache.spark.sql.functions.col
+    val serveResults: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty // dev-loop filter: skip serve section
+      else try {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val docs = Tables.load(spark, sfDir, "documents")
+        val idxDir = "/tmp/graft_bench_ivfpq"
+        ops.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idxDir)
+        val queriesDf = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val feats = ops.Classifier.featurize(docs, "doc_id", "text")
+        val w = ops.Classifier.train(feats)
+        val invDir = "/tmp/graft_bench_inv"
+        ops.TextAnalysis.writeInvertedIndex(docs, "doc_id", "text", invDir)
+        Seq(
+          "serve_ivfpq_topk" -> med3(ops.Similarity.servePqIndex(
+            spark, idxDir, queriesDf, k = 5, nProbe = 8, shortlist = 100).count()),
+          "serve_quality_score" -> med3(
+            ops.Classifier.scoreCorpus(docs, "doc_id", "text", w).count()),
+          "serve_bm25_search" -> med3(ops.TextAnalysis.serveBm25(
+            spark, invDir, Seq("table", "scan", "merge"), k = 20).count()))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] serve section failed: $e"); Seq.empty
+      }
+    val trainInQuery = Seq("q95_pq_codes", "q96_pq_topk", "q97_ivfpq_topk",
+      "q98_pq_delta_codes", "q102_quality_probe")
+      .filter(SparkEntry.queries.contains)
     val loadAfter = loadavg(); val jvmsAfter = javaProcs()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val cqs = coldPerQ.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sqs = serveResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tiq = trainInQuery.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // 1-min loadavg at start > 4 ⇒ the cold pass (and likely warm pass
+    // 1) ran contended — stamp it so readers discard the comparison
+    val highLoad =
+      try loadBefore.stripPrefix("[").split(",").head.toDouble > 4.0
+      catch { case _: Throwable => false }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cold_total_sec":$cold,"cold_queries":$cqs,""" +
+        s""""serve_queries":$sqs,"train_in_query":$tiq,""" +
         s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
+        s""""high_load_at_start":$highLoad,""" +
         s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,"sf":"$sfDir"}"""
     println(json)
     // The single giant stdout line is fragile under the driver's

@@ -31,7 +31,9 @@ object SparkEntry {
     QueryModule(BloomIndex.queries, BloomIndex.oracles),
     QueryModule(Lexical.queries, Lexical.oracles),
     QueryModule(Analytics.queries, Analytics.oracles),
-    QueryModule(Evaluation.queries, Evaluation.oracles))
+    QueryModule(Evaluation.queries, Evaluation.oracles),
+    QueryModule(Decorrelated.queries, Decorrelated.oracles),
+    QueryModule(AuditOps.queries, AuditOps.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

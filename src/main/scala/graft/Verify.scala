@@ -39,7 +39,10 @@ object Verify {
       }
     }
     def q(s: String): String = OracleJson.quote(s)
+    // mirror the `only` filter: otherwise a filtered re-gate emits the
+    // full oracle map and check_oracle.py FAILs every absent result
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

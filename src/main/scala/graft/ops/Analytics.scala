@@ -332,17 +332,23 @@ object Analytics {
 
   /** Generic first-A→first-later-B latency percentiles; `tsCol` is
     * exact epoch-nanos (the Tables.events contract), latencies are
-    * emitted in micros. */
+    * emitted in micros. Nanos are truncated to micros BEFORE the
+    * compare and the diff (the "micros on both sides" oracle-parity
+    * rule): the oracle works in epoch_us, so comparing raw nanos
+    * would diverge on micro-tied events if the parquet ever carried
+    * sub-micro residue. */
   def conversionLatencyOf(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, fromType: String, toType: String): DataFrame = {
-    val firstFrom = events.filter(col(typeCol) === fromType)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("s_ts"))
-    val lat = events.filter(col(typeCol) === toType)
+    val ev = events.select(col(userCol), col(typeCol),
+      expr(s"$tsCol div 1000").as("ts_us"))
+    val firstFrom = ev.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col("ts_us")).as("s_ts"))
+    val lat = ev.filter(col(typeCol) === toType)
       .join(firstFrom, Seq(userCol))
-      .filter(col(tsCol) > col("s_ts"))
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("p_ts"),
+      .filter(col("ts_us") > col("s_ts"))
+      .groupBy(col(userCol)).agg(min(col("ts_us")).as("p_ts"),
         min(col("s_ts")).as("s_ts2"))
-      .select(expr("(p_ts - s_ts2) div 1000").as("lat_us"))
+      .select((col("p_ts") - col("s_ts2")).as("lat_us"))
     lat.agg(count(lit(1)).as("n_users"),
       round(expr("percentile(lat_us, 0.25)"), 4).as("p25_us"),
       round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
@@ -1117,9 +1123,13 @@ object Analytics {
     // in the oracle
     val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L)
+    // digit 0 only occurs for a 0-cent total (degenerate data) — guard
+    // it out identically on both sides: element_at index 0 would throw
+    // here while DuckDB's list[0] silently NULLs
     val byDigit = t(s, dir, "orders")
       .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
         .cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
     val total = byDigit.agg(sum(col("n_orders")).as("total"))
     byDigit.crossJoin(broadcast(total))
@@ -1136,7 +1146,8 @@ object Analytics {
     """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
       |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
       |  FROM orders),
-      |g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+      |g AS (SELECT digit, count(*) AS n_orders FROM d
+      |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
       |t AS (SELECT sum(n_orders) AS total FROM g),
       |e AS (SELECT digit, n_orders,
       |    CAST((n_orders * 1000000) // total AS BIGINT) AS obs_share_fx,

@@ -463,15 +463,32 @@ object DedupShapes {
     * terms on YOUR corpus before you pick a near-dup threshold.
     * Per-pair Jaccard is exact-integer 1e-6 fixed point, the bucket
     * mean one truncating division — hash-stable. Scale contract:
-    * single-band 8-bit keys make bucket population ~N/256 — this is
-    * an AUDIT op meant for a bounded sample (as here); the
-    * production near-dup path with capped buckets is q44/q55's. */
+    * single-band 8-bit keys make bucket population ~N/256, so the
+    * intra-bucket pair expansion is quadratic in N unless BOUNDED —
+    * the bound here is enforced, not advisory: a hash-stable doc
+    * sample (the q66 md5 split recipe — a pure function of
+    * (seed, id), reproducible across partitionings) shrinks pair
+    * count by sampleFrac², and `bucketCap` hard-drops any residual
+    * hot bucket before expansion (both bounds are mirrored in the
+    * oracle, so the gate certifies the bounded spectrum itself). */
   def simhashCalibration(s: SparkSession, dir: String): DataFrame =
-    simhashCalibrationOf(docs(s, dir))
+    simhashCalibrationOf(docs(s, dir), sampleFrac = 0.5, bucketCap = 64)
 
-  /** Generic core over any (doc_id, text) frame. */
-  def simhashCalibrationOf(d: DataFrame): DataFrame = {
-    val sh = Dedup.simhashBits(d, "doc_id", "text", 32)
+  /** Generic core over any (doc_id, text) frame. `sampleFrac` < 1
+    * keeps only docs whose md5("cal|"+id) 4-hex prefix falls under the
+    * fraction threshold (16-bit resolution, the q66 recipe);
+    * `bucketCap` drops (band,key) buckets with more members than the
+    * cap BEFORE pair expansion — the worst case per-bucket work is
+    * then cap², independent of corpus size. */
+  def simhashCalibrationOf(d: DataFrame, sampleFrac: Double = 1.0,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    require(sampleFrac > 0 && sampleFrac <= 1, "sampleFrac must be in (0, 1]")
+    val dd =
+      if (sampleFrac >= 1.0) d
+      else d.filter(
+        substring(md5(concat(lit("cal|"), col("doc_id").cast("string"))), 1, 4)
+          < lit(f"${(sampleFrac * 65536).toInt}%04x"))
+    val sh = Dedup.simhashBits(dd, "doc_id", "text", 32)
       .withColumn("hl", conv(col("simhash"), 2, 10).cast("long"))
     val bands = sh.select(col("id"), col("hl"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("b"),
@@ -481,7 +498,7 @@ object DedupShapes {
     // filter — calibration wants the full candidate distance spectrum)
     val cand = bands.groupBy(col("b"), col("key"))
       .agg(sort_array(collect_list(struct(col("id"), col("hl")))).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= bucketCap)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
              transform(slice(ms, i + 2, size(ms) - i - 1),
@@ -490,7 +507,7 @@ object DedupShapes {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
     val toksets = graft.PlanCapture.checkpoint(
-      d.select(col("doc_id").as("id"),
+      dd.select(col("doc_id").as("id"),
           explode(split(trim(col("text")), "\\s+")).as("tok"))
         .groupBy(col("id"))
         .agg(sort_array(collect_set(col("tok"))).as("ts")),
@@ -514,19 +531,24 @@ object DedupShapes {
     val votes = (0 until 32).map(j =>
       s"sum(CASE WHEN substr(th, ${j + 1}, 1) IN $highDigits THEN 1 ELSE -1 END) AS v$j").mkString(", ")
     val bits = (0 until 32).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
-    s"""WITH t AS (SELECT doc_id AS id,
+    s"""WITH smp AS (SELECT doc_id, text FROM documents
+       |  WHERE substr(md5('cal|' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
+       |t AS (SELECT doc_id AS id,
        |    md5(unnest(string_split_regex(trim(text), '${"\\s+"}'))) AS th
-       |  FROM documents),
+       |  FROM smp),
        |v AS (SELECT id, $votes FROM t GROUP BY id),
        |sh AS (SELECT id, $bits AS simhash FROM v),
        |band AS (SELECT id, simhash, b, substr(simhash, b * 8 + 1, 8) AS key
        |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |bs AS (SELECT b, key FROM band GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND 64),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |    CAST(hamming(a.simhash, b.simhash) AS BIGINT) AS hamming
-       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+       |  JOIN bs ON bs.b = a.b AND bs.key = a.key),
        |tk AS (SELECT DISTINCT doc_id AS id,
        |    unnest(string_split_regex(trim(text), '${"\\s+"}')) AS tok
-       |  FROM documents),
+       |  FROM smp),
        |sz AS (SELECT id, count(*) AS nt FROM tk GROUP BY 1),
        |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
        |  FROM cand c JOIN tk ta ON ta.id = c.id_a

@@ -398,11 +398,19 @@ object FeedShapes {
     *
     * Scale shape (the q103 Pregel-by-hand pattern): the undirected
     * adjacency is built once and cached partitioned on `u`; per round
-    * ONE join against the node-bounded label frame (broadcast when it
-    * fits — the default here), a (node, label)-bounded count, and a
-    * per-node argmax window on that count frame. Nothing corpus-sized
-    * moves after the initial edge build. */
-  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    * ONE join against the node-bounded label frame, a (node, label)-
+    * bounded count, and a per-node argmax window on that count frame.
+    * Nothing corpus-sized moves after the initial edge build.
+    * `broadcastLabels` mirrors q103 pageRank's `broadcastRanks`: the
+    * DEFAULT (false) is the web-scale shape — the O(nodes) label frame
+    * shuffles to meet the u-partitioned cached adjacency (sort-merge,
+    * edges never re-sort) — because at 10^8+ nodes a per-round
+    * broadcast of the label frame OOMs the driver. Pass true only when
+    * the node frame fits an executor (≲10^7 nodes): each round's vote
+    * join then collapses to a map-side hash join. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3,
+      broadcastLabels: Boolean = false): DataFrame = {
+    def side(df: DataFrame) = if (broadcastLabels) broadcast(df) else df
     // adjacency and node set are each consumed every round — material-
     // ize once (the Pregel edge-partition-once contract); u-partitioned
     // so each round's vote join meets the broadcast labels in place
@@ -418,7 +426,7 @@ object FeedShapes {
       var lab = nodes.select(col("u"), col("u").cast("long").as("lab"))
       for (_ <- 1 to iterations) {
         val votes = und
-          .join(broadcast(lab.withColumnRenamed("u", "v")), Seq("v"))
+          .join(side(lab.withColumnRenamed("u", "v")), Seq("v"))
           .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("cnt"))
         val best = votes
           .withColumn("rk", row_number().over(
@@ -430,8 +438,8 @@ object FeedShapes {
         // so round N+1's plan starts from labels, not the full lineage
         lab = graft.PlanCapture.checkpoint(
           nodes
-            .join(broadcast(lab), Seq("u"))
-            .join(broadcast(best), Seq("u"), "left")
+            .join(side(lab), Seq("u"))
+            .join(side(best), Seq("u"), "left")
             .select(col("u"), coalesce(col("new_lab"), col("lab")).as("lab")),
           "lpa-labels")
       }
@@ -447,7 +455,10 @@ object FeedShapes {
     val edges = c.select(col("u"), (col("u") % 97).as("v"))
       .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
       .filter(col("u") =!= col("v"))
-    labelPropagation(edges, iterations = 3)
+    // 97-label graph over sf customers — node frame is tiny, take the
+    // broadcast fast path (the shuffle default is specced equal in
+    // GraphDualPathSpec)
+    labelPropagation(edges, iterations = 3, broadcastLabels = true)
       .orderBy(col("u"))
   }
 
@@ -484,11 +495,17 @@ object FeedShapes {
     * convergence on a known graph). Scale shape mirrors q146's LPA
     * contract: the undirected adjacency is built ONCE, checkpointed
     * u-partitioned; each round is one semi-join against the
-    * node-bounded alive set (broadcast) + one count — nothing
-    * edge-sized shuffles after the initial build. Returns the
-    * surviving nodes with their degree in the final induced
-    * subgraph. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * node-bounded alive set + one count — nothing edge-sized shuffles
+    * after the initial build. Returns the surviving nodes with their
+    * degree in the final induced subgraph.
+    * `broadcastAlive` mirrors q103 pageRank's flag: DEFAULT false is
+    * the web-scale shape (the O(nodes) alive set shuffles to meet the
+    * u-partitioned adjacency as a sort-merge semi-join); true is the
+    * small-graph fast path (alive set fits an executor → map-side
+    * hash semi-join, no per-round shuffle of the adjacency side). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      broadcastAlive: Boolean = false): DataFrame = {
+    def side(df: DataFrame) = if (broadcastAlive) broadcast(df) else df
     val und = graft.PlanCapture.checkpoint(
       edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
@@ -497,8 +514,8 @@ object FeedShapes {
       "kcore-adjacency").persist()
     try {
       def induceDeg(alive: DataFrame): DataFrame = und
-        .join(broadcast(alive), Seq("u"), "left_semi")
-        .join(broadcast(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
+        .join(side(alive), Seq("u"), "left_semi")
+        .join(side(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
       var alive = graft.PlanCapture.checkpoint(
         und.select(col("u")).distinct(), "kcore-nodes")
@@ -524,7 +541,9 @@ object FeedShapes {
       .unionByName(c.filter(col("u") % 3 === 0)
         .select(col("u"), ((col("u") * 13 + 5) % 431).as("v")))
       .filter(col("u") =!= col("v"))
-    kCore(edges, k = 3, rounds = 4).orderBy(col("u"))
+    // sf-customer node frame is tiny → broadcast fast path; the
+    // shuffle default is specced equal in GraphDualPathSpec
+    kCore(edges, k = 3, rounds = 4, broadcastAlive = true).orderBy(col("u"))
   }
 
   val followKCoreSql: String = {

@@ -521,13 +521,17 @@ object Temporal {
     * Spark's exact interpolating aggregate ≡ DuckDB quantile_cont
     * (the q13 recipe, rounded to 6dp on both sides). */
   def interArrival(s: SparkSession, dir: String): DataFrame = {
+    // micros on both sides: truncate nanos → micros BEFORE the window
+    // order and the diff, matching the oracle's epoch_us domain (raw-
+    // nano ordering could flip micro-tied neighbors)
     val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts"))
+      .orderBy(col("ts_us"))
     Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
       .filter(col("prev").isNotNull)
-      .withColumn("gap_us", expr("(ts - prev) div 1000"))
+      .withColumn("gap_us", col("ts_us") - col("prev"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
         round(expr("percentile(gap_us, 0.5)"), 6).as("p50_us"),

@@ -1,22 +1,26 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.ops.FeedShapes
 
-/** Scaling probe for the iterative graph family (q158 k-core): build
-  * the q158 customer graph, replicate it m× as DISJOINT copies (node
-  * ids shifted by i·10^8 — the k-core of a disjoint union is exactly
-  * the union of the k-cores, so correctness at depth is checkable
-  * bit-for-bit, not statistically), run the 4-round peel, and report
-  * edges/s per scale. The correctness half: survivor count must be
-  * exactly m× the scale-1 core and every replica-0 survivor must
-  * match the scale-1 survivor set with identical degrees — any drift
-  * means the per-round broadcast semi-joins leaked across rounds.
+/** Scaling probe for the iterative graph ops (q146 LPA / q158
+  * k-core): replicate the deterministic customer graph m× as DISJOINT
+  * isomorphic copies (replica i shifts every node id by i·10^7), run
+  * the scale-safe SHUFFLE path (broadcast*=false — the 100 TB
+  * default), and report wall time per scale plus the correctness
+  * invariant: replica 0's labels / core membership must equal the
+  * scale-1 result EXACTLY (disjoint copies can't interact, and
+  * min-id-based labels are shift-invariant within a replica), so a
+  * growing graph can never change what the algorithm says about the
+  * subgraph it already knew.
   *
   * Usage: runMain graft.tools.GraphScaleProbe [sfDir] [scale...]
   */
 object GraphScaleProbe {
+  private val Shift = 10000000L
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -26,32 +30,55 @@ object GraphScaleProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graph-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val c = graft.Tables.load(spark, dir, "customer")
+    val base = graft.Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("u"))
-    val base = c.select(col("u"), (col("u") % 211).as("v"))
-      .unionByName(c.select(col("u"), ((col("u") * 7 + 3) % 211).as("v")))
-      .unionByName(c.filter(col("u") % 3 === 0)
+    // the q158 mixed-degree edge recipe (leaves + hubs, so the peel
+    // and the vote structure are both non-trivial)
+    def edgesOf(nodes: DataFrame): DataFrame = nodes
+      .select(col("u"), (col("u") % 211).as("v"))
+      .unionByName(nodes.select(col("u"), ((col("u") * 7 + 3) % 211).as("v")))
+      .unionByName(nodes.filter(col("u") % 3 === 0)
         .select(col("u"), ((col("u") * 13 + 5) % 431).as("v")))
       .filter(col("u") =!= col("v"))
 
-    var base1: Map[Long, Long] = Map.empty
+    var lpaBase: Map[Long, Long] = Map.empty
+    var coreBase: Map[Long, Long] = Map.empty
     scales.foreach { m =>
+      // replica i = base graph with BOTH endpoints shifted i·10^7:
+      // isomorphic, disjoint (hub ids 0..430 shift too)
+      val e0 = edgesOf(base)
       val edges = (0 until m).map { i =>
-        val off = i * 100000000L
-        base.select((col("u") + off).as("u"), (col("v") + off).as("v"))
+        if (i == 0) e0
+        else e0.select((col("u") + lit(i * Shift)).as("u"),
+          (col("v") + lit(i * Shift)).as("v"))
       }.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
       val nEdges = edges.count()
-      val t0 = System.nanoTime()
-      val core = FeedShapes.kCore(edges, k = 3, rounds = 4)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val sec = (System.nanoTime() - t0) / 1e9
-      val rep0 = core.filter(_._1 < 100000000L)
-      if (m == 1) base1 = core
-      val invariant = rep0 == base1 && core.size == base1.size * m
-      println(f"""{"metric":"graph_scale_probe","scale":$m,"edges":$nEdges,""" +
-        f""""core_size":${core.size},"replica0_invariant":$invariant,""" +
-        f""""sec":$sec%.2f,"edges_per_sec":${(nEdges / sec).toLong}}""")
-      require(invariant, s"k-core invariance violated at scale $m")
+
+      def timed(f: => Map[Long, Long]): (Map[Long, Long], Double) = {
+        f // warm-up (codegen/JIT — the Bench convention)
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def baseSlice(r: Map[Long, Long]): Map[Long, Long] =
+        r.filter(_._1 < Shift)
+
+      val (lpa, tLpa) = timed(
+        FeedShapes.labelPropagation(edges, 3, broadcastLabels = false)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      if (m == 1) lpaBase = lpa
+      val lpaOk = baseSlice(lpa) == lpaBase
+
+      val (core, tCore) = timed(
+        FeedShapes.kCore(edges, k = 3, rounds = 4, broadcastAlive = false)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      if (m == 1) coreBase = core
+      val coreOk = baseSlice(core) == coreBase
+
+      println(s"""{"probe":"graph","scale":$m,"edges":$nEdges,""" +
+        s""""lpa_sec":$tLpa,"lpa_nodes":${lpa.size},"lpa_base_invariant":$lpaOk,""" +
+        s""""kcore_sec":$tCore,"kcore_nodes":${core.size},"kcore_base_invariant":$coreOk}""")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.stop()
   }

@@ -656,6 +656,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhashCalibration: non-binding bounds reproduce the full spectrum") {
+    // with cap = MaxValue and sampleFrac = 1 the bounded form IS the
+    // full form; with a generous-but-finite cap on this corpus the
+    // spectrum must be unchanged (no bucket is hot enough to bind)
+    val full = DedupShapes.simhashCalibrationOf(docs)
+      .collect().map(_.toSeq).toSeq
+    val capped = DedupShapes.simhashCalibrationOf(docs,
+        sampleFrac = 1.0, bucketCap = 100000)
+      .collect().map(_.toSeq).toSeq
+    assert(full.nonEmpty && capped == full)
+  }
+
+  test("simhashCalibration: hash-stable sample equals calibration of the pre-filtered frame") {
+    // the sampleFrac parameter must be EXACTLY the q66 md5 recipe —
+    // applying the same filter externally and calibrating unsampled
+    // reproduces the sampled spectrum bit-for-bit
+    val sampled = DedupShapes.simhashCalibrationOf(docs, sampleFrac = 0.5)
+      .collect().map(_.toSeq).toSeq
+    val pre = docs.filter(
+      substring(md5(concat(lit("cal|"), col("doc_id").cast("string"))), 1, 4)
+        < lit("8000"))
+    val external = DedupShapes.simhashCalibrationOf(pre)
+      .collect().map(_.toSeq).toSeq
+    assert(sampled.nonEmpty && sampled == external)
+    // and the sample really shrinks the pair space (quadratic win)
+    val fullPairs = DedupShapes.simhashCalibrationOf(docs)
+      .agg(sum("n_pairs")).as[Long].head()
+    val sampledPairs = DedupShapes.simhashCalibrationOf(docs, sampleFrac = 0.5)
+      .agg(sum("n_pairs")).as[Long].head()
+    assert(sampledPairs * 2 < fullPairs,
+      s"sampled=$sampledPairs full=$fullPairs")
+  }
+
   test("prefixFilterJaccard prunes: candidate keys ≪ full shingle keys") {
     // with a hot shingle shared by everyone, the naive equi-join is
     // quadratic in the corpus; prefixes keep only rare shingles
