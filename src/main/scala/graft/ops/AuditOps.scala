@@ -19,17 +19,29 @@ object AuditOps {
     * agree/8) and report count and min/avg/max EXACT bigram Jaccard
     * per bucket — what "k components agree" means in true-similarity
     * terms on YOUR corpus, the audit behind choosing a band scheme.
-    * Bounded like q167: a hash-stable doc sample (md5 "cal|" recipe,
-    * a pure function of (seed, id)) shrinks the candidate space
-    * quadratically; candidates themselves are LSH-bucket-bounded.
-    * Signatures and band keys are computed map-side from the per-doc
-    * shingle arrays (one shuffle builds them); component agreement is
-    * a zip_with inside one projection per candidate pair. */
+    * Bounded like q167 — BOTH bounds enforced, not advisory: a
+    * hash-stable doc sample (md5 "cal|" recipe, a pure function of
+    * (seed, id)) shrinks the candidate space quadratically, and
+    * `bucketCap` hard-drops any residual hot band bucket BEFORE pair
+    * expansion (`Dedup.lshCandidatesBucketDropped` — worst case per
+    * bucket is cap², independent of corpus size; a near-identical
+    * boilerplate cluster can no longer go quadratic). Both bounds are
+    * mirrored in the oracle, so the gate certifies the bounded
+    * spectrum itself. Signatures and band keys are computed map-side
+    * from the per-doc shingle arrays (one shuffle builds them);
+    * component agreement is a zip_with inside one projection per
+    * candidate pair. */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame =
-    minhashCalibrationOf(docs(s, dir), sampleFrac = 0.5)
+    minhashCalibrationOf(docs(s, dir), sampleFrac = 0.5, bucketCap = 64)
 
-  /** Generic core over any (doc_id, text) frame. */
-  def minhashCalibrationOf(d: DataFrame, sampleFrac: Double = 1.0): DataFrame = {
+  /** Generic core over any (doc_id, text) frame. `sampleFrac` < 1
+    * keeps only docs whose md5("cal|"+id) 4-hex prefix falls under
+    * the fraction threshold (the q66 recipe); `bucketCap` drops
+    * (band, key) buckets with more members than the cap before pair
+    * expansion (all-pairs within retained buckets — unbiased, unlike
+    * the star/chain forms). */
+  def minhashCalibrationOf(d: DataFrame, sampleFrac: Double = 1.0,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(sampleFrac > 0 && sampleFrac <= 1, "sampleFrac must be in (0, 1]")
     val dd =
       if (sampleFrac >= 1.0) d
@@ -42,8 +54,9 @@ object AuditOps {
           array_min(transform(col("shs"), sh =>
             md5(concat(lit(s"$i|"), sh))))): _*)),
       "mh-calib-sets")
-    val cand = Dedup.lshCandidates(
-      Dedup.lshBandsFromArrays(sets.select(col("id"), col("shs")), 8, 2))
+    val cand = Dedup.lshCandidatesBucketDropped(
+      Dedup.lshBandsFromArrays(sets.select(col("id"), col("shs")), 8, 2),
+      bucketCap)
     cand
       .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"),
         col("sigs").as("sigs_a")), Seq("id_a"))
@@ -79,8 +92,11 @@ object AuditOps {
        |band AS (SELECT id, i // 2 AS b,
        |    md5(string_agg(sig, '' ORDER BY i)) AS key
        |  FROM sig GROUP BY id, i // 2),
+       |bs AS (SELECT b, key FROM band GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND 64),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+       |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+       |  JOIN bs ON bs.b = a.b AND bs.key = a.key),
        |agr AS (SELECT c.id_a, c.id_b,
        |    CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
        |      AS agree

@@ -243,6 +243,32 @@ object Dedup {
   def lshCandidates(bands: DataFrame): DataFrame =
     lshCandidatesCapped(bands, Int.MaxValue)
 
+  /** Calibration-grade bounded candidates: all-pairs WITHIN buckets of
+    * size in [2, bucketCap]; buckets over the cap are DROPPED entirely
+    * (not star/chain-reduced), so the retained pair spectrum stays an
+    * unbiased all-pairs sample — the q167 calibration semantics, and
+    * exactly mirrorable in SQL (`HAVING count(*) BETWEEN 2 AND cap`).
+    * Worst-case per-bucket work is cap², independent of corpus size.
+    * With `bucketCap = Int.MaxValue` the filter never binds and this
+    * IS `lshCandidates`. Use `lshCandidatesCapped` where RECALL
+    * matters (dedup candidate generation — star/chain keeps O(k) edges
+    * into hot buckets); use this where an unbiased bounded spectrum
+    * matters more than hot-bucket coverage (estimator-calibration
+    * audits: a star-reduced hot bucket would skew the per-agreement
+    * Jaccard distribution toward the hub doc). */
+  def lshCandidatesBucketDropped(bands: DataFrame, bucketCap: Int): DataFrame = {
+    require(bucketCap >= 2, "bucketCap must be >= 2")
+    bands.groupBy(col("b"), col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= bucketCap)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+              transform(slice(ids, i + 2, size(ids) - i - 1),
+                        y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** Skew-safe candidate pairs for corpus scale. The bucket self-join
     * is quadratic PER BUCKET: one band bucket holding a cluster of k
     * near-identical docs (boilerplate pages, templated spam — the

@@ -397,28 +397,35 @@ object FeedShapes {
     * is oracle-certifiable — unlike the asynchronous formulation.
     *
     * Scale shape (the q103 Pregel-by-hand pattern): the undirected
-    * adjacency is built once and cached partitioned on `u`; per round
-    * ONE join against the node-bounded label frame, a (node, label)-
-    * bounded count, and a per-node argmax window on that count frame.
-    * Nothing corpus-sized moves after the initial edge build.
+    * adjacency is built once and cached partitioned on the key each
+    * round's vote join consumes — `v` on the shuffle path (the join
+    * keys on v, so the adjacency sort-merges IN PLACE and only the
+    * O(nodes) label frame shuffles to meet it), `u` on the broadcast
+    * path (the vote join is map-side regardless, and u-partitioning
+    * lets the groupBy(u, lab) + argmax window run exchange-free).
+    * Per round the moving data is node-bounded: the label frame plus
+    * the map-side-combined (u, lab, cnt) vote frame — the edge-sized
+    * adjacency never re-shuffles after the initial build (round-9
+    * ADVICE: the earlier u-partitioned cache DID re-shuffle edge-sized
+    * data by v every round on the shuffle default).
     * `broadcastLabels` mirrors q103 pageRank's `broadcastRanks`: the
-    * DEFAULT (false) is the web-scale shape — the O(nodes) label frame
-    * shuffles to meet the u-partitioned cached adjacency (sort-merge,
-    * edges never re-sort) — because at 10^8+ nodes a per-round
-    * broadcast of the label frame OOMs the driver. Pass true only when
-    * the node frame fits an executor (≲10^7 nodes): each round's vote
-    * join then collapses to a map-side hash join. */
+    * DEFAULT (false) is the web-scale shape — at 10^8+ nodes a
+    * per-round broadcast of the label frame OOMs the driver. Pass
+    * true only when the node frame fits an executor (≲10^7 nodes):
+    * each round's vote join then collapses to a map-side hash join. */
   def labelPropagation(edges: DataFrame, iterations: Int = 3,
       broadcastLabels: Boolean = false): DataFrame = {
     def side(df: DataFrame) = if (broadcastLabels) broadcast(df) else df
     // adjacency and node set are each consumed every round — material-
-    // ize once (the Pregel edge-partition-once contract); u-partitioned
-    // so each round's vote join meets the broadcast labels in place
+    // ize once (the Pregel edge-partition-once contract); partitioned
+    // on the per-round join key (see scale-shape note above) —
+    // localCheckpoint preserves outputPartitioning, so every round
+    // reuses it without an exchange
     val und = graft.PlanCapture.checkpoint(
       edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
         .distinct()
-        .repartition(col("u")),
+        .repartition(if (broadcastLabels) col("u") else col("v")),
       "lpa-adjacency").persist()
     val nodes = graft.PlanCapture.checkpoint(
       und.select(col("u")).distinct(), "lpa-nodes").persist()
@@ -494,15 +501,23 @@ object FeedShapes {
     * (peeling converges in O(peel-depth) rounds; the spec pins
     * convergence on a known graph). Scale shape mirrors q146's LPA
     * contract: the undirected adjacency is built ONCE, checkpointed
-    * u-partitioned; each round is one semi-join against the
-    * node-bounded alive set + one count — nothing edge-sized shuffles
-    * after the initial build. Returns the surviving nodes with their
-    * degree in the final induced subgraph.
+    * partitioned on the per-round semi-join key (`v` on the shuffle
+    * default, `u` on the broadcast path); each round the v-side
+    * semi-join runs against the adjacency IN PLACE, the count is
+    * map-side-combined, and the u-side alive restriction is applied
+    * AFTER aggregation on the node-bounded degree frame (restricting
+    * u after counting v-alive neighbors gives the identical induced
+    * degree — see induceDeg) — so nothing edge-sized shuffles after
+    * the initial build (round-9 ADVICE: the earlier form semi-joined
+    * the edge frame on u THEN v and re-shuffled it every round).
+    * Returns the surviving nodes with their degree in the final
+    * induced subgraph.
     * `broadcastAlive` mirrors q103 pageRank's flag: DEFAULT false is
     * the web-scale shape (the O(nodes) alive set shuffles to meet the
-    * u-partitioned adjacency as a sort-merge semi-join); true is the
+    * v-partitioned adjacency as a sort-merge semi-join); true is the
     * small-graph fast path (alive set fits an executor → map-side
-    * hash semi-join, no per-round shuffle of the adjacency side). */
+    * hash semi-join, no per-round shuffle at all: u-partitioning
+    * carries through the broadcast semi-join into the groupBy). */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
       broadcastAlive: Boolean = false): DataFrame = {
     def side(df: DataFrame) = if (broadcastAlive) broadcast(df) else df
@@ -510,13 +525,18 @@ object FeedShapes {
       edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
         .distinct()
-        .repartition(col("u")),
+        .repartition(if (broadcastAlive) col("u") else col("v")),
       "kcore-adjacency").persist()
     try {
+      // induced degree of ALIVE u = # alive neighbors v. Count over
+      // v-alive edges first (edge frame untouched on its partitioning),
+      // then semi-join the node-bounded (u, deg) frame to alive u —
+      // identical result to filtering both endpoints before counting,
+      // but the u-side restriction never touches edge-sized data.
       def induceDeg(alive: DataFrame): DataFrame = und
-        .join(side(alive), Seq("u"), "left_semi")
         .join(side(alive.withColumnRenamed("u", "v")), Seq("v"), "left_semi")
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .join(side(alive), Seq("u"), "left_semi")
       var alive = graft.PlanCapture.checkpoint(
         und.select(col("u")).distinct(), "kcore-nodes")
       for (_ <- 1 to rounds) {

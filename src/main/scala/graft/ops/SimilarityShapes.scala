@@ -688,7 +688,28 @@ object SimilarityShapes {
        |FROM fin ORDER BY step""".stripMargin
   }
 
+  /** q182 — the SERVE path of q97, regression-gated: write the
+    * persisted hive-partitioned IVF-PQ index to a fresh per-run temp
+    * dir INSIDE the query fn, then serve the same 5-query batch off
+    * it. `servePqIndex` is expression-for-expression the `ivfPqTopK`
+    * dataflow (spec-pinned row-identical), so the oracle is q97's SQL
+    * verbatim — a green row certifies the partition-pruned serving
+    * plan end-to-end (index layout, probe pruning, ADC, rerank), not
+    * just the spec equality. Warm bench time includes the index build
+    * (train_in_query); the repeating serve-only cost is the
+    * `serve_ivfpq_topk` bench row. */
+  def serveIvfPqGate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_serve_ivfpq_gate").toString
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", idx)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    Similarity.servePqIndex(s, idx, q, k = 5, nProbe = 8, shortlist = 100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_serve_ivfpq_topk" -> serveIvfPqGate,
     "q141_mmr_topk" -> mmrGate,
     "q33_cosine_topk" -> cosineTopK,
     "q94_ann_recall" -> annRecall,
@@ -707,6 +728,7 @@ object SimilarityShapes {
     "q82_hybrid_search" -> hybridSearch)
 
   def oracles: Map[String, String] = Map(
+    "q182_serve_ivfpq_topk" -> ivfPqTopKSql,
     "q141_mmr_topk" -> mmrGateSql,
     "q33_cosine_topk" -> cosineTopKSql,
     "q94_ann_recall" -> annRecallSql,

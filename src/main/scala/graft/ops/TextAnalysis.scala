@@ -1693,7 +1693,25 @@ object TextAnalysis {
        |SELECT gram, n_docs, n_srcs, n_occ FROM a WHERE n_docs >= 2
        |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 30""".stripMargin
 
+  /** q183 — the SERVE path of q73, regression-gated: write the
+    * hive-partitioned inverted index to a fresh per-run temp dir
+    * INSIDE the query fn, then run the same 3-term query off it.
+    * `serveBm25` shares `bm25ScoreCol` with `bm25Search` (spec-pinned
+    * row-equal), so the oracle is q73's SQL verbatim — a green row
+    * certifies the partition-pruned serving plan end-to-end, not just
+    * the spec equality. Warm bench time includes the index build
+    * (train_in_query); the repeating cost is the `serve_bm25_search`
+    * bench row. */
+  def serveBm25Gate(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_serve_bm25_gate").toString
+    writeInvertedIndex(docs(s, dir), "doc_id", "text", idx)
+    serveBm25(s, idx, Seq("spark", "join", "query"), k = 20)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_serve_bm25_search" -> serveBm25Gate,
     "q143_repeated_ngrams" -> repeatedNgramsGate,
     "q125_source_similarity" -> sourceSimilarityGate,
     "q128_source_entropy" -> sourceEntropyGate,
@@ -1726,6 +1744,7 @@ object TextAnalysis {
     "q61_containment" -> containment)
 
   def oracles: Map[String, String] = Map(
+    "q183_serve_bm25_search" -> bm25Top20Sql,
     "q143_repeated_ngrams" -> repeatedNgramsGateSql,
     "q125_source_similarity" -> sourceSimilarityGateSql,
     "q128_source_entropy" -> sourceEntropyGateSql,

@@ -7,7 +7,8 @@ import graft.ops.FeedShapes
 
 /** Scaling probe for the iterative graph ops (q146 LPA / q158
   * k-core): replicate the deterministic customer graph m× as DISJOINT
-  * isomorphic copies (replica i shifts every node id by i·10^7), run
+  * isomorphic copies (replica i shifts every node id by i·Shift,
+  * where Shift is the next power of ten above the max node id), run
   * the scale-safe SHUFFLE path (broadcast*=false — the 100 TB
   * default), and report wall time per scale plus the correctness
   * invariant: replica 0's labels / core membership must equal the
@@ -19,7 +20,6 @@ import graft.ops.FeedShapes
   * Usage: runMain graft.tools.GraphScaleProbe [sfDir] [scale...]
   */
 object GraphScaleProbe {
-  private val Shift = 10000000L
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
@@ -32,6 +32,12 @@ object GraphScaleProbe {
 
     val base = graft.Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("u"))
+    // replica shift: the next power of ten ABOVE the max node id, so
+    // replicas stay disjoint at ANY scale-factor dir (a fixed 1e7
+    // would overlap once c_custkey reaches 1e7, ~sf 67, and silently
+    // mis-slice the invariance check)
+    val maxKey = base.agg(max(col("u"))).head().getLong(0)
+    val Shift = Iterator.iterate(10000000L)(_ * 10).dropWhile(_ <= maxKey).next()
     // the q158 mixed-degree edge recipe (leaves + hubs, so the peel
     // and the vote structure are both non-trivial)
     def edgesOf(nodes: DataFrame): DataFrame = nodes
@@ -44,7 +50,7 @@ object GraphScaleProbe {
     var lpaBase: Map[Long, Long] = Map.empty
     var coreBase: Map[Long, Long] = Map.empty
     scales.foreach { m =>
-      // replica i = base graph with BOTH endpoints shifted i·10^7:
+      // replica i = base graph with BOTH endpoints shifted i·Shift:
       // isomorphic, disjoint (hub ids 0..430 shift too)
       val e0 = edgesOf(base)
       val edges = (0 until m).map { i =>
@@ -77,6 +83,10 @@ object GraphScaleProbe {
       println(s"""{"probe":"graph","scale":$m,"edges":$nEdges,""" +
         s""""lpa_sec":$tLpa,"lpa_nodes":${lpa.size},"lpa_base_invariant":$lpaOk,""" +
         s""""kcore_sec":$tCore,"kcore_nodes":${core.size},"kcore_base_invariant":$coreOk}""")
+      // hard-fail AFTER printing the row so CI-style runs can't miss a
+      // violated invariance (exit nonzero, row still visible in logs)
+      require(lpaOk && coreOk,
+        s"base-slice invariance violated at scale $m (lpa=$lpaOk kcore=$coreOk)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
