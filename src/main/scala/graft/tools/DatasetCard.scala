@@ -120,6 +120,26 @@ object DatasetCard {
     graft.ops.DedupShapes.simhashCalibrationOf(docs)
       .filter(col("hamming") <= 4)
 
+  /** MinHash estimator calibration off the q179-certified audit (the
+    * gate's sample+cap bounds): what exact bigram Jaccard each
+    * component-agreement count carries — the row that justifies a
+    * band scheme before a MinHash dedup run. */
+  def minhashCalibrationSummary(docs: DataFrame): DataFrame =
+    graft.ops.AuditOps.minhashCalibrationOf(docs,
+      sampleFrac = 0.5, bucketCap = 64)
+
+  /** Context-length budget off the q180-certified audit: per
+    * power-of-two token bucket, doc/token counts and the cumulative
+    * token share — "how much of the corpus fits a 4k context". */
+  def contextBudgetSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.AuditOps.contextBudget(spark, dir)
+
+  /** Embedding-space QA off the q181-certified audit: per-label
+    * vector counts, zero-vector count, and norm spread — the sanity
+    * row before any ANN/semantic-dedup numbers are trusted. */
+  def embeddingQaSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.AuditOps.embeddingQa(spark, dir)
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -168,6 +188,9 @@ object DatasetCard {
       s""""top_repeated_ngrams":${rowsJson(memorizationSummary(docs, "doc_id", "source", "text"))},""" +
       s""""vocab_health":${rowsJson(vocabHealthSummary(docs, "text"))},""" +
       s""""lowest_hapax_sources":${rowsJson(hapaxSummary(docs))},""" +
-      s""""simhash_calibration":${rowsJson(calibrationSummary(docs))}}"""
+      s""""simhash_calibration":${rowsJson(calibrationSummary(docs))},""" +
+      s""""minhash_calibration":${rowsJson(minhashCalibrationSummary(docs))},""" +
+      s""""context_budget":${rowsJson(contextBudgetSummary(spark, dir))},""" +
+      s""""embedding_qa":${rowsJson(embeddingQaSummary(spark, dir))}}"""
   }
 }

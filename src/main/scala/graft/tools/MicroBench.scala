@@ -113,6 +113,9 @@ object MicroBench {
       }
       timeWarm("cand_uncapped")(Dedup.lshCandidates(bands).count())
       timeWarm("cand_capped")(Dedup.lshCandidatesCapped(bands, 10000).count())
+      // q179's calibration form: hot buckets dropped before expansion
+      timeWarm("cand_bucket_dropped")(
+        Dedup.lshCandidatesBucketDropped(bands, 64).count())
       sets.unpersist(); bands.unpersist()
     }
 
