@@ -534,7 +534,7 @@ object Similarity {
   private def d2i(a: Column, b: Column): Column =
     round(squaredL2(a, b) * 1e6).cast("long")
 
-  private def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[ops] def normalized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     // Precompute the norm OUTSIDE the transform lambda: a lambda body
     // that captures an aggregate-over-the-array subexpression
     // re-evaluates it per element (the dup3Frac pitfall — measured
@@ -632,10 +632,57 @@ object Similarity {
     val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStepPq)
     cb.write.mode("overwrite").parquet(s"$outDir/codebooks")
     val clusters = assigned.select(col(idCol).as("id"), col("cluster_id"))
+    // repartition ON the hive key before the partitioned write: without
+    // it every task writes a sliver into every cluster dir — up to
+    // tasks × clusters tiny files, the small-file explosion that kills
+    // a 100 TB index (and measurably slows this write). With it, each
+    // cluster's rows land in one task → one right-sized file per
+    // cluster (at real scale Spark splits oversized tasks by
+    // maxRecordsPerFile, keeping files bounded both ways).
     codes.join(clusters, Seq("id"))
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/codes")
     normalized(emb, idCol, vecCol).join(clusters, Seq("id"))
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/vectors")
+    assigned.unpersist()
+    ()
+  }
+
+  /** Incremental index maintenance — append a delta batch (the new
+    * crawl) to a standing IVF-PQ index WITHOUT retraining: the
+    * persisted centroids route the new vectors (same cosine argmax as
+    * the build), the persisted codebooks encode them (q98's
+    * train-on-base / encode-delta contract), and both corpus-sized
+    * tables are appended under their cluster partitions. Nothing
+    * existing is rewritten and no model state changes, so serving
+    * needs no coordination with the append beyond parquet's
+    * file-level atomicity.
+    *
+    * Equivalence contract (spec-pinned): append(base-index, delta) is
+    * ROW-IDENTICAL under `servePqIndex` to an index whose model was
+    * trained on base but whose tables encode base ∪ delta — i.e. the
+    * append IS the incremental form of that rebuild, at delta cost
+    * (one delta scan per table) instead of corpus cost.
+    *
+    * 100 TB shape: the per-crawl refresh touches only |delta| rows;
+    * the standing corpus is never re-read. Periodic retrains (when
+    * centroid drift degrades recall — measured by the q94 recall
+    * report against the current corpus) rebuild via
+    * `writeIvfPqIndex`; between retrains this is the only write. */
+  def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
+      newEmb: DataFrame, idCol: String, vecCol: String,
+      nAssign: Int = 2): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    val assigned = ivfAssignTo(newEmb, cents, idCol, vecCol, nAssign).persist()
+    val clusters = assigned.select(col(idCol).as("id"), col("cluster_id"))
+    pqEncode(newEmb, idCol, vecCol, cb).join(clusters, Seq("id"))
+      .repartition(col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$indexDir/codes")
+    normalized(newEmb, idCol, vecCol).join(clusters, Seq("id"))
+      .repartition(col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$indexDir/vectors")
     assigned.unpersist()
     ()
   }

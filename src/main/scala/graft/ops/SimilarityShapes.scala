@@ -708,7 +708,110 @@ object SimilarityShapes {
     Similarity.servePqIndex(s, idx, q, k = 5, nProbe = 8, shortlist = 100)
   }
 
+  /** q184 — INCREMENTAL index maintenance, regression-gated end to
+    * end: build the IVF-PQ index on the standing corpus (vec_id % 4
+    * != 1), `appendToIvfPqIndex` the delta crawl (% 4 == 1) against
+    * the persisted model — no retraining — then serve the 5-query
+    * batch off the merged partitions. The oracle mirrors the whole
+    * contract in one statement: IVF centroids seeded from BASE,
+    * PQ codebooks trained on BASE (the q98 delta-encode CTEs), every
+    * vector of base ∪ delta routed and encoded against that frozen
+    * model, then the q97 ADC + exact-rerank tail. A green row
+    * certifies that the per-crawl append path (assign + encode +
+    * partition-append) is byte-equivalent to a base-model full
+    * rebuild — at delta cost. */
+  def ivfPqAppendServe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append_gate").toString
+    Similarity.writeIvfPqIndex(
+      e.filter(col("vec_id") % 4 =!= 1), "vec_id", "embedding", idx)
+    Similarity.appendToIvfPqIndex(
+      s, idx, e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    Similarity.servePqIndex(s, idx, q, k = 5, nProbe = 8, shortlist = 100)
+  }
+
+  val ivfPqAppendServeSql: String =
+    """WITH
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % 37 = 0 AND vec_id % 4 != 1),
+       |ap AS (SELECT e.vec_id, c.c_id, e.embedding AS ve0, c.ce FROM embeddings e, c),
+       |ax AS (SELECT vec_id, c_id, ve0, ce, unnest(generate_series(1, len(ve0))) AS i FROM ap),
+       |ad AS (SELECT vec_id, c_id,
+       |        sum(CAST(ve0[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |        sum(CAST(ve0[i] AS DOUBLE) * CAST(ve0[i] AS DOUBLE)) AS nv2,
+       |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+       |      FROM ax GROUP BY vec_id, c_id),
+       |ar AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dot / (sqrt(nv2) * sqrt(nc2)) DESC, c_id) AS rk FROM ad),
+       |assigned AS (SELECT vec_id, c_id AS cluster_id FROM ar WHERE rk <= 2),
+       |qv AS (SELECT vec_id AS q_id, embedding AS qe0 FROM embeddings WHERE vec_id < 5),
+       |pp AS (SELECT qv.q_id, qv.qe0, cc.c_id, cc.ce
+       |      FROM qv, c cc),
+       |px AS (SELECT q_id, c_id, qe0, ce, unnest(generate_series(1, len(qe0))) AS i FROM pp),
+       |pd AS (SELECT q_id, c_id,
+       |        sum(CAST(qe0[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+       |        sum(CAST(qe0[i] AS DOUBLE) * CAST(qe0[i] AS DOUBLE)) AS nq2,
+       |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+       |      FROM px GROUP BY q_id, c_id),
+       |pr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY dot / (sqrt(nq2) * sqrt(nc2)) DESC, c_id) AS r FROM pd),
+       |probes AS (SELECT q_id, c_id AS cluster_id FROM pr WHERE r <= 8),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |      FROM probes p JOIN assigned a ON a.cluster_id = p.cluster_id
+       |      WHERE a.vec_id <> p.q_id),
+       |nrm AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ve
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, s, ve[s*8+1 : s*8+8] AS sv
+       |      FROM nrm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+       |bsub AS (SELECT * FROM sub WHERE vec_id % 4 != 1),
+       |cb0 AS (SELECT s, vec_id AS code, sv AS cw FROM bsub WHERE vec_id % 7 = 0),
+       |d0 AS (SELECT bsub.vec_id, bsub.s AS s, cb0.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM bsub JOIN cb0 ON bsub.s = cb0.s),
+       |e0 AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |comp AS (SELECT e0.s AS s, e0.code, i,
+       |      CAST(sum(CAST(round(sv[i] * 1e6) AS BIGINT)) AS DOUBLE) / (1e6 * count(*)) AS cc
+       |  FROM e0 JOIN bsub ON e0.vec_id = bsub.vec_id AND e0.s = bsub.s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+       |  GROUP BY e0.s, e0.code, i),
+       |cb1 AS (SELECT s, code, list(cc ORDER BY i) AS cw FROM comp GROUP BY s, code),
+       |d1 AS (SELECT sub.vec_id, sub.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM sub JOIN cb1 ON sub.s = cb1.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2i, code) AS rk
+       |    FROM d1) WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, ve AS qe FROM nrm WHERE vec_id < 5),
+       |tab AS (SELECT q_id, cb1.s AS s, cb1.code,
+       |      CAST(round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> (qe[s*8+i] - cw[i]) * (qe[s*8+i] - cw[i]))) * 1e6) AS BIGINT) AS d2i
+       |  FROM q CROSS JOIN cb1),
+       |scored AS (SELECT t.q_id, e.vec_id AS n_id, CAST(sum(t.d2i) AS BIGINT) AS ad2i
+       |  FROM enc e JOIN cand ON cand.n_id = e.vec_id
+       |  JOIN tab t ON e.s = t.s AND e.code = t.code AND t.q_id = cand.q_id
+       |  GROUP BY t.q_id, e.vec_id),
+       |short AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY ad2i, n_id) AS srk
+       |    FROM scored) WHERE srk <= 100),
+       |rx AS (SELECT sh.q_id, sh.n_id, q.qe, n.ve AS ne FROM short sh
+       |  JOIN q ON q.q_id = sh.q_id JOIN nrm n ON n.vec_id = sh.n_id),
+       |rd AS (SELECT q_id, n_id,
+       |      list_sum(list_transform(generate_series(1, 64), i -> qe[i] * ne[i])) AS sim
+       |  FROM rx),
+       |rr AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+       |  FROM rd)
+       |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_ivfpq_append_serve" -> ivfPqAppendServe,
     "q182_serve_ivfpq_topk" -> serveIvfPqGate,
     "q141_mmr_topk" -> mmrGate,
     "q33_cosine_topk" -> cosineTopK,
@@ -728,6 +831,7 @@ object SimilarityShapes {
     "q82_hybrid_search" -> hybridSearch)
 
   def oracles: Map[String, String] = Map(
+    "q184_ivfpq_append_serve" -> ivfPqAppendServeSql,
     "q182_serve_ivfpq_topk" -> ivfPqTopKSql,
     "q141_mmr_topk" -> mmrGateSql,
     "q33_cosine_topk" -> cosineTopKSql,

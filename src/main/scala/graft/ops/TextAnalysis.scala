@@ -558,8 +558,12 @@ object TextAnalysis {
     val toks = docsDf
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
       .filter(col("term") =!= "")
+    // repartition ON the hive key before the partitioned write — one
+    // right-sized file per bucket instead of tasks × buckets slivers
+    // (the small-file hygiene rule writeIvfPqIndex documents)
     toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucket(col("term")))
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$outDir/postings")
     val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$outDir/doclens")

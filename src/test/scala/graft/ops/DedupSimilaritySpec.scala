@@ -645,6 +645,70 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
 
+  test("appendToIvfPqIndex: base-build + delta-append serves identically to a base-model full-encode index") {
+    // the incremental-maintenance contract: appending the delta crawl
+    // to a standing index must serve EXACTLY like an index whose
+    // (base-trained) model encoded base ∪ delta in one pass — the
+    // append is that rebuild at delta cost
+    import org.apache.spark.sql.functions.col
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val delta = emb.filter(col("vec_id") % 4 === 1)
+    val dirA = java.nio.file.Files.createTempDirectory("ivfpq_append_a").toString
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", dirA)
+    Similarity.appendToIvfPqIndex(spark, dirA, delta, "vec_id", "embedding")
+    // reference: the SAME model read back from the base index, tables
+    // encoding the full corpus in one pass
+    val dirB = java.nio.file.Files.createTempDirectory("ivfpq_append_b").toString
+    val cents = spark.read.parquet(s"$dirA/centroids")
+    val cb = spark.read.parquet(s"$dirA/codebooks")
+    cents.write.parquet(s"$dirB/centroids")
+    cb.write.parquet(s"$dirB/codebooks")
+    val clusters = Similarity.ivfAssignTo(emb, cents, "vec_id", "embedding", nAssign = 2)
+      .select(col("vec_id").as("id"), col("cluster_id"))
+    Similarity.pqEncode(emb, "vec_id", "embedding", cb).join(clusters, Seq("id"))
+      .repartition(col("cluster_id"))
+      .write.partitionBy("cluster_id").parquet(s"$dirB/codes")
+    Similarity.normalized(emb, "vec_id", "embedding").join(clusters, Seq("id"))
+      .repartition(col("cluster_id"))
+      .write.partitionBy("cluster_id").parquet(s"$dirB/vectors")
+    // every vector (base AND delta) present exactly once per (cluster, subspace)
+    val idsA = spark.read.parquet(s"$dirA/vectors").select("id").distinct()
+    assert(idsA.count() == emb.count())
+    assert(spark.read.parquet(s"$dirA/codes").count() ==
+      spark.read.parquet(s"$dirB/codes").count())
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val a = Similarity.servePqIndex(spark, dirA, qs, k = 5, nProbe = 8, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.servePqIndex(spark, dirB, qs, k = 5, nProbe = 8, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("appendToIvfPqIndex: replayed (double) append serves identically — at-least-once tolerant") {
+    // serve-side dropDuplicates on (q_id, id, s) codes and n_id
+    // vectors masks re-delivered rows, so a crashed-and-retried
+    // append job cannot change results — the same idempotency
+    // contract the feed sink makes for at-least-once Kafka delivery
+    import org.apache.spark.sql.functions.col
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val delta = emb.filter(col("vec_id") % 4 === 1)
+    val once = java.nio.file.Files.createTempDirectory("ivfpq_replay_1").toString
+    val twice = java.nio.file.Files.createTempDirectory("ivfpq_replay_2").toString
+    for (d <- Seq(once, twice)) {
+      Similarity.writeIvfPqIndex(base, "vec_id", "embedding", d)
+      Similarity.appendToIvfPqIndex(spark, d, delta, "vec_id", "embedding")
+    }
+    Similarity.appendToIvfPqIndex(spark, twice, delta, "vec_id", "embedding") // replay
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val a = Similarity.servePqIndex(spark, once, qs, k = 5, nProbe = 8, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.servePqIndex(spark, twice, qs, k = 5, nProbe = 8, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("prefixFilterJaccard ≡ naive jaccardPairs on the sf0.001 corpus") {
     for (tau <- Seq(0.3, 0.5, 0.8)) {
       val sets = Dedup.wordBigrams(docs, "doc_id", "text")
