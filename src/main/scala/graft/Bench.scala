@@ -170,7 +170,7 @@ object Bench {
       // oracle must see one self-contained run); the repeating cost
       // is the serve_queries rows
       "q182_serve_ivfpq_topk", "q183_serve_bm25_search",
-      "q184_ivfpq_append_serve")
+      "q184_ivfpq_append_serve", "q185_inverted_append_serve")
       .filter(SparkEntry.queries.contains)
     val loadAfter = loadavg(); val jvmsAfter = javaProcs()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -687,6 +687,25 @@ object Similarity {
     ()
   }
 
+  /** Compact an IVF-PQ index into a fresh directory: after T
+    * `appendToIvfPqIndex` runs every cluster partition holds T files;
+    * this rewrites `codes/` and `vectors/` one-file-per-cluster (the
+    * write-time repartition rule) and copies the tiny model tables.
+    * Output goes to a NEW dir — production swaps the serving pointer
+    * atomically (catalog/symlink), never rewrites a dir being read.
+    * Serving the compacted dir is row-identical (spec-pinned); the
+    * win is file-count: the per-query open cost returns to
+    * O(probed clusters) instead of O(probed clusters × appends). */
+  def compactIvfPqIndex(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    spark.read.parquet(s"$srcDir/centroids").write.parquet(s"$dstDir/centroids")
+    spark.read.parquet(s"$srcDir/codebooks").write.parquet(s"$dstDir/codebooks")
+    for (t <- Seq("codes", "vectors"))
+      spark.read.parquet(s"$srcDir/$t")
+        .repartition(col("cluster_id"))
+        .write.partitionBy("cluster_id").parquet(s"$dstDir/$t")
+  }
+
   /** Serve IVF-PQ retrieval OFF the persisted index — expression-for-
     * expression the `ivfPqTopK` dataflow (so results pin row-identical
     * at the same parameters, spec'd), but every corpus-sized read is

@@ -571,6 +571,61 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$outDir/stats")
   }
 
+  /** Incremental inverted-index maintenance — the text-side twin of
+    * `Similarity.appendToIvfPqIndex`: tokenize ONLY the delta docs,
+    * append their postings under the term-bucket partitions and their
+    * lengths to `doclens/`, then rewrite the 1-row `stats/` table from
+    * the merged doclens (the only non-append step — a doc-bounded
+    * aggregate of (id, dl) pairs, never the corpus text). BM25's df
+    * is derived from the pruned postings at query time and
+    * n_docs/avgdl from stats, so serving after an append is EXACTLY
+    * full-corpus BM25 (gate-certified against the self-contained q73
+    * oracle). NOT replay-idempotent: duplicated postings rows would
+    * double tf/df (unlike the PQ index, whose serve path dedups by
+    * key) — a retried append must target a fresh delta or rebuild;
+    * the docstring states this so callers wire exactly-once delivery
+    * (the IdempotentSink contract) in front of it. */
+  def appendToInvertedIndex(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val toks = newDocs
+      .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bkt", termBucket(col("term")))
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$indexDir/postings")
+    toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(s"$indexDir/doclens")
+    // materialize the merged totals BEFORE overwriting the path being
+    // read (lazy overwrite-what-you-read corrupts)
+    val m = spark.read.parquet(s"$indexDir/doclens")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sum_dl",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(m.getLong(0), m.getLong(1))),
+        schema)
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Compact an inverted index into a fresh directory — the text twin
+    * of `Similarity.compactIvfPqIndex`: postings rewritten
+    * one-file-per-term-bucket, doclens coalesced, stats copied.
+    * Serving the compacted dir is row-identical (spec-pinned);
+    * production swaps the serving pointer to the new dir. */
+  def compactInvertedIndex(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    spark.read.parquet(s"$srcDir/postings")
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(s"$dstDir/postings")
+    spark.read.parquet(s"$srcDir/doclens").coalesce(1)
+      .write.parquet(s"$dstDir/doclens")
+    spark.read.parquet(s"$srcDir/stats").write.parquet(s"$dstDir/stats")
+  }
+
   /** BM25 OFF the persisted index — the same pivoted dataflow and the
     * SAME score expression as [[bm25Search]] (spec-pinned row-equal),
     * but the corpus never re-tokenizes: the query terms' buckets
@@ -1714,7 +1769,27 @@ object TextAnalysis {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** q185 — incremental inverted-index maintenance, gated end to end:
+    * build the index on the standing docs (doc_id % 4 != 1), append
+    * the delta crawl (% 4 == 1), serve the q73 query off the merged
+    * partitions. Because df/n_docs/avgdl all re-derive exactly after
+    * the append, the oracle is simply q73's self-contained
+    * full-corpus SQL — a green row certifies the append path produced
+    * the identical retrieval state a full rebuild would. */
+  def invertedAppendServeGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_inv_append_gate").toString
+    writeInvertedIndex(d.filter(pmod(col("doc_id"), lit(4)) =!= 1),
+      "doc_id", "text", idx)
+    appendToInvertedIndex(s, idx,
+      d.filter(pmod(col("doc_id"), lit(4)) === 1), "doc_id", "text")
+    serveBm25(s, idx, Seq("spark", "join", "query"), k = 20)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_inverted_append_serve" -> invertedAppendServeGate,
     "q183_serve_bm25_search" -> serveBm25Gate,
     "q143_repeated_ngrams" -> repeatedNgramsGate,
     "q125_source_similarity" -> sourceSimilarityGate,
@@ -1748,6 +1823,7 @@ object TextAnalysis {
     "q61_containment" -> containment)
 
   def oracles: Map[String, String] = Map(
+    "q185_inverted_append_serve" -> bm25Top20Sql,
     "q183_serve_bm25_search" -> bm25Top20Sql,
     "q143_repeated_ngrams" -> repeatedNgramsGateSql,
     "q125_source_similarity" -> sourceSimilarityGateSql,

@@ -709,6 +709,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("compactIvfPqIndex: serve-identical, one data file per cluster partition") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val delta = emb.filter(col("vec_id") % 4 === 1)
+    val src = java.nio.file.Files.createTempDirectory("ivfpq_cmp_src").toString
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", src)
+    Similarity.appendToIvfPqIndex(spark, src, delta, "vec_id", "embedding")
+    val dst = java.nio.file.Files.createTempDirectory("ivfpq_cmp_dst").toString
+    Similarity.compactIvfPqIndex(spark, src, dst)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val a = Similarity.servePqIndex(spark, src, qs, k = 5, nProbe = 8, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.servePqIndex(spark, dst, qs, k = 5, nProbe = 8, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    // appended source: ≥2 files in some cluster dir; compacted: exactly 1 in each
+    def filesPerPart(dir: String): Seq[Int] =
+      new java.io.File(s"$dir/codes").listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(filesPerPart(src).exists(_ >= 2), "append should leave multiple files")
+    assert(filesPerPart(dst).forall(_ == 1), "compaction must leave one file per cluster")
+  }
+
   test("prefixFilterJaccard ≡ naive jaccardPairs on the sf0.001 corpus") {
     for (tau <- Seq(0.3, 0.5, 0.8)) {
       val sets = Dedup.wordBigrams(docs, "doc_id", "text")

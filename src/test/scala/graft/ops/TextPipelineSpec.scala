@@ -420,6 +420,54 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("appendToInvertedIndex: base-build + delta-append serves identically to a full build") {
+    // the incremental-maintenance contract for the text index: df,
+    // n_docs and avgdl all re-derive exactly after the append, so
+    // serving the merged index must equal serving a one-shot full
+    // build row for row
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = java.nio.file.Files.createTempDirectory("inv_full_").toString
+    TextAnalysis.writeInvertedIndex(d, "doc_id", "text", full)
+    val inc = java.nio.file.Files.createTempDirectory("inv_inc_").toString
+    TextAnalysis.writeInvertedIndex(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 1), "doc_id", "text", inc)
+    TextAnalysis.appendToInvertedIndex(spark, inc,
+      d.filter(pmod(col("doc_id"), lit(4)) === 1), "doc_id", "text")
+    for (q <- Seq(Seq("table"), Seq("table", "scan", "merge"))) {
+      val a = TextAnalysis.serveBm25(spark, full, q, k = 20)
+        .collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.serveBm25(spark, inc, q, k = 20)
+        .collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"query=$q")
+    }
+    // and the stats row really merged (not just the base's)
+    val st = spark.read.parquet(s"$inc/stats").head()
+    val stFull = spark.read.parquet(s"$full/stats").head()
+    assert(st.getLong(0) == stFull.getLong(0) && st.getLong(1) == stFull.getLong(1))
+  }
+
+  test("compactInvertedIndex: serve-identical after append + compact") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val src = java.nio.file.Files.createTempDirectory("inv_cmp_src").toString
+    TextAnalysis.writeInvertedIndex(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 1), "doc_id", "text", src)
+    TextAnalysis.appendToInvertedIndex(spark, src,
+      d.filter(pmod(col("doc_id"), lit(4)) === 1), "doc_id", "text")
+    val dst = java.nio.file.Files.createTempDirectory("inv_cmp_dst").toString
+    TextAnalysis.compactInvertedIndex(spark, src, dst)
+    for (q <- Seq(Seq("table"), Seq("table", "scan", "merge"))) {
+      val a = TextAnalysis.serveBm25(spark, src, q, k = 20).collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.serveBm25(spark, dst, q, k = 20).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"query=$q")
+    }
+    def filesPerPart(dir: String): Seq[Int] =
+      new java.io.File(s"$dir/postings").listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(filesPerPart(src).exists(_ >= 2))
+    assert(filesPerPart(dst).forall(_ == 1))
+  }
+
   test("termBucketOf (driver) ≡ termBucket (expression)") {
     import spark.implicits._
     val words = Seq("table", "scan", "a", "zzz", "merge")
