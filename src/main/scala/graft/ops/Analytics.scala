@@ -1374,7 +1374,51 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 40""".stripMargin
 
+  /** k-anonymity audit over quasi-identifiers — the privacy screen a
+    * training-data release runs before shipping user-derived tables:
+    * customers grouped by the QI tuple (nation, market segment,
+    * account-balance thousand-band); any group smaller than k = 8 is
+    * a re-identification risk (its members are distinguishable by
+    * publicly-knowable attributes alone). Per nation: group count,
+    * small-group count, at-risk row count, and the at-risk share in
+    * 1e-6 fixed point. One (QI)-keyed aggregate (map-side combined)
+    * then a nation-bounded rollup — the QI frame is |distinct tuples|
+    * -sized, never customer-sized, so the second stage is free at any
+    * scale. The balance band is floor(acctbal/1000) on the raw double
+    * — both engines do the same IEEE divide+floor, no decimal drift. */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val g = t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    g.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risk_rows"),
+        sum(col("n")).as("n_rows"))
+      .select(col("c_nationkey"), col("n_groups"), col("n_small_groups"),
+        col("n_risk_rows"),
+        expr("(n_risk_rows * 1000000) div n_rows").as("risk_fx"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** q188 — the k-anonymity audit, k = 8. */
+  def kAnonymityGate(s: SparkSession, dir: String): DataFrame = kAnonymity(s, dir)
+
+  val kAnonymitySql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT c_nationkey, count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN n < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+      |  CAST(sum(CASE WHEN n < 8 THEN n ELSE 0 END) AS BIGINT) AS n_risk_rows,
+      |  CAST((CAST(sum(CASE WHEN n < 8 THEN n ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(sum(n) AS BIGINT) AS BIGINT) AS risk_fx
+      |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_k_anonymity" -> kAnonymityGate,
     "q172_volume_shipping" -> volumeShipping,
     "q173_disjunctive_revenue" -> disjunctiveRevenue,
     "q174_top_supplier" -> topSupplier,
@@ -1410,6 +1454,7 @@ object Analytics {
     "q144_session_paths" -> sessionPaths)
 
   val oracles: Map[String, String] = Map(
+    "q188_k_anonymity" -> kAnonymitySql,
     "q172_volume_shipping" -> volumeShippingSql,
     "q173_disjunctive_revenue" -> disjunctiveRevenueSql,
     "q174_top_supplier" -> topSupplierSql,

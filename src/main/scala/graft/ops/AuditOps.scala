@@ -195,13 +195,54 @@ object AuditOps {
       |  CAST(max(norm_fx) AS BIGINT) AS max_norm_fx
       |FROM n GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** q190 — padding-waste audit, the DECISION companion of q180's
+    * context budget: for each candidate context length L, pack every
+    * doc into ceil(n/L) L-token sequences and report the total
+    * sequences, padded-token count, and the padded share of trained
+    * tokens in 1e-6 fixed point — the number that actually picks a
+    * context length (q180 says how docs distribute; this says what a
+    * given L COSTS in wasted FLOPs under doc-boundary packing, the
+    * upper bound the q68 stream packer then improves on). ceil is
+    * exact-integer ((n + L − 1) div L); the whole query is one
+    * map-side 4× expansion of the per-doc count and a 4-row-bounded
+    * aggregate — no shuffle touches text. */
+  def paddingWaste(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .select(col("n"), explode(array(
+        lit(64L), lit(128L), lit(256L), lit(512L))).as("ctx"))
+      .withColumn("n_seq", expr("(n + ctx - 1) div ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_seq")).as("n_seqs"),
+        sum(col("n_seq") * col("ctx") - col("n")).as("n_pad"))
+      .withColumn("pad_fx", expr("(n_pad * 1000000) div (n_seqs * ctx)"))
+      .orderBy(col("ctx"))
+
+  val paddingWasteSql: String =
+    s"""WITH d AS (SELECT len(string_split_regex(trim(text), '${"\\s+"}')) AS n
+       |  FROM documents),
+       |x AS (SELECT n, ctx, (n + ctx - 1) // ctx AS n_seq
+       |  FROM d CROSS JOIN (SELECT unnest([64, 128, 256, 512]) AS ctx)
+       |  WHERE n >= 1),
+       |a AS (SELECT ctx, count(*) AS n_docs,
+       |    CAST(sum(n_seq) AS BIGINT) AS n_seqs,
+       |    CAST(sum(n_seq * ctx - n) AS BIGINT) AS n_pad
+       |  FROM x GROUP BY ctx)
+       |SELECT CAST(ctx AS BIGINT) AS ctx, n_docs, n_seqs, n_pad,
+       |  CAST((n_pad * 1000000) // (n_seqs * ctx) AS BIGINT) AS pad_fx
+       |FROM a ORDER BY ctx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_minhash_calibration" -> minhashCalibration,
     "q180_context_budget" -> contextBudget,
-    "q181_embedding_qa" -> embeddingQa)
+    "q181_embedding_qa" -> embeddingQa,
+    "q190_padding_waste" -> paddingWaste)
 
   def oracles: Map[String, String] = Map(
     "q179_minhash_calibration" -> minhashCalibrationSql,
     "q180_context_budget" -> contextBudgetSql,
-    "q181_embedding_qa" -> embeddingQaSql)
+    "q181_embedding_qa" -> embeddingQaSql,
+    "q190_padding_waste" -> paddingWasteSql)
 }

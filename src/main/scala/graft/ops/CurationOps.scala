@@ -974,7 +974,135 @@ object CurationOps {
       |  CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY 1, 2 ORDER BY source, fold""".stripMargin
 
+  // ---------------------------------------------------------------- quality-rule screen
+
+  /** Gopher-style quality-rule screen (Rae et al. 2021's heuristic
+    * family, re-expressed over this corpus's text shape): per doc,
+    * four independent pass/fail rules —
+    *   r1 word count in [30, 100k]; r2 mean word length in [3, 10]
+    *   chars; r3 ≥2 stopword hits; r4 distinct-word ratio ≥ 50%
+    * — and per source the doc count, all-rules pass count, PER-RULE
+    * failure counts (the actionable column: which rule is gutting a
+    * source tells you whether it's boilerplate, spam, or truncation),
+    * and the pass rate in 1e-6 fixed point. Everything is map-only
+    * per doc (array functions over the one split — no explode, no
+    * per-word shuffle) followed by a single source-bounded aggregate;
+    * mean word length and the distinct ratio are exact integer
+    * divisions, so no rule straddles a float rounding boundary. */
+  def qualityRuleScreen(d: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val ts = split(t, WS)
+    val passAll = col("r1") && col("r2") && col("r3") && col("r4")
+    d.select(col(srcCol).as("source"),
+        when(length(t) === 0, 0L).otherwise(size(ts).cast("long")).as("nw"),
+        length(regexp_replace(t, WS, "")).cast("long").as("nch"),
+        size(filter(ts, w => w.isin("the", "a", "of", "and", "to", "in")))
+          .cast("long").as("nstop"),
+        size(array_distinct(ts)).cast("long").as("ndis"))
+      .select(col("source"),
+        col("nw").between(30L, 100000L).as("r1"),
+        (col("nw") > 0L &&
+          expr("(nch * 1000000) div nw").between(3000000L, 10000000L)).as("r2"),
+        (col("nstop") >= 2L).as("r3"),
+        (col("nw") > 0L && expr("(ndis * 1000000) div nw") >= 500000L).as("r4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(passAll, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_repetition"))
+      .withColumn("pass_fx", expr("(n_pass * 1000000) div n_docs"))
+  }
+
+  /** q187 — the quality-rule screen over documents, per source. */
+  def qualityRulesGate(s: SparkSession, dir: String): DataFrame =
+    qualityRuleScreen(docs(s, dir), "source", "text")
+      .orderBy(col("source"))
+
+  val qualityRulesGateSql: String =
+    s"""WITH t AS (SELECT source,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '$WS')) END AS nw,
+       |    length(regexp_replace(trim(text), '$WS', '', 'g')) AS nch,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(list_filter(string_split_regex(trim(text), '$WS'),
+       |           w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) END AS nstop,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(list_distinct(string_split_regex(trim(text), '$WS')))
+       |         END AS ndis
+       |  FROM documents),
+       |r AS (SELECT source,
+       |    CASE WHEN nw BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS r1,
+       |    CASE WHEN nw > 0 AND (nch * 1000000) // nw
+       |      BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS r2,
+       |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r3,
+       |    CASE WHEN nw > 0 AND (ndis * 1000000) // nw >= 500000
+       |      THEN 1 ELSE 0 END AS r4
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(r1 * r2 * r3 * r4) AS BIGINT) AS n_pass,
+       |  CAST(sum(1 - r1) AS BIGINT) AS fail_words,
+       |  CAST(sum(1 - r2) AS BIGINT) AS fail_wordlen,
+       |  CAST(sum(1 - r3) AS BIGINT) AS fail_stopwords,
+       |  CAST(sum(1 - r4) AS BIGINT) AS fail_repetition,
+       |  CAST((CAST(sum(r1 * r2 * r3 * r4) AS BIGINT) * 1000000) // count(*)
+       |    AS BIGINT) AS pass_fx
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- temperature mixture
+
+  /** Temperature-scaled mixture weights (the multilingual-sampling
+    * recipe of XLM-R/mT5 at τ = 1/2): per source, raw token share and
+    * the renormalized sqrt-share sampling weight — upweights the tail
+    * sources a proportional mixture starves, without letting any
+    * single giant source dominate an epoch. τ is fixed at 1/2 because
+    * sqrt is the ONE power IEEE-754 requires correctly rounded, so
+    * weight_fx = round(sqrt(tokens/total)·1e6) is bit-identical on
+    * any engine — a free determinism guarantee pow(x, 0.7) could
+    * never give. Token counts aggregate per source (map-side combine),
+    * everything after runs on the |sources|-row frame. */
+  def temperatureMixture(d: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val nTok = when(length(t) === 0, 0L).otherwise(size(split(t, WS)).cast("long"))
+    val per = d.select(col(srcCol).as("source"), nTok.as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("share_fx", expr("(n_tokens * 1000000) div tot"))
+      .withColumn("weight_fx",
+        round(sqrt(col("n_tokens").cast("double") / col("tot")) * 1e6).cast("long"))
+    val wsum = w.agg(sum(col("weight_fx")).as("wsum"))
+    w.crossJoin(broadcast(wsum))
+      .select(col("source"), col("n_tokens"), col("share_fx"), col("weight_fx"),
+        expr("(weight_fx * 1000000) div wsum").as("alloc_fx"))
+  }
+
+  /** q189 — τ=1/2 temperature mixture over documents, per source. */
+  def temperatureMixtureGate(s: SparkSession, dir: String): DataFrame =
+    temperatureMixture(docs(s, dir), "source", "text")
+      .orderBy(col("source"))
+
+  val temperatureMixtureGateSql: String =
+    s"""WITH per AS (SELECT source, CAST(sum(
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '$WS')) END) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+       |w AS (SELECT source, n_tokens,
+       |    CAST((n_tokens * 1000000) // tot AS BIGINT) AS share_fx,
+       |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / tot) * 1e6) AS BIGINT)
+       |      AS weight_fx
+       |  FROM per, tot),
+       |ws AS (SELECT CAST(sum(weight_fx) AS BIGINT) AS wsum FROM w)
+       |SELECT source, n_tokens, share_fx, weight_fx,
+       |  CAST((weight_fx * 1000000) // wsum AS BIGINT) AS alloc_fx
+       |FROM w, ws ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_quality_rules" -> qualityRulesGate,
+    "q189_temperature_mixture" -> temperatureMixtureGate,
     "q142_stratified_kfold" -> kfoldGate,
     "q86_fuzzy_decontam" -> fuzzyDecontam,
     "q87_pii_audit" -> piiAuditGate,
@@ -989,6 +1117,8 @@ object CurationOps {
     "q110_weighted_sample" -> weightedSampleGate)
 
   val oracles: Map[String, String] = Map(
+    "q187_quality_rules" -> qualityRulesGateSql,
+    "q189_temperature_mixture" -> temperatureMixtureGateSql,
     "q142_stratified_kfold" -> kfoldGateSql,
     "q86_fuzzy_decontam" -> fuzzyDecontamSql,
     "q87_pii_audit" -> piiAuditGateSql,

@@ -77,6 +77,50 @@ object Similarity {
     ivfAssignTo(emb, ivfCentroids(emb, idCol, vecCol, seedStep),
       idCol, vecCol, nAssign)
 
+  /** Centroid-based (simplified) silhouette per cluster — the
+    * clustering-QA pass run BEFORE trusting an IVF index: per vector,
+    * a = cosine distance to its assigned (nearest) centroid and b =
+    * distance to the second-nearest, giving the assignment-margin
+    * silhouette s = (b−a)/max(a,b) = (cos1−cos2)/(1−cos2) — always in
+    * [0,1] under argmax assignment (the full-pairwise silhouette's
+    * negative branch can't occur when "own cluster" IS the nearest
+    * centroid; what this audits is routing confidence: clusters whose
+    * members sit near a Voronoi boundary score ~0 and are where
+    * nProbe=1 recall dies first — q94's recall report tells you the
+    * effect, this tells you WHERE).
+    *
+    * Determinism: ranking reuses q56's raw-double cosine argmax
+    * (c_id tie-break); the two ranked cosines are 1e-4 fixed-pointed
+    * per row BEFORE the margin division, which is then exact-integer
+    * ((c1−c2)·1e6 div (1e4−c2), guarded 0 when c2 = 1e4), so no
+    * aggregate rides on float order. Scale: centroids broadcast; the
+    * grid is map-side; the only shuffles are the per-vector top-2
+    * window and the cluster-bounded close — same plan family as the
+    * gated q56 assignment itself. */
+  def clusterSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+      seedStep: Int): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, seedStep)
+    val n = withNorm(emb, idCol, vecCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
+    val per = n.join(broadcast(cents))
+      .withColumn("csim", cosine(col(vecCol), col("cv"), col("norm"), col("cn")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2)
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("r") === 1, col("c_id"))).as("cluster_id"),
+        max(when(col("r") === 1, round(col("csim") * 1e4).cast("long"))).as("c1"),
+        max(when(col("r") === 2, round(col("csim") * 1e4).cast("long"))).as("c2"))
+    per
+      .withColumn("sil_fx", when(col("c2") >= 10000L, lit(0L))
+        .otherwise(expr("((c1 - c2) * 1000000) div (10000 - c2)")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(sil_fx) div count(1)").as("avg_sil_fx"),
+        min(col("sil_fx")).as("min_sil_fx"),
+        max(col("sil_fx")).as("max_sil_fx"))
+  }
+
   /** Incremental embedding near-dup — the embedding-space twin of
     * `Dedup.deltaDedupStatus`: classify a NEW batch of vectors against
     * a standing corpus whose IVF index (centroids from the base's

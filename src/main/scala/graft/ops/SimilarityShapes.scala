@@ -177,6 +177,45 @@ object SimilarityShapes {
       |      FROM s)
       |SELECT vec_id, c_id AS cluster_id FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  /** q186 — cluster-quality silhouette over the q56 IVF index
+    * (seedStep 37): per cluster, the member count and min/avg/max
+    * assignment-margin silhouette in 1e-6 fixed point. The QA row a
+    * deployment reads before trusting nProbe routing — boundary-heavy
+    * clusters (avg ≈ 0) are where approximate recall dies first. Same
+    * centroid seeding and raw-double cosine argmax as the gated q56
+    * assignment, so this certifies the margin math on the exact same
+    * index the serving path uses. */
+  def clusterSilhouetteGate(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterSilhouette(emb(s, dir), "vec_id", "embedding", seedStep = 37)
+      .orderBy(col("cluster_id"))
+
+  val clusterSilhouetteSql: String =
+    """WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id % 37 = 0),
+      |p AS (SELECT e.vec_id, c.c_id, e.embedding AS ve, c.ce FROM embeddings e, c),
+      |x AS (SELECT vec_id, c_id, ve, ce, unnest(generate_series(1, len(ve))) AS i FROM p),
+      |d AS (SELECT vec_id, c_id,
+      |        sum(CAST(ve[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+      |        sum(CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE)) AS nv2,
+      |        sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc2
+      |      FROM x GROUP BY vec_id, c_id),
+      |s AS (SELECT vec_id, c_id, dot / (sqrt(nv2) * sqrt(nc2)) AS csim FROM d),
+      |r AS (SELECT vec_id, c_id, csim,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id) AS rk
+      |      FROM s),
+      |t AS (SELECT vec_id,
+      |        max(CASE WHEN rk = 1 THEN c_id END) AS cluster_id,
+      |        max(CASE WHEN rk = 1 THEN CAST(round(csim * 1e4) AS BIGINT) END) AS c1,
+      |        max(CASE WHEN rk = 2 THEN CAST(round(csim * 1e4) AS BIGINT) END) AS c2
+      |      FROM r WHERE rk <= 2 GROUP BY vec_id),
+      |q AS (SELECT cluster_id, CASE WHEN c2 >= 10000 THEN 0
+      |        ELSE ((c1 - c2) * 1000000) // (10000 - c2) END AS sil_fx FROM t)
+      |SELECT cluster_id, count(*) AS n_vecs,
+      |  CAST(CAST(sum(sil_fx) AS BIGINT) // count(*) AS BIGINT) AS avg_sil_fx,
+      |  CAST(min(sil_fx) AS BIGINT) AS min_sil_fx,
+      |  CAST(max(sil_fx) AS BIGINT) AS max_sil_fx
+      |FROM q GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** Random-hyperplane (cosine) LSH fingerprints, aggregated into
     * bucket counts — certifies the hash construction itself (like q32
     * for text SimHash). The ±1 planes are deterministic
@@ -811,6 +850,7 @@ object SimilarityShapes {
        |SELECT q_id, rnk, n_id, round(sim, 4) AS sim FROM rr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_cluster_silhouette" -> clusterSilhouetteGate,
     "q184_ivfpq_append_serve" -> ivfPqAppendServe,
     "q182_serve_ivfpq_topk" -> serveIvfPqGate,
     "q141_mmr_topk" -> mmrGate,
@@ -831,6 +871,7 @@ object SimilarityShapes {
     "q82_hybrid_search" -> hybridSearch)
 
   def oracles: Map[String, String] = Map(
+    "q186_cluster_silhouette" -> clusterSilhouetteSql,
     "q184_ivfpq_append_serve" -> ivfPqAppendServeSql,
     "q182_serve_ivfpq_topk" -> ivfPqTopKSql,
     "q141_mmr_topk" -> mmrGateSql,

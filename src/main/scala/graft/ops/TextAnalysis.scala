@@ -560,13 +560,21 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     // repartition ON the hive key before the partitioned write — one
     // right-sized file per bucket instead of tasks × buckets slivers
-    // (the small-file hygiene rule writeIvfPqIndex documents)
+    // (the small-file hygiene rule writeIvfPqIndex documents).
+    // `batch` is the outer partition key: the base build owns
+    // batch=base; each append owns batch=<batchId>, which is what
+    // makes appends replay-idempotent (dynamic partition overwrite
+    // replaces exactly the replayed batch's subtree — see
+    // [[appendToInvertedIndex]]).
     toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucket(col("term")))
+      .withColumn("batch", lit("base"))
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$outDir/postings")
+      .write.mode("overwrite").partitionBy("batch", "bkt")
+      .parquet(s"$outDir/postings")
     val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$outDir/doclens")
+    dl.withColumn("batch", lit("base"))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$outDir/doclens")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$outDir/stats")
   }
@@ -580,22 +588,38 @@ object TextAnalysis {
     * is derived from the pruned postings at query time and
     * n_docs/avgdl from stats, so serving after an append is EXACTLY
     * full-corpus BM25 (gate-certified against the self-contained q73
-    * oracle). NOT replay-idempotent: duplicated postings rows would
-    * double tf/df (unlike the PQ index, whose serve path dedups by
-    * key) — a retried append must target a fresh delta or rebuild;
-    * the docstring states this so callers wire exactly-once delivery
-    * (the IdempotentSink contract) in front of it. */
+    * oracle).
+    *
+    * REPLAY-IDEMPOTENT (at-least-once tolerant, same contract as the
+    * PQ append): each append owns the `batch=<batchId>` partition
+    * subtree and writes it with DYNAMIC partition overwrite, so a
+    * retried/replayed append of the same deterministic delta replaces
+    * its own partitions instead of duplicating posting rows —
+    * tf/df/n_docs stay exact after any number of replays (spec-pinned
+    * in TextPipelineSpec). Distinct crawls MUST use distinct batchIds
+    * (reusing one would replace the earlier crawl — the same rule any
+    * partition-overwrite ETL job has); `batchId = "base"` is reserved
+    * for the full build. */
   def appendToInvertedIndex(spark: SparkSession, indexDir: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String,
+      batchId: String = "delta"): Unit = {
+    require(batchId != "base" && batchId.nonEmpty,
+      "batchId 'base' is reserved for writeInvertedIndex")
     val toks = newDocs
       .select(col(idCol).as("id"), explode(split(trim(col(textCol)), WS)).as("term"))
       .filter(col("term") =!= "")
     toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("bkt", termBucket(col("term")))
+      .withColumn("batch", lit(batchId))
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$indexDir/postings")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "bkt").parquet(s"$indexDir/postings")
     toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-      .write.mode("append").parquet(s"$indexDir/doclens")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$indexDir/doclens")
     // materialize the merged totals BEFORE overwriting the path being
     // read (lazy overwrite-what-you-read corrupts)
     val m = spark.read.parquet(s"$indexDir/doclens")
@@ -618,11 +642,15 @@ object TextAnalysis {
     * production swaps the serving pointer to the new dir. */
   def compactInvertedIndex(spark: SparkSession, srcDir: String,
       dstDir: String): Unit = {
+    // all source batches fold back into batch=base — the compacted
+    // dir starts a fresh append lineage
     spark.read.parquet(s"$srcDir/postings")
+      .withColumn("batch", lit("base"))
       .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(s"$dstDir/postings")
-    spark.read.parquet(s"$srcDir/doclens").coalesce(1)
-      .write.parquet(s"$dstDir/doclens")
+      .write.partitionBy("batch", "bkt").parquet(s"$dstDir/postings")
+    spark.read.parquet(s"$srcDir/doclens")
+      .withColumn("batch", lit("base")).coalesce(1)
+      .write.partitionBy("batch").parquet(s"$dstDir/doclens")
     spark.read.parquet(s"$srcDir/stats").write.parquet(s"$dstDir/stats")
   }
 

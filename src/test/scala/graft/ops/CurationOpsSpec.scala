@@ -288,4 +288,47 @@ class CurationOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("has_pii")).as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> true, 2L -> true, 3L -> false))
   }
+
+  test("qualityRuleScreen: each rule fails exactly the doc built to fail it; empty text fails all length rules") {
+    // 35 words of distinct text passes everything (stopwords 'the a of' present)
+    val good = "the a of " + (1 to 32).map(i => s"word$i").mkString(" ")
+    // each trap doc fails exactly ONE rule and passes the other three:
+    // r1 too short; r2 mean word length > 10 (words kept distinct so r4
+    // holds); r3 no stopwords; r4 one 6-char word repeated (mean length
+    // stays ≥ 3)
+    val shortDoc = "the a of just short"
+    val longWords = "the a of " + (1 to 32).map(i => "x" * 20 + i).mkString(" ")
+    val noStop = (1 to 35).map(i => s"word$i").mkString(" ")
+    val repeated = "the a of " + Seq.fill(37)("dupdup").mkString(" ")
+    val d = Seq(
+      ("s1", good), ("s1", shortDoc), ("s1", longWords),
+      ("s1", noStop), ("s1", repeated), ("s2", "")).toDF("source", "text")
+    val got = CurationOps.qualityRuleScreen(d, "source", "text")
+      .orderBy(col("source"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    // s1: 5 docs, 1 passes all; one failure per rule except r2 is also
+    // missed by nothing else (each trap doc passes the other rules)
+    assert(got == List(
+      ("s1", 5L, 1L, 1L, 1L, 1L, 1L, 200000L),
+      ("s2", 1L, 0L, 1L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("temperatureMixture: sqrt weights upweight the tail; allocs sum to ~1; exact on a hand case") {
+    // two sources, 9:1 token split → shares 0.9/0.1, weights sqrt:
+    // 948683/316228, allocs re-normalized
+    val d = Seq(("big", (1 to 90).map(_ => "t").mkString(" ")),
+      ("small", (1 to 10).map(_ => "t").mkString(" "))).toDF("source", "text")
+    val got = CurationOps.temperatureMixture(d, "source", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (bigTok, bigShare, bigW, bigA) = got("big")
+    val (smallTok, smallShare, smallW, smallA) = got("small")
+    assert(bigTok == 90L && smallTok == 10L)
+    assert(bigShare == 900000L && smallShare == 100000L)
+    assert(bigW == math.round(math.sqrt(0.9) * 1e6) &&
+      smallW == math.round(math.sqrt(0.1) * 1e6))
+    // tail source's sampling share (25%) is far above its raw share (10%)
+    assert(smallA > 2 * smallShare)
+    assert(math.abs(bigA + smallA - 1000000L) <= 1)
+  }
 }

@@ -793,4 +793,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .count()
     assert(prefKeys * 3 < fullKeys * 2, s"pref=$prefKeys full=$fullKeys")
   }
+
+  test("clusterSilhouette: centroids score 1.0, boundary vectors 0, margins in between") {
+    import spark.implicits._
+    // seedStep 2 → ids 0 and 2 are centroids ([1,0] and [0,1]); id 1
+    // routes confidently to cluster 0; id 3 sits exactly on the
+    // Voronoi boundary (equal cosine to both, c_id tie-break → 0)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterSilhouette(e, "vec_id", "embedding", seedStep = 2)
+      .orderBy(col("cluster_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val c0 = got.head; val c2 = got(1)
+    assert(got.map(_._1) == List(0L, 2L))
+    assert(c0._2 == 3L && c2._2 == 1L)               // member counts
+    assert(c0._4 == 0L, "boundary vector must score 0")  // min over cluster 0
+    assert(c0._5 == 1000000L, "the centroid itself scores exactly 1.0")
+    assert(c2._4 == 1000000L && c2._5 == 1000000L)
+  }
 }

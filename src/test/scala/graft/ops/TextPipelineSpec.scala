@@ -460,12 +460,47 @@ class TextPipelineSpec extends SparkSpec {
       val b = TextAnalysis.serveBm25(spark, dst, q, k = 20).collect().map(_.toSeq).toSeq
       assert(a.nonEmpty && a == b, s"query=$q")
     }
-    def filesPerPart(dir: String): Seq[Int] =
+    // total parquet files per term bucket ACROSS batch dirs: the
+    // appended src spreads a bucket over batch=base + batch=delta;
+    // the compacted dst folds everything back to one file per bucket
+    def filesPerBucket(dir: String): Map[String, Int] =
       new java.io.File(s"$dir/postings").listFiles.toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
-        .map(_.listFiles.count(_.getName.endsWith(".parquet")))
-    assert(filesPerPart(src).exists(_ >= 2))
-    assert(filesPerPart(dst).forall(_ == 1))
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .flatMap(_.listFiles.toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("bkt=")))
+        .groupBy(_.getName)
+        .map { case (b, ds) =>
+          b -> ds.map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum }
+    assert(filesPerBucket(src).values.exists(_ >= 2))
+    assert(filesPerBucket(dst).values.forall(_ == 1))
+  }
+
+  test("appendToInvertedIndex: replayed append is idempotent (at-least-once tolerant)") {
+    // the retried-job contract: replaying the SAME batchId dynamic-
+    // overwrites that batch's partitions instead of duplicating
+    // posting rows, so tf/df/n_docs stay exact — serve and stats both
+    // equal the one-shot full build after the replay
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = java.nio.file.Files.createTempDirectory("inv_rp_full").toString
+    TextAnalysis.writeInvertedIndex(d, "doc_id", "text", full)
+    val inc = java.nio.file.Files.createTempDirectory("inv_rp_inc").toString
+    TextAnalysis.writeInvertedIndex(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 1), "doc_id", "text", inc)
+    val delta = d.filter(pmod(col("doc_id"), lit(4)) === 1)
+    TextAnalysis.appendToInvertedIndex(spark, inc, delta, "doc_id", "text", "crawl7")
+    TextAnalysis.appendToInvertedIndex(spark, inc, delta, "doc_id", "text", "crawl7")
+    for (q <- Seq(Seq("table"), Seq("table", "scan", "merge"))) {
+      val a = TextAnalysis.serveBm25(spark, full, q, k = 20).collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.serveBm25(spark, inc, q, k = 20).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"query=$q")
+    }
+    val st = spark.read.parquet(s"$inc/stats").head()
+    val stFull = spark.read.parquet(s"$full/stats").head()
+    assert(st.getLong(0) == stFull.getLong(0) && st.getLong(1) == stFull.getLong(1))
+    // 'base' stays reserved for the full build
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToInvertedIndex(spark, inc, delta, "doc_id", "text", "base")
+    }
   }
 
   test("termBucketOf (driver) ≡ termBucket (expression)") {
