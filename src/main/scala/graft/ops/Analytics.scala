@@ -1190,6 +1190,64 @@ object Analytics {
       |    AS BIGINT) AS hapax_share_fx
       |FROM g GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Good-Turing / Chao1 vocabulary-richness estimate per source over
+    * word BIGRAMS — the corpus-planning question behind q148's
+    * vocab-growth curve: how much of this source's bigram vocabulary
+    * has it NOT shown yet? (Bigrams, not unigrams, because that is
+    * the event space Katz/Good-Turing smoothing actually operates on
+    * — and the unigram vocabulary of a bounded-lexicon source
+    * saturates, leaving n1 ≈ 0 and the estimator degenerate.)
+    * Good-Turing's unseen-probability mass is n1/N (singleton share
+    * of TOKENS, unlike q171's share of vocabulary), and the
+    * bias-corrected Chao1 richness estimate is V + n1(n1−1)/(2(n2+1))
+    * — a lower bound on true vocabulary, driving "is more crawl of
+    * this source worth it". ONE (source, bigram) shuffle (q45's
+    * shingling, counts not distinct), then a vocabulary-bounded
+    * close; everything 1e-6 fixed point / exact-integer. BIGINT
+    * headroom: the n1(n1−1)·1e6 product wraps past n1 ≈ 3e6
+    * singletons per source — beyond that compute the correction as a
+    * DOUBLE product of exact factors (the q124/q127 recipe); at gate
+    * SFs n1 ≲ 1e4. */
+  def goodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuringOf(t(s, dir, "documents"))
+
+  /** Generic core over any (source, text) frame. */
+  def goodTuringOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), split(trim(col("text")), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        expr("(n1 * 1000000) div n_tokens").as("unseen_mass_fx"),
+        (col("vocab") * lit(1000000L) +
+          expr("(n1 * (n1 - 1) * 1000000) div (2 * (n2 + 1))")).as("chao1_fx"))
+      .orderBy(col("source"))
+
+  val goodTuringSql: String =
+    """WITH toks AS (SELECT source,
+      |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |pos AS (SELECT source, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      |  FROM toks WHERE len(ts) >= 2),
+      |tk AS (SELECT source, ts[i] || ' ' || ts[i+1] AS tok FROM pos),
+      |g AS (SELECT source, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+      |a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    count(*) AS vocab,
+      |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM g GROUP BY 1)
+      |SELECT source, n_tokens, vocab, n1, n2,
+      |  CAST((n1 * 1000000) // n_tokens AS BIGINT) AS unseen_mass_fx,
+      |  CAST(vocab * 1000000 + (n1 * (n1 - 1) * 1000000) // (2 * (n2 + 1))
+      |    AS BIGINT) AS chao1_fx
+      |FROM a ORDER BY source""".stripMargin
+
   private def revFx: Column = cents(col("l_extendedprice")) *
     (lit(100L) - round(col("l_discount") * 100).cast("long"))
 
@@ -1419,6 +1477,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_k_anonymity" -> kAnonymityGate,
+    "q192_good_turing" -> goodTuring,
     "q172_volume_shipping" -> volumeShipping,
     "q173_disjunctive_revenue" -> disjunctiveRevenue,
     "q174_top_supplier" -> topSupplier,
@@ -1455,6 +1514,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q188_k_anonymity" -> kAnonymitySql,
+    "q192_good_turing" -> goodTuringSql,
     "q172_volume_shipping" -> volumeShippingSql,
     "q173_disjunctive_revenue" -> disjunctiveRevenueSql,
     "q174_top_supplier" -> topSupplierSql,

@@ -990,9 +990,23 @@ object CurationOps {
     * mean word length and the distinct ratio are exact integer
     * divisions, so no rule straddles a float rounding boundary. */
   def qualityRuleScreen(d: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val passAll = col("r1") && col("r2") && col("r3") && col("r4")
+    qualityRuleFlags(d, srcCol, textCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(passAll, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_repetition"))
+      .withColumn("pass_fx", expr("(n_pass * 1000000) div n_docs"))
+  }
+
+  /** Per-doc rule flags (source, r1..r4) — the map-only kernel shared
+    * by the q187 screen and the q191 best-of-k yield estimator. */
+  def qualityRuleFlags(d: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val t = trim(col(textCol))
     val ts = split(t, WS)
-    val passAll = col("r1") && col("r2") && col("r3") && col("r4")
     d.select(col(srcCol).as("source"),
         when(length(t) === 0, 0L).otherwise(size(ts).cast("long")).as("nw"),
         length(regexp_replace(t, WS, "")).cast("long").as("nch"),
@@ -1005,14 +1019,6 @@ object CurationOps {
           expr("(nch * 1000000) div nw").between(3000000L, 10000000L)).as("r2"),
         (col("nstop") >= 2L).as("r3"),
         (col("nw") > 0L && expr("(ndis * 1000000) div nw") >= 500000L).as("r4"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(passAll, 1L).otherwise(0L)).as("n_pass"),
-        sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_words"),
-        sum(when(!col("r2"), 1L).otherwise(0L)).as("fail_wordlen"),
-        sum(when(!col("r3"), 1L).otherwise(0L)).as("fail_stopwords"),
-        sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_repetition"))
-      .withColumn("pass_fx", expr("(n_pass * 1000000) div n_docs"))
   }
 
   /** q187 — the quality-rule screen over documents, per source. */
@@ -1020,8 +1026,13 @@ object CurationOps {
     qualityRuleScreen(docs(s, dir), "source", "text")
       .orderBy(col("source"))
 
-  val qualityRulesGateSql: String =
-    s"""WITH t AS (SELECT source,
+  /** Oracle CTE chain `qt, qr, qpass` emitting per-doc
+    * (source, pass) under the q187 rules — shared by the q187 screen
+    * and q191's pass@k estimator so the two gates certify the same
+    * rule kernel. (Defined before its consumers: object vals
+    * initialize in declaration order.) */
+  val qualityPassCteSql: String =
+    s"""qt AS (SELECT source,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(string_split_regex(trim(text), '$WS')) END AS nw,
        |    length(regexp_replace(trim(text), '$WS', '', 'g')) AS nch,
@@ -1032,14 +1043,18 @@ object CurationOps {
        |         ELSE len(list_distinct(string_split_regex(trim(text), '$WS')))
        |         END AS ndis
        |  FROM documents),
-       |r AS (SELECT source,
+       |qr AS (SELECT source,
        |    CASE WHEN nw BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS r1,
        |    CASE WHEN nw > 0 AND (nch * 1000000) // nw
        |      BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS r2,
        |    CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r3,
        |    CASE WHEN nw > 0 AND (ndis * 1000000) // nw >= 500000
        |      THEN 1 ELSE 0 END AS r4
-       |  FROM t)
+       |  FROM qt),
+       |qpass AS (SELECT source, r1 * r2 * r3 * r4 AS pass FROM qr)""".stripMargin
+
+  val qualityRulesGateSql: String =
+    s"""WITH $qualityPassCteSql
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(r1 * r2 * r3 * r4) AS BIGINT) AS n_pass,
        |  CAST(sum(1 - r1) AS BIGINT) AS fail_words,
@@ -1048,7 +1063,7 @@ object CurationOps {
        |  CAST(sum(1 - r4) AS BIGINT) AS fail_repetition,
        |  CAST((CAST(sum(r1 * r2 * r3 * r4) AS BIGINT) * 1000000) // count(*)
        |    AS BIGINT) AS pass_fx
-       |FROM r GROUP BY source ORDER BY source""".stripMargin
+       |FROM qr GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- temperature mixture
 

@@ -115,11 +115,66 @@ object Evaluation {
        |  CAST(min(lo) AS BIGINT) AS lo_fx
        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** q191 — best-of-k yield (the pass@k estimator of Chen et al.
+    * 2021's HumanEval, applied to rejection-sampled data generation):
+    * per source, with n samples of which c clear the q187 quality
+    * screen, the probability that at least one of k uniformly drawn
+    * samples passes — pass@k = 1 − C(n−c,k)/C(n,k) — for k ∈
+    * {1, 5, 10}. This is the number that sizes a synthetic-data run:
+    * how many generations per prompt before the screen yields a
+    * keeper.
+    *
+    * Determinism: the combinatorial ratio is evaluated as the
+    * left-to-right product Π (n−c−i)/(n−i) — each factor an exact-
+    * integer ratio, the fold order identical in both engines (Spark
+    * `aggregate` is a left fold; DuckDB `list_product` reduces in
+    * list order; multiplying the 1.0 seed is IEEE-exact), so the
+    * double product is bit-identical and the final 1e-6 rounding
+    * can't diverge. The ratio form never overflows (the raw C(n,k)
+    * explodes past BIGINT at n ≈ 25k already). When n−c < k a factor
+    * is exactly 0 and pass@k = 1 exactly. Shape: the per-doc flags
+    * are map-only (q187's kernel), one source aggregate, then a
+    * 3×|sources| frame — nothing after the first reduce is
+    * corpus-sized. */
+  def passAtK(s: SparkSession, dir: String): DataFrame = {
+    val flags = CurationOps.qualityRuleFlags(
+      Tables.load(s, dir, "documents"), "source", "text")
+    val g = flags.groupBy(col("source")).agg(count(lit(1)).as("n"),
+      sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+        .otherwise(0L)).as("c"))
+    g.select(col("source"), col("n"), col("c"),
+        explode(array(lit(1), lit(5), lit(10))).as("k"))
+      .filter(col("k") <= col("n"))
+      .withColumn("prod", aggregate(sequence(lit(0), col("k") - 1), lit(1.0d),
+        (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+          (col("n") - i).cast("double"))))
+      .select(col("source"), col("k").cast("long").as("k"),
+        col("n").as("n_samples"), col("c").as("n_pass"),
+        round((lit(1.0d) - col("prod")) * 1e6).cast("long").as("pass_at_k_fx"))
+      .orderBy(col("source"), col("k"))
+  }
+
+  val passAtKSql: String =
+    s"""WITH ${CurationOps.qualityPassCteSql},
+       |g AS (SELECT source, count(*) AS n, sum(pass) AS c
+       |  FROM qpass GROUP BY source),
+       |x AS (SELECT source, n, CAST(c AS BIGINT) AS c, k
+       |  FROM g CROSS JOIN (SELECT unnest([1, 5, 10]) AS k) WHERE k <= n),
+       |p AS (SELECT source, k, n, c,
+       |    list_product(list_transform(generate_series(0, k - 1),
+       |      i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))) AS prod
+       |  FROM x)
+       |SELECT source, CAST(k AS BIGINT) AS k, n AS n_samples, c AS n_pass,
+       |  CAST(round((1 - prod) * 1e6) AS BIGINT) AS pass_at_k_fx
+       |FROM p ORDER BY source, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_score_auc" -> scoreAuc,
-    "q160_calibration_bins" -> calibrationBins)
+    "q160_calibration_bins" -> calibrationBins,
+    "q191_pass_at_k" -> passAtK)
 
   val oracles: Map[String, String] = Map(
     "q159_score_auc" -> scoreAucSql,
-    "q160_calibration_bins" -> calibrationBinsSql)
+    "q160_calibration_bins" -> calibrationBinsSql,
+    "q191_pass_at_k" -> passAtKSql)
 }

@@ -261,6 +261,108 @@ object FeedShapes {
       |SELECT u, r AS rank_fx FROM r3
       |ORDER BY rank_fx DESC, u LIMIT 30""".stripMargin
 
+  /** HITS hub/authority scores (Kleinberg 1999 — the link-analysis
+    * dual of PageRank: authorities are pointed AT by good hubs, hubs
+    * point at good authorities; in corpus curation the authority side
+    * ranks link targets, the hub side flags link farms). Fixed
+    * iteration count with MAX-normalized exact-integer arithmetic:
+    * each half-step is an exact BIGINT sum over in/out edges followed
+    * by (score·1e6) div max — the max-norm variant (standard in the
+    * literature as an alternative to L2) keeps every iterate an
+    * integer, so the trajectory is bit-reproducible and the oracle
+    * unrolls it hop for hop. Overflow-safe at any scale: scores
+    * re-enter [0, 1e6] every half-step, so a raw sum is bounded by
+    * degree·1e6.
+    *
+    * Scale shape: TWO cached copies of the edge frame, partitioned on
+    * the key each half-step consumes (u for the hub→authority
+    * gather, v for the authority→hub gather — the LPA/k-core round-9
+    * lesson: partition on the key the join actually uses, or the
+    * edge frame re-shuffles every round). Score frames are O(nodes):
+    * broadcast them (default) and no edge-sized data moves after the
+    * two initial partitionings; the per-iteration shuffle is the
+    * map-side-combined degree reduction alone. */
+  def hits(edges: DataFrame, iterations: Int = 2,
+      broadcastScores: Boolean = true): DataFrame = {
+    val eU = edges.select(col("u"), col("v")).repartition(col("u")).persist()
+    val eV = edges.select(col("u"), col("v")).repartition(col("v")).persist()
+    def side(df: DataFrame) = if (broadcastScores) broadcast(df) else df
+    try {
+      val nodes = eU.select(col("u"))
+        .unionByName(eU.select(col("v").as("u"))).distinct().persist()
+      var hub = nodes.select(col("u"), lit(1000000L).as("h"))
+      var auth = nodes.select(col("u"), lit(1000000L).as("a"))
+      for (_ <- 1 to iterations) {
+        val araw = eU.join(side(hub), Seq("u"))
+          .groupBy(col("v")).agg(sum(col("h")).as("s"))
+        val amax = araw.agg(max(col("s")).as("mx"))
+        auth = nodes
+          .join(side(araw.select(col("v").as("u"), col("s"))), Seq("u"), "left")
+          .crossJoin(broadcast(amax))
+          .select(col("u"), expr("(coalesce(s, 0) * 1000000) div mx").as("a"))
+        val hraw = eV.join(side(auth.select(col("u").as("v"), col("a"))), Seq("v"))
+          .groupBy(col("u")).agg(sum(col("a")).as("s"))
+        val hmax = hraw.agg(max(col("s")).as("mx"))
+        hub = nodes.join(side(hraw), Seq("u"), "left")
+          .crossJoin(broadcast(hmax))
+          .select(col("u"), expr("(coalesce(s, 0) * 1000000) div mx").as("h"))
+      }
+      graft.PlanCapture.checkpoint(hub.join(auth, Seq("u")), "hits-final")
+    } finally {
+      eU.unpersist(blocking = false)
+      eV.unpersist(blocking = false)
+    }
+  }
+
+  /** q193 — HITS ORACLE GATE over the q46/q103 follow graph (2
+    * iterations, top 30 authorities): DuckDB unrolls the same
+    * max-normalized integer half-steps, certifying every hop. */
+  def followHits(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("u"))
+    val edges = c.select(col("u"), (col("u") % 97).as("v"))
+      .unionByName(c.select(col("u"), ((col("u") * 3 + 1) % 97).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    hits(edges, iterations = 2, broadcastScores = true)
+      .select(col("u"), col("h").as("hub_fx"), col("a").as("auth_fx"))
+      .orderBy(col("auth_fx").desc, col("hub_fx").desc, col("u"))
+      .limit(30)
+  }
+
+  val followHitsSql: String =
+    """WITH c AS (SELECT c_custkey AS u FROM customer),
+      |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+      |    SELECT u, u % 97 AS v FROM c
+      |    UNION ALL SELECT u, (u * 3 + 1) % 97 FROM c) WHERE u <> v),
+      |nodes AS MATERIALIZED (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
+      |h0 AS (SELECT u, CAST(1000000 AS BIGINT) AS h FROM nodes),
+      |a1r AS (SELECT e.v, CAST(sum(h0.h) AS BIGINT) AS s
+      |  FROM e JOIN h0 ON e.u = h0.u GROUP BY e.v),
+      |a1m AS (SELECT max(s) AS mx FROM a1r),
+      |a1 AS MATERIALIZED (SELECT n.u,
+      |    CAST((coalesce(a1r.s, 0) * 1000000) // mx AS BIGINT) AS a
+      |  FROM nodes n LEFT JOIN a1r ON a1r.v = n.u, a1m),
+      |h1r AS (SELECT e.u, CAST(sum(a1.a) AS BIGINT) AS s
+      |  FROM e JOIN a1 ON e.v = a1.u GROUP BY e.u),
+      |h1m AS (SELECT max(s) AS mx FROM h1r),
+      |h1 AS MATERIALIZED (SELECT n.u,
+      |    CAST((coalesce(h1r.s, 0) * 1000000) // mx AS BIGINT) AS h
+      |  FROM nodes n LEFT JOIN h1r ON h1r.u = n.u, h1m),
+      |a2r AS (SELECT e.v, CAST(sum(h1.h) AS BIGINT) AS s
+      |  FROM e JOIN h1 ON e.u = h1.u GROUP BY e.v),
+      |a2m AS (SELECT max(s) AS mx FROM a2r),
+      |a2 AS MATERIALIZED (SELECT n.u,
+      |    CAST((coalesce(a2r.s, 0) * 1000000) // mx AS BIGINT) AS a
+      |  FROM nodes n LEFT JOIN a2r ON a2r.v = n.u, a2m),
+      |h2r AS (SELECT e.u, CAST(sum(a2.a) AS BIGINT) AS s
+      |  FROM e JOIN a2 ON e.v = a2.u GROUP BY e.u),
+      |h2m AS (SELECT max(s) AS mx FROM h2r),
+      |h2 AS (SELECT n.u,
+      |    CAST((coalesce(h2r.s, 0) * 1000000) // mx AS BIGINT) AS h
+      |  FROM nodes n LEFT JOIN h2r ON h2r.u = n.u, h2m)
+      |SELECT h2.u, h2.h AS hub_fx, a2.a AS auth_fx
+      |FROM h2 JOIN a2 ON a2.u = h2.u
+      |ORDER BY auth_fx DESC, hub_fx DESC, h2.u LIMIT 30""".stripMargin
+
   /** Per-node triangle counts via degree orientation (the classic
     * distributed-triangle algorithm: Cohen 2009 / Suri & Vassilvitskii
     * WWW'11 "Counting triangles and the curse of the last reducer").
@@ -594,6 +696,7 @@ object FeedShapes {
     "q126_hot_users" -> hotUsers,
     "q46_two_hop" -> twoHop,
     "q103_follow_pagerank" -> followPageRank,
+    "q193_follow_hits" -> followHits,
     "q116_triangles" -> followTriangles,
     "q21_fanout_agg" -> fanoutAgg,
     "q22_undelivered" -> undeliveredAgg,
@@ -606,6 +709,7 @@ object FeedShapes {
     "q126_hot_users" -> hotUsersSql,
     "q46_two_hop" -> twoHopSql,
     "q103_follow_pagerank" -> followPageRankSql,
+    "q193_follow_hits" -> followHitsSql,
     "q116_triangles" -> followTrianglesSql,
     "q21_fanout_agg" -> fanoutAggSql,
     "q22_undelivered" -> undeliveredAggSql,

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.ops.FeedShapes
 
-/** Scaling probe for the iterative graph ops (q146 LPA / q158
-  * k-core): replicate the deterministic customer graph m× as DISJOINT
+/** Scaling probe for the iterative graph ops (q146 LPA / q158 k-core
+  * / q193 HITS): replicate the deterministic customer graph m× as DISJOINT
   * isomorphic copies (replica i shifts every node id by i·Shift,
   * where Shift is the next power of ten above the max node id), run
   * the scale-safe SHUFFLE path (broadcast*=false — the 100 TB
@@ -49,6 +49,7 @@ object GraphScaleProbe {
 
     var lpaBase: Map[Long, Long] = Map.empty
     var coreBase: Map[Long, Long] = Map.empty
+    var hitsBase: Map[Long, Long] = Map.empty
     scales.foreach { m =>
       // replica i = base graph with BOTH endpoints shifted i·Shift:
       // isomorphic, disjoint (hub ids 0..430 shift too)
@@ -80,13 +81,26 @@ object GraphScaleProbe {
       if (m == 1) coreBase = core
       val coreOk = baseSlice(core) == coreBase
 
+      // HITS invariance note: replicas are isomorphic, so each holds
+      // the same max score — the GLOBAL max-norm equals the per-replica
+      // norm and replica 0's (hub, auth) must match scale 1 exactly.
+      // (h, a) packed into one long (both ≤ 1e6) for the map compare.
+      val (hts, tHits) = timed(
+        FeedShapes.hits(edges, iterations = 2, broadcastScores = false)
+          .select(col("u"),
+            (col("h") * lit(10000000L) + col("a")).as("ha"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      if (m == 1) hitsBase = hts
+      val hitsOk = baseSlice(hts) == hitsBase
+
       println(s"""{"probe":"graph","scale":$m,"edges":$nEdges,""" +
         s""""lpa_sec":$tLpa,"lpa_nodes":${lpa.size},"lpa_base_invariant":$lpaOk,""" +
-        s""""kcore_sec":$tCore,"kcore_nodes":${core.size},"kcore_base_invariant":$coreOk}""")
+        s""""kcore_sec":$tCore,"kcore_nodes":${core.size},"kcore_base_invariant":$coreOk,""" +
+        s""""hits_sec":$tHits,"hits_nodes":${hts.size},"hits_base_invariant":$hitsOk}""")
       // hard-fail AFTER printing the row so CI-style runs can't miss a
       // violated invariance (exit nonzero, row still visible in logs)
-      require(lpaOk && coreOk,
-        s"base-slice invariance violated at scale $m (lpa=$lpaOk kcore=$coreOk)")
+      require(lpaOk && coreOk && hitsOk,
+        s"base-slice invariance violated at scale $m (lpa=$lpaOk kcore=$coreOk hits=$hitsOk)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
