@@ -1080,13 +1080,19 @@ object CurationOps {
   def temperatureMixture(d: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val t = trim(col(textCol))
     val nTok = when(length(t) === 0, 0L).otherwise(size(split(t, WS)).cast("long"))
-    val per = d.select(col(srcCol).as("source"), nTok.as("n"))
-      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    // the |sources|-row frame feeds three consumers (total, weights,
+    // weight sum) — checkpoint it or each consumer re-runs the corpus
+    // aggregation (the ≥3-consumer rule)
+    val per = graft.PlanCapture.checkpoint(
+      d.select(col(srcCol).as("source"), nTok.as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens")),
+      "temp-mixture-per")
     val tot = per.agg(sum(col("n_tokens")).as("tot"))
-    val w = per.crossJoin(broadcast(tot))
+    val w = graft.PlanCapture.checkpoint(per.crossJoin(broadcast(tot))
       .withColumn("share_fx", expr("(n_tokens * 1000000) div tot"))
       .withColumn("weight_fx",
-        round(sqrt(col("n_tokens").cast("double") / col("tot")) * 1e6).cast("long"))
+        round(sqrt(col("n_tokens").cast("double") / col("tot")) * 1e6).cast("long")),
+      "temp-mixture-w")
     val wsum = w.agg(sum(col("weight_fx")).as("wsum"))
     w.crossJoin(broadcast(wsum))
       .select(col("source"), col("n_tokens"), col("share_fx"), col("weight_fx"),

@@ -292,22 +292,33 @@ object FeedShapes {
         .unionByName(eU.select(col("v").as("u"))).distinct().persist()
       var hub = nodes.select(col("u"), lit(1000000L).as("h"))
       var auth = nodes.select(col("u"), lit(1000000L).as("a"))
-      for (_ <- 1 to iterations) {
-        val araw = eU.join(side(hub), Seq("u"))
-          .groupBy(col("v")).agg(sum(col("h")).as("s"))
+      for (it <- 1 to iterations) {
+        // node-sized frames are each consumed twice (max + join), so
+        // checkpoint per half-step or the lineage re-derives the whole
+        // prior trajectory per consumer (the q146 round-9 lesson:
+        // 68 exchanges → single digits)
+        val araw = graft.PlanCapture.checkpoint(
+          eU.join(side(hub), Seq("u"))
+            .groupBy(col("v")).agg(sum(col("h")).as("s")), s"hits-a$it")
         val amax = araw.agg(max(col("s")).as("mx"))
-        auth = nodes
+        auth = graft.PlanCapture.checkpoint(nodes
           .join(side(araw.select(col("v").as("u"), col("s"))), Seq("u"), "left")
           .crossJoin(broadcast(amax))
-          .select(col("u"), expr("(coalesce(s, 0) * 1000000) div mx").as("a"))
-        val hraw = eV.join(side(auth.select(col("u").as("v"), col("a"))), Seq("v"))
-          .groupBy(col("u")).agg(sum(col("a")).as("s"))
+          .select(col("u"), expr("(coalesce(s, 0) * 1000000) div mx").as("a")),
+          s"hits-auth$it")
+        val hraw = graft.PlanCapture.checkpoint(
+          eV.join(side(auth.select(col("u").as("v"), col("a"))), Seq("v"))
+            .groupBy(col("u")).agg(sum(col("a")).as("s")), s"hits-h$it")
         val hmax = hraw.agg(max(col("s")).as("mx"))
-        hub = nodes.join(side(hraw), Seq("u"), "left")
-          .crossJoin(broadcast(hmax))
-          .select(col("u"), expr("(coalesce(s, 0) * 1000000) div mx").as("h"))
+        hub = graft.PlanCapture.checkpoint(
+          nodes.join(side(hraw), Seq("u"), "left")
+            .crossJoin(broadcast(hmax))
+            .select(col("u"), expr("(coalesce(s, 0) * 1000000) div mx").as("h")),
+          s"hits-hub$it")
       }
-      graft.PlanCapture.checkpoint(hub.join(auth, Seq("u")), "hits-final")
+      // both sides are node-sized checkpoints — broadcast one so the
+      // close is a BHJ, not a sort-merge of two tiny frames
+      graft.PlanCapture.checkpoint(hub.join(side(auth), Seq("u")), "hits-final")
     } finally {
       eU.unpersist(blocking = false)
       eV.unpersist(blocking = false)
