@@ -16,9 +16,12 @@ import graft.ops.{CurationOps, TextAnalysis}
   * most-overlapping source pairs (q125), the lowest-entropy
   * sources (q128), and — since round 8 — the memorization-risk
   * headline (q143's repeated n-grams) and vocabulary health (q148
-  * growth + q149 Zipf slope). Every number comes from an oracle-gated
-  * operator, so the card is a certified artifact, not a best-effort
-  * summary.
+  * growth + q149 Zipf slope), and — since round 10 — the decision
+  * rows: quality-rule exposure (q187) with the best-of-5 yield it
+  * implies (q191), per-context-length padding waste (q190),
+  * Good-Turing unseen bigram mass (q192), and IVF routing confidence
+  * (q186). Every number comes from an oracle-gated operator, so the
+  * card is a certified artifact, not a best-effort summary.
   *
   * Usage: runMain graft.tools.DatasetCard [sfDir]
   */
@@ -140,6 +143,46 @@ object DatasetCard {
   def embeddingQaSummary(spark: SparkSession, dir: String): DataFrame =
     graft.ops.AuditOps.embeddingQa(spark, dir)
 
+  /** Quality-rule exposure off the q187-certified screen: the five
+    * sources the Gopher-style rules gut the hardest, with the
+    * per-rule failure breakdown that says WHY. */
+  def qualityRulesSummary(docs: DataFrame, topK: Int = 5): DataFrame =
+    CurationOps.qualityRuleScreen(docs, "source", "text")
+      .orderBy(col("pass_fx"), col("source"))
+      .limit(topK)
+
+  /** Best-of-k yield off the q191-certified pass@k estimator: the
+    * five sources where even five draws rarely clear the screen —
+    * the rejection-sampling cost row. */
+  def bestOfKSummary(spark: SparkSession, dir: String, topK: Int = 5): DataFrame =
+    graft.ops.Evaluation.passAtK(spark, dir)
+      .filter(col("k") === 5)
+      .orderBy(col("pass_at_k_fx"), col("source"))
+      .limit(topK)
+
+  /** Padding waste off the q190-certified audit: what each candidate
+    * context length costs in padded tokens under doc-boundary
+    * packing — the q180 budget's decision companion. */
+  def paddingWasteSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.AuditOps.paddingWaste(spark, dir)
+
+  /** Bigram-vocabulary richness off the q192-certified Good-Turing /
+    * Chao1 estimates: the five sources with the most unseen mass —
+    * where more crawl still buys new text. */
+  def richnessSummary(docs: DataFrame, topK: Int = 5): DataFrame =
+    graft.ops.Analytics.goodTuringOf(docs)
+      .orderBy(col("unseen_mass_fx").desc, col("source"))
+      .limit(topK)
+
+  /** IVF routing confidence off the q186-certified silhouette: the
+    * five lowest-margin clusters — where nProbe=1 recall dies
+    * first. */
+  def silhouetteSummary(spark: SparkSession, dir: String, topK: Int = 5): DataFrame =
+    graft.ops.Similarity.clusterSilhouette(
+        graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 37)
+      .orderBy(col("avg_sil_fx"), col("cluster_id"))
+      .limit(topK)
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -191,6 +234,11 @@ object DatasetCard {
       s""""simhash_calibration":${rowsJson(calibrationSummary(docs))},""" +
       s""""minhash_calibration":${rowsJson(minhashCalibrationSummary(docs))},""" +
       s""""context_budget":${rowsJson(contextBudgetSummary(spark, dir))},""" +
-      s""""embedding_qa":${rowsJson(embeddingQaSummary(spark, dir))}}"""
+      s""""embedding_qa":${rowsJson(embeddingQaSummary(spark, dir))},""" +
+      s""""lowest_quality_rule_sources":${rowsJson(qualityRulesSummary(docs))},""" +
+      s""""lowest_best_of_5_yield":${rowsJson(bestOfKSummary(spark, dir))},""" +
+      s""""padding_waste":${rowsJson(paddingWasteSummary(spark, dir))},""" +
+      s""""highest_unseen_bigram_mass":${rowsJson(richnessSummary(docs))},""" +
+      s""""lowest_margin_ivf_clusters":${rowsJson(silhouetteSummary(spark, dir))}}"""
   }
 }
