@@ -44,4 +44,25 @@ class GraphDualPathSpec extends SparkSpec {
     assert((1L to 4L).map(out).toSet.size == 1)
     assert((10L to 13L).map(out).toSet.size == 1)
   }
+
+  test("hits: shuffle default equals broadcast fast path") {
+    val df = edges.toDF("u", "v")
+    def run(b: Boolean) = FeedShapes.hits(df, iterations = 2, broadcastScores = b)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val a = run(false); val b = run(true)
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("hits: hand-computed trajectory on a 4-node fan (3 is the authority, 1/2 the hubs)") {
+    // 1→3, 2→3, 3→4: iter1 a = {3: 1e6, 4: 5e5}, h = {1: 1e6, 2: 1e6,
+    // 3: 5e5, 4: 0}; iter2 a = {3: 1e6, 4: 25e4}, h = {1: 1e6, 2: 1e6,
+    // 3: 25e4, 4: 0} — every value an exact integer of the max-norm
+    // half-steps
+    val df = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = FeedShapes.hits(df, iterations = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L)),
+      3L -> ((250000L, 1000000L)), 4L -> ((0L, 250000L))))
+  }
 }
