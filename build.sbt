@@ -15,6 +15,12 @@ run / fork := true
 // logger: Bench must emit its one-line JSON WITHOUT an "[info] "
 // prefix so downstream tooling can json-parse the line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and no "[success] Total time: …" epilogue AFTER it: the round-10
+// driver captured a stdout tail and the epilogue broke JSON parsing
+// ("parsed": null). With showSuccess off, Bench's JSON line is the
+// last thing on stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,6 +46,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarnings()
 
     // Dev loop: SPARK_GRAFT_ONLY=q22,q55 restricts to queries whose
     // name starts with any of the prefixes (driver runs unfiltered).
@@ -82,15 +83,46 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "[]" }
+    // Count FOREIGN JVMs only: this forked Bench JVM plus its parent
+    // sbt always exist, so the raw count's floor is 2 — which the
+    // round-10 verdict misread as "a second sbt was live". Excluding
+    // self + ancestors makes 0 the quiesced reading.
     def javaProcs(): Int =
-      try new java.io.File("/proc").listFiles.count { f =>
-        f.getName.forall(_.isDigit) && {
+      try {
+        def read(p: String): String =
           try {
-            val src = scala.io.Source.fromFile(s"/proc/${f.getName}/comm")
-            try src.mkString.trim == "java" finally src.close()
-          } catch { case _: Throwable => false }
+            val src = scala.io.Source.fromFile(p)
+            try src.mkString.trim finally src.close()
+          } catch { case _: Throwable => "" }
+        def ppidOf(pid: Long): Long =
+          // /proc/<pid>/stat: "pid (comm) state ppid ..." — comm may
+          // hold spaces/parens, so parse after the LAST ')'
+          read(s"/proc/$pid/stat").split("\\)\\s+").lastOption
+            .flatMap(_.split("\\s+").drop(1).headOption)
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        val self = ProcessHandle.current().pid()
+        val ancestors = Iterator.iterate(self)(ppidOf)
+          .takeWhile(_ > 1).take(16).toSet
+        new java.io.File("/proc").listFiles.count { f =>
+          f.getName.forall(_.isDigit) && f.getName.nonEmpty &&
+            !ancestors.contains(f.getName.toLong) &&
+            read(s"/proc/${f.getName}/comm") == "java"
         }
       } catch { case _: Throwable => -1 }
+    // Quiesce-retry (round-11, VERDICT r10 item 2): two consecutive
+    // driver benches self-declared invalid via high_load_at_start.
+    // If the 1-min loadavg is hot at start, sleep 60 s ONCE and
+    // re-sample — a neighbor JVM finishing in that window rescues the
+    // round's bench; if the box is still hot we run anyway and stamp.
+    def load1(): Double =
+      try loadavg().stripPrefix("[").split(",").head.toDouble
+      catch { case _: Throwable => 0.0 }
+    var quiesceWaited = false
+    if (load1() > 4.0) {
+      System.err.println(
+        s"[bench] loadavg ${load1()} > 4.0 at start — sleeping 60s once")
+      Thread.sleep(60000); quiesceWaited = true
+    }
     val loadBefore = loadavg(); val jvmsBefore = javaProcs()
 
     // Cold pass: timed PER QUERY (not just in total) so a slow cold
@@ -189,7 +221,7 @@ object Bench {
         s""""serve_queries":$sqs,"train_in_query":$tiq,""" +
         serveError.map(e => s""""serve_error":${OracleJson.quote(e)},""").getOrElse("") +
         s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
-        s""""high_load_at_start":$highLoad,""" +
+        s""""high_load_at_start":$highLoad,"quiesce_waited":$quiesceWaited,""" +
         s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,"sf":"$sfDir"}"""
     println(json)
     // The single giant stdout line is fragile under the driver's

@@ -33,6 +33,7 @@ object GraftSession {
       // DuckDB's epoch_ns().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions) // dot_product/hamming as SQL functions
+    quietBoundedWindowWarnings()
     b.getOrCreate()
   }
 
@@ -41,6 +42,25 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    quietBoundedWindowWarnings()
     spark
   }
+
+  /** The audit/report operators intentionally use GLOBAL
+    * (unpartitioned) window frames on post-aggregation results that
+    * are bounded by construction — histograms, per-source summaries,
+    * top-k shortlists of at most a few thousand rows. Spark's window
+    * exec can't see that bound and warns "No Partition Defined for
+    * Window operation!" on every such frame (~147 times per full gate
+    * run — VERDICT r10 item 7: correct plans, drowned logs). Those
+    * single-partition moves are exactly what a bounded frame wants,
+    * so silence precisely the window-exec loggers and nothing else;
+    * any UNBOUNDED global window would still be caught by the plan
+    * audit (PlanAudit flags corpus-sized exchanges), which is the
+    * right tool for that failure, not a per-query log line. */
+  def quietBoundedWindowWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // cosmetic only — never fail a session on it
 }

@@ -1203,11 +1203,15 @@ object Analytics {
     * — a lower bound on true vocabulary, driving "is more crawl of
     * this source worth it". ONE (source, bigram) shuffle (q45's
     * shingling, counts not distinct), then a vocabulary-bounded
-    * close; everything 1e-6 fixed point / exact-integer. BIGINT
-    * headroom: the n1(n1−1)·1e6 product wraps past n1 ≈ 3e6
-    * singletons per source — beyond that compute the correction as a
-    * DOUBLE product of exact factors (the q124/q127 recipe); at gate
-    * SFs n1 ≲ 1e4. */
+    * close; everything 1e-6 fixed point / exact-integer. Overflow
+    * headroom (round-11 fix, ADVICE r10 #1): the n1(n1−1)·1e6
+    * correction product is computed in 128-bit-wide exact integers —
+    * DECIMAL(38,0) engine-side, HUGEINT oracle-side — so it cannot
+    * wrap until n1 ≈ 1e16; the remaining bound is the OUTPUT's
+    * BIGINT fit (chao1_fx < 9.2e18 ⇔ estimated vocabulary < 9.2e12
+    * bigram types), far past a 100 TB corpus's event space and
+    * identical on both sides (DuckDB raises on a BIGINT cast
+    * overflow; the estimate itself is meaningless before that). */
   def goodTuring(s: SparkSession, dir: String): DataFrame =
     goodTuringOf(t(s, dir, "documents"))
 
@@ -1226,8 +1230,10 @@ object Analytics {
         sum(when(col("n") === 2, 1L).otherwise(0L)).as("n2"))
       .select(col("source"), col("n_tokens"), col("vocab"), col("n1"), col("n2"),
         expr("(n1 * 1000000) div n_tokens").as("unseen_mass_fx"),
-        (col("vocab") * lit(1000000L) +
-          expr("(n1 * (n1 - 1) * 1000000) div (2 * (n2 + 1))")).as("chao1_fx"))
+        (col("vocab") * lit(1000000L) + expr(
+          """CAST((CAST(n1 AS DECIMAL(38,0)) * CAST(n1 - 1 AS DECIMAL(38,0))
+            |  * 1000000) DIV CAST(2 * (n2 + 1) AS DECIMAL(38,0)) AS BIGINT)"""
+            .stripMargin)).as("chao1_fx"))
       .orderBy(col("source"))
 
   val goodTuringSql: String =
@@ -1244,7 +1250,8 @@ object Analytics {
       |  FROM g GROUP BY 1)
       |SELECT source, n_tokens, vocab, n1, n2,
       |  CAST((n1 * 1000000) // n_tokens AS BIGINT) AS unseen_mass_fx,
-      |  CAST(vocab * 1000000 + (n1 * (n1 - 1) * 1000000) // (2 * (n2 + 1))
+      |  CAST(vocab * 1000000
+      |    + (CAST(n1 AS HUGEINT) * (n1 - 1) * 1000000) // (2 * (n2 + 1))
       |    AS BIGINT) AS chao1_fx
       |FROM a ORDER BY source""".stripMargin
 

@@ -208,7 +208,11 @@ object AuditOps {
     * aggregate — no shuffle touches text. */
   def paddingWaste(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      // empty/whitespace-only text splits to [""] (size 1) — guard it
+      // to 0 tokens like qualityRuleFlags does, so zero-word docs
+      // don't count as 1-token docs (round-11 fix, ADVICE r10 #2)
+      .select(when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n"))
       .filter(col("n") >= 1)
       .select(col("n"), explode(array(
         lit(64L), lit(128L), lit(256L), lit(512L))).as("ctx"))
@@ -221,7 +225,8 @@ object AuditOps {
       .orderBy(col("ctx"))
 
   val paddingWasteSql: String =
-    s"""WITH d AS (SELECT len(string_split_regex(trim(text), '${"\\s+"}')) AS n
+    s"""WITH d AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(text), '${"\\s+"}')) END AS n
        |  FROM documents),
        |x AS (SELECT n, ctx, (n + ctx - 1) // ctx AS n_seq
        |  FROM d CROSS JOIN (SELECT unnest([64, 128, 256, 512]) AS ctx)

@@ -690,7 +690,20 @@ object Dedup {
     * localCheckpoints — lineage would otherwise double per iteration —
     * and convergence is read off a `chg` flag carried IN the
     * checkpointed frame (a scan, not a join against the previous
-    * round). Both paths are spec'd equal (DedupSimilaritySpec). */
+    * round). Both paths are spec'd equal (DedupSimilaritySpec).
+    *
+    * Why 8M is the default, with data (docs/CC_CROSSOVER_r10.jsonl,
+    * measured on this box at local[32]): the driver union-find still
+    * wins at every probed size — 1M pairs 6.0s vs 32.0s, 8M 71.1s vs
+    * 96.4s, 16M 211.3s vs 397.3s — so the threshold is NOT a speed
+    * crossover; it is a driver-MEMORY bound. 8M collected Rows of two
+    * boxed ids measure ~1.3 GB transient on a 16 GB driver heap
+    * (Rows + the union-find HashMap at ~21M nodes), which leaves the
+    * collect safe under default memory; 16M doubles that and starts
+    * competing with result-serving allocations. Raise it only with a
+    * bigger driver heap — the cost of guessing low is a slower (but
+    * correct) distributed round, the cost of guessing high is an OOM
+    * on the driver. */
   def connectedComponents(pairs: DataFrame, maxDriverPairs: Long = 8L * 1000 * 1000): DataFrame = {
     val idType = pairs.schema("id_a").dataType
     val edgesRaw = pairs.select(col("id_a"), col("id_b"))

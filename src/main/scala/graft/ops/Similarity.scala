@@ -112,7 +112,12 @@ object Similarity {
         max(when(col("r") === 1, round(col("csim") * 1e4).cast("long"))).as("c1"),
         max(when(col("r") === 2, round(col("csim") * 1e4).cast("long"))).as("c2"))
     per
-      .withColumn("sil_fx", when(col("c2") >= 10000L, lit(0L))
+      // c2 is NULL when seeding yields a single centroid (no second-
+      // nearest exists): that is maximal routing confidence, not an
+      // undefined margin — score 1e6, don't let the null fall through
+      // the >= guard into a null silhouette (round-11, ADVICE r10 #5)
+      .withColumn("sil_fx", when(col("c2").isNull, lit(1000000L))
+        .when(col("c2") >= 10000L, lit(0L))
         .otherwise(expr("((c1 - c2) * 1000000) div (10000 - c2)")))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),

@@ -7,8 +7,15 @@ Reads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB against the sf_dir
 tables, and compares row counts + sorted-row hashes (columns sorted by
 name, rows sorted, values stringified with float rounding).
+
+Crash/timeout-proof (round-11, VERDICT r10 item 1): every query's
+verdict is written INCREMENTALLY — appended to <outdir>/
+oracle_check.jsonl and the summary <outdir>/oracle_check.json is
+rewritten after every query — so a kill at 50% still leaves 50% of
+the rows on disk instead of an empty artifact. Each row carries the
+DuckDB wall time so slow oracles are attributable.
 """
-import sys, os, json, glob, hashlib
+import sys, os, json, glob, hashlib, time
 
 import duckdb
 
@@ -27,6 +34,38 @@ def canon(rows, cols):
     return hashlib.md5("\n".join(out).encode()).hexdigest()
 
 
+def check_one(con, outdir, name, sql):
+    """Returns (passed: bool, reason: str, n_rows: int)."""
+    res_dir = f"{outdir}/{name}"
+    if not glob.glob(f"{res_dir}/*.parquet"):
+        return False, "no spark result", 0
+    try:
+        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        return False, str(e), 0
+    gcols, wcols = sorted(got.columns), sorted(want.columns)
+    if gcols != wcols:
+        return False, f"cols {gcols} vs {wcols}", len(got)
+    if len(got) != len(want):
+        return False, f"rows {len(got)} vs {len(want)}", len(got)
+    # dtype-kind parity: DuckDB HUGEINT (e.g. sum over INTEGER) lands in
+    # pandas as float64/object while Spark writes int64 — the driver's
+    # compare is dtype-sensitive even when stringified values agree.
+    kind_mismatch = [
+        c for c in gcols
+        if got[c].dtype.kind != want[c].dtype.kind
+        and not {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u"}]
+    if kind_mismatch:
+        return False, ("dtype kind mismatch on " + ", ".join(
+            f"{c}: {got[c].dtype} vs {want[c].dtype}" for c in kind_mismatch)), len(got)
+    gh = canon(got.to_dict("records"), gcols)
+    wh = canon(want.to_dict("records"), wcols)
+    if gh != wh:
+        return False, f"hash mismatch ({len(got)} rows)", len(got)
+    return True, "", len(got)
+
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -36,49 +75,31 @@ def main(outdir, sfdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
+    jsonl_path = f"{outdir}/oracle_check.jsonl"
+    json_path = f"{outdir}/oracle_check.json"
+    open(jsonl_path, "w").close()  # fresh run, fresh log
     for name, sql in sorted(oracle.items()):
-        res_dir = f"{outdir}/{name}"
-        files = glob.glob(f"{res_dir}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark result")
-            n_fail += 1
-            continue
-        try:
-            got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-            want = con.sql(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
-            continue
-        gcols, wcols = sorted(got.columns), sorted(want.columns)
-        if gcols != wcols:
-            print(f"FAIL {name}: cols {gcols} vs {wcols}")
-            n_fail += 1
-            continue
-        if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
-            n_fail += 1
-            continue
-        # dtype-kind parity: DuckDB HUGEINT (e.g. sum over INTEGER) lands in
-        # pandas as float64/object while Spark writes int64 — the driver's
-        # compare is dtype-sensitive even when stringified values agree.
-        kind_mismatch = [
-            c for c in gcols
-            if got[c].dtype.kind != want[c].dtype.kind
-            and not {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u"}]
-        if kind_mismatch:
-            print(f"FAIL {name}: dtype kind mismatch on {kind_mismatch}: "
-                  + ", ".join(f"{c}: {got[c].dtype} vs {want[c].dtype}" for c in kind_mismatch))
-            n_fail += 1
-            continue
-        gh = canon(got.to_dict("records"), gcols)
-        wh = canon(want.to_dict("records"), wcols)
-        if gh != wh:
-            print(f"FAIL {name}: hash mismatch ({len(got)} rows)")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(got)} rows)")
+        t0 = time.time()
+        passed, reason, n_rows = check_one(con, outdir, name, sql)
+        dt = round(time.time() - t0, 3)
+        if passed:
+            print(f"PASS {name} ({n_rows} rows, {dt}s)", flush=True)
             n_pass += 1
+        else:
+            print(f"FAIL {name}: {reason}", flush=True)
+            n_fail += 1
+        row = {"name": name, "pass": passed, "rows": n_rows, "sec": dt}
+        if reason:
+            row["reason"] = reason
+        results[name] = row
+        # Incremental truth: a kill/timeout mid-run leaves every
+        # completed query's verdict on disk, never an empty artifact.
+        with open(jsonl_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        with open(json_path, "w") as f:
+            json.dump({"pass": n_pass, "fail": n_fail,
+                       "queries": results}, f, indent=0)
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
