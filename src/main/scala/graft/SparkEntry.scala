@@ -33,7 +33,8 @@ object SparkEntry {
     QueryModule(Analytics.queries, Analytics.oracles),
     QueryModule(Evaluation.queries, Evaluation.oracles),
     QueryModule(Decorrelated.queries, Decorrelated.oracles),
-    QueryModule(AuditOps.queries, AuditOps.oracles))
+    QueryModule(AuditOps.queries, AuditOps.oracles),
+    QueryModule(CorpusStats.queries, CorpusStats.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

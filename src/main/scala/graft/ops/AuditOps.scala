@@ -207,7 +207,11 @@ object AuditOps {
     * map-side 4× expansion of the per-doc count and a 4-row-bounded
     * aggregate — no shuffle touches text. */
   def paddingWaste(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    paddingWasteOf(docs(s, dir))
+
+  /** Generic core over any frame with a `text` column. */
+  def paddingWasteOf(docsDf: DataFrame): DataFrame =
+    docsDf
       // empty/whitespace-only text splits to [""] (size 1) — guard it
       // to 0 tokens like qualityRuleFlags does, so zero-word docs
       // don't count as 1-token docs (round-11 fix, ADVICE r10 #2)

@@ -1,0 +1,480 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-11 corpus-statistics operators (q194–q200): the planning /
+  * drift / attribution numbers a curation team reads BETWEEN pipeline
+  * runs — held-out cross-entropy under the train split's LM,
+  * crawl-order novelty attribution, distribution-drift KS distance,
+  * exact proportional stratified sampling, embedding-space label
+  * similarity, adjacent-repetition runs, and feed-side cohort
+  * retention. Every operator is oracle-gated; every float touchpoint
+  * uses the fixed-point recipes the earlier gates certified (per-row
+  * `round(ln·1e9)` longs for logs, exact-integer sums widened to
+  * DECIMAL(38)/HUGEINT before any product that could wrap, doubles
+  * only for final correctly-rounded sqrt/div of exact integers). */
+object CorpusStats {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val WS = "\\s+"
+
+  /** q66's split stamp: md5("v1|"+id) 4-hex prefix < 'cccc' → train. */
+  private def isTrain(id: Column): Column =
+    substring(md5(concat(lit("v1|"), id.cast("string"))), 1, 4) < "cccc"
+
+  // ---------------------------------------------------------------
+  // q194 — held-out cross-entropy under the train-split unigram LM
+  // ---------------------------------------------------------------
+
+  /** Per-source cross-entropy of the VAL split under an add-one-
+    * smoothed unigram LM fit on the TRAIN split (q66's hash split) —
+    * the cheap leakage/shift detector: a source whose val slice
+    * scores far below the corpus line is suspiciously predictable
+    * (duplication across the split boundary); far above means the
+    * split is not exchangeable for that source. p(t) =
+    * (c_t+1)/(N+V+1) with one OOV bucket; per val token −ln p.
+    *
+    * Determinism (the q128 entropy recipe): each token TYPE's
+    * −ln p is fixed-pointed once (`round(ln·1e9)` BIGINT), weighted
+    * by its exact val count, summed as integers; only the final
+    * per-source division is a double of exact ints. Scale shape: LM
+    * and val counts are token-TYPE tables (vocabulary-bounded, not
+    * corpus-bounded) built by ONE (tok) shuffle each; the join is
+    * type-table × type-table on tok; N/V ride a 1-row broadcast. */
+  def valCrossEntropyOf(d: DataFrame): DataFrame = {
+    val toks = d.select(isTrain(col("doc_id")).as("tr"), col("source"),
+        explode(split(trim(col("text")), WS)).as("tok"))
+      .filter(col("tok") =!= "")
+    val lm = toks.filter(col("tr")).groupBy(col("tok"))
+      .agg(count(lit(1)).as("ct"))
+    val nv = lm.agg(sum(col("ct")).as("n_lm"), count(lit(1)).as("v_lm"))
+    val valCnt = toks.filter(!col("tr"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cv"))
+    valCnt
+      .join(lm, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("hfx", col("cv") * round(
+        log((col("n_lm") + col("v_lm") + lit(1L)).cast("double") /
+          (coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")) * 1e9)
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("cv")).as("n_tokens"),
+        sum(when(col("ct").isNull, col("cv")).otherwise(0L)).as("n_oov"),
+        round(sum(col("hfx")) / (sum(col("cv")) * 1e9), 6).as("xent"))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("xent"))
+      .orderBy(col("source"))
+  }
+
+  def valCrossEntropy(s: SparkSession, dir: String): DataFrame =
+    valCrossEntropyOf(docs(s, dir))
+
+  val valCrossEntropySql: String =
+    s"""WITH sp AS (SELECT source, text,
+       |    substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' AS tr
+       |  FROM documents),
+       |tk AS (SELECT source, tr,
+       |    unnest(string_split_regex(trim(text), '$WS')) AS tok FROM sp),
+       |lm AS (SELECT tok, count(*) AS ct FROM tk WHERE tr AND tok <> '' GROUP BY 1),
+       |nv AS (SELECT CAST(sum(ct) AS BIGINT) AS n_lm, count(*) AS v_lm FROM lm),
+       |vc AS (SELECT source, tok, count(*) AS cv FROM tk
+       |  WHERE NOT tr AND tok <> '' GROUP BY 1, 2),
+       |h AS (SELECT source, cv, ct,
+       |    cv * CAST(round(ln(CAST(n_lm + v_lm + 1 AS DOUBLE)
+       |      / (coalesce(ct, 0) + 1)) * 1e9) AS BIGINT) AS hfx
+       |  FROM vc LEFT JOIN lm USING (tok) CROSS JOIN nv)
+       |SELECT source, CAST(sum(cv) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN ct IS NULL THEN cv ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(CAST(sum(hfx) AS BIGINT) / (CAST(sum(cv) AS BIGINT) * 1e9), 6) AS xent
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q195 — crawl-order bigram novelty attribution per source
+  // ---------------------------------------------------------------
+
+  /** Which source is still CONTRIBUTING new text, in crawl order: per
+    * source, its distinct word-bigram types, how many of those types
+    * FIRST appeared (min doc_id corpus-wide) in one of its own docs,
+    * and the first-appearance share — the marginal-novelty companion
+    * to q192's Chao1 (that one asks "how much is unseen", this one
+    * asks "who has been finding it"). Exact integers throughout.
+    * Scale shape: everything keys on the bigram — one distinct
+    * (gram, doc) shuffle feeds both the per-gram min and the
+    * per-source type counts; the min-doc → source attribution is a
+    * join on the doc key, gram-type-bounded rows. */
+  def bigramNoveltyOf(d: DataFrame): DataFrame = {
+    val grams = d
+      .select(col("doc_id"), col("source"), split(trim(col("text")), WS).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("gram"))
+      .distinct()
+    val gramsCk = graft.PlanCapture.checkpoint(grams, "novelty-grams")
+    val firstDoc = gramsCk.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val firstSrc = firstDoc.join(
+      d.select(col("doc_id").as("first_doc"), col("source").as("first_source")),
+      Seq("first_doc"))
+    val nFirst = firstSrc.groupBy(col("first_source").as("source"))
+      .agg(count(lit(1)).as("n_first"))
+    val nTypes = gramsCk.select(col("source"), col("gram")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    nTypes.join(nFirst, Seq("source"), "left")
+      .select(col("source"), col("n_types"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        expr("(coalesce(n_first, 0) * 1000000) div n_types").as("novelty_fx"))
+      .orderBy(col("source"))
+  }
+
+  def bigramNovelty(s: SparkSession, dir: String): DataFrame =
+    bigramNoveltyOf(docs(s, dir))
+
+  val bigramNoveltySql: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    string_split_regex(trim(text), '$WS') AS ts FROM documents),
+       |pos AS (SELECT doc_id, source, ts,
+       |    unnest(generate_series(1, len(ts) - 1)) AS i
+       |  FROM toks WHERE len(ts) >= 2),
+       |g AS (SELECT DISTINCT doc_id, source, ts[i] || ' ' || ts[i+1] AS gram FROM pos),
+       |fd AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+       |fs AS (SELECT fd.gram, d.source AS first_source
+       |  FROM fd JOIN documents d ON d.doc_id = fd.first_doc),
+       |nf AS (SELECT first_source AS source, count(*) AS n_first FROM fs GROUP BY 1),
+       |nt AS (SELECT source, count(DISTINCT gram) AS n_types FROM g GROUP BY 1)
+       |SELECT nt.source, nt.n_types,
+       |  CAST(coalesce(nf.n_first, 0) AS BIGINT) AS n_first,
+       |  CAST((coalesce(nf.n_first, 0) * 1000000) // nt.n_types AS BIGINT) AS novelty_fx
+       |FROM nt LEFT JOIN nf ON nf.source = nt.source
+       |ORDER BY nt.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q196 — Kolmogorov–Smirnov drift between two sources' lengths
+  // ---------------------------------------------------------------
+
+  /** Two-sample KS distance between the doc token-length
+    * distributions of two sources — the drift gate a pipeline runs
+    * when a crawl refresh lands ("does src0's new batch still LOOK
+    * like src0?"). KS = max |ECDF_a − ECDF_b| over the pooled
+    * support, each ECDF in exact truncating 1e-6 fixed point, so the
+    * statistic is an exact integer and the gate hash can't drift.
+    * Scale shape: per-doc lengths are map-side; the support table is
+    * |distinct lengths| (bounded ≪ corpus); the cumulative window
+    * over it is the documented bounded-global-window pattern. */
+  def lengthKsOf(d: DataFrame, srcA: String, srcB: String): DataFrame = {
+    val lens = d.filter(col("source").isin(srcA, srcB))
+      .select(col("source"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), WS)).cast("long")).as("n"))
+    val byN = lens.groupBy(col("n")).agg(
+      sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byN
+      .withColumn("cca", sum(col("ca")).over(w))
+      .withColumn("ccb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(lens.agg(
+        sum(when(col("source") === srcA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("n_b"))))
+      .select(col("n_a"), col("n_b"),
+        abs(expr("(cca * 1000000) div n_a") - expr("(ccb * 1000000) div n_b"))
+          .as("d_fx"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("d_fx")).as("ks_fx"))
+  }
+
+  def lengthKs(s: SparkSession, dir: String): DataFrame =
+    lengthKsOf(docs(s, dir), "src0", "src1")
+
+  val lengthKsSql: String =
+    s"""WITH lens AS (SELECT source,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '$WS')) END AS n
+       |  FROM documents WHERE source IN ('src0', 'src1')),
+       |byn AS (SELECT n,
+       |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+       |  FROM lens GROUP BY 1),
+       |tot AS (SELECT
+       |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM lens),
+       |cum AS (SELECT n,
+       |    CAST(sum(ca) OVER (ORDER BY n
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cca,
+       |    CAST(sum(cb) OVER (ORDER BY n
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccb
+       |  FROM byn)
+       |SELECT n_a, n_b,
+       |  CAST(max(abs((cca * 1000000) // n_a - (ccb * 1000000) // n_b)) AS BIGINT)
+       |    AS ks_fx
+       |FROM cum CROSS JOIN tot GROUP BY n_a, n_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q197 — exact proportional stratified sample (largest remainder)
+  // ---------------------------------------------------------------
+
+  /** Deterministic stratified sample hitting the requested total
+    * EXACTLY under proportional allocation: per-stratum quotas by the
+    * largest-remainder method (floor the proportional share, then
+    * hand the leftover seats to the largest fractional remainders;
+    * ties break on the stratum key), members picked by the q67
+    * hash-rank recipe (md5(seed|id) — reproducible under any
+    * partitioning, stable as the corpus grows). The q67 balanced
+    * sampler caps every stratum at the SAME k; this one preserves the
+    * corpus mix — the two ends of the sampling spectrum. When
+    * `total` exceeds the corpus the allocation degrades gracefully
+    * (every stratum capped at its size). Scale shape: the allocation
+    * table is |strata| rows (bounded global window — the documented
+    * pattern); the pick is one per-stratum window over hash ranks. */
+  def stratifiedSampleOf(d: DataFrame, idCol: String, stratCol: String,
+      total: Long, seed: String): DataFrame = {
+    val cnt = d.groupBy(col(stratCol).as("stratum"))
+      .agg(count(lit(1)).as("n_s"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_tot"))))
+      .withColumn("base", expr(s"(n_s * $total) div n_tot"))
+      .withColumn("rem", expr(s"(n_s * $total) % n_tot"))
+    val wRem = Window.orderBy(col("rem").desc, col("stratum"))
+    val wTot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val alloc = cnt
+      .withColumn("leftover", lit(total) - sum(col("base")).over(wTot))
+      .withColumn("rk", row_number().over(wRem))
+      .withColumn("alloc",
+        least(col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L),
+          col("n_s")))
+      .select(col("stratum"), col("alloc"))
+    val wPick = Window.partitionBy(col(stratCol))
+      .orderBy(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), col(idCol))
+    d.select(col(idCol), col(stratCol), row_number().over(wPick).as("rnk"))
+      .join(broadcast(alloc), col(stratCol) === col("stratum"))
+      .filter(col("rnk") <= col("alloc"))
+      .select(col(idCol), col(stratCol), col("rnk").cast("long").as("rnk"))
+  }
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(docs(s, dir), "doc_id", "lang", 100L, "strat1")
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    """WITH cnt AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM cnt),
+      |q AS (SELECT lang, n_s, (n_s * 100) // n_tot AS base, (n_s * 100) % n_tot AS rem
+      |  FROM cnt CROSS JOIN tot),
+      |a AS (SELECT lang, n_s, base, rem,
+      |    100 - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      |  FROM q),
+      |alloc AS (SELECT lang,
+      |    least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n_s) AS alloc
+      |  FROM a),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5('strat1|' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk
+      |FROM r JOIN alloc ON alloc.lang = r.lang
+      |WHERE r.rnk <= alloc.alloc ORDER BY r.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q198 — embedding-space label similarity (exact-sum centroids)
+  // ---------------------------------------------------------------
+
+  /** Pairwise cosine between per-label embedding CENTROIDS — the
+    * semantic companion to q125's lexical source-overlap: which label
+    * populations occupy the same region of embedding space (merge
+    * candidates for mixture planning; suspects for label noise).
+    *
+    * Determinism without float-order hazards: each component is
+    * fixed-pointed per row (`round(x·1e6)` BIGINT — exact for float32
+    * inputs), per-(label, dim) sums are exact integers, and the dot /
+    * norm products are widened to DECIMAL(38)/HUGEINT so they cannot
+    * wrap. Only THEN does the math touch doubles — int→double
+    * conversion, sqrt and division are all IEEE correctly-rounded, so
+    * both engines produce the identical final 1e-6 fixed point.
+    * Scale shape: ONE (label, dim) shuffle of longs over the corpus
+    * (map-side partial sums); everything after is |labels|·dims
+    * rows. */
+  def labelCentroidSimOf(emb: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val comp = emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("vfx", round(col("x").cast("double") * 1e6).cast("long"))
+    val sums = graft.PlanCapture.checkpoint(
+      comp.groupBy(col("label"), col("dim"))
+        .agg(sum(col("vfx")).as("sfx"), count(lit(1)).as("nv")),
+      "centroid-sums")
+    val norms = sums.groupBy(col("label")).agg(
+      sum(expr("CAST(sfx AS DECIMAL(38,0)) * sfx")).as("nrm2"),
+      max(col("nv")).as("n_vecs"))
+    val a = sums.select(col("label").as("label_a"), col("dim"), col("sfx").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("dim"), col("sfx").as("sb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("label_a"),
+        col("nrm2").as("na2"), col("n_vecs").as("n_a"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"),
+        col("nrm2").as("nb2"), col("n_vecs").as("n_b"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+          * 1e6).cast("long").as("cos_fx"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  def labelCentroidSim(s: SparkSession, dir: String): DataFrame =
+    labelCentroidSimOf(Tables.load(s, dir, "embeddings"), "label", "embedding")
+
+  val labelCentroidSimSql: String =
+    """WITH idx AS (SELECT label, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |comp AS (SELECT label, i - 1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS vfx
+      |  FROM idx),
+      |sums AS (SELECT label, dim, CAST(sum(vfx) AS BIGINT) AS sfx,
+      |    count(*) AS nv
+      |  FROM comp GROUP BY 1, 2),
+      |norms AS (SELECT label,
+      |    sum(CAST(sfx AS HUGEINT) * sfx) AS nrm2,
+      |    CAST(max(nv) AS BIGINT) AS n_vecs
+      |  FROM sums GROUP BY 1),
+      |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+      |    sum(CAST(a.sfx AS HUGEINT) * b.sfx) AS dot
+      |  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b, na.n_vecs AS n_a, nb.n_vecs AS n_b,
+      |  CAST(round(CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+      |    * 1e6) AS BIGINT) AS cos_fx
+      |FROM dots JOIN norms na ON na.label = label_a
+      |JOIN norms nb ON nb.label = label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q199 — adjacent-repetition runs (gaps-and-islands on tokens)
+  // ---------------------------------------------------------------
+
+  /** Per-source adjacent-token repetition runs — the stutter
+    * detector Gopher's n-gram fractions (q65) miss: "the the the"
+    * inflates a 1-gram fraction only when it dominates the DOC, but
+    * a long run inside an otherwise-clean doc is generation stutter
+    * worth catching on its own. Classic gaps-and-islands: a run is a
+    * maximal block of equal consecutive tokens (pos − dense running
+    * island id); reports per source the longest run, docs containing
+    * a run ≥ 3, and total tokens inside ≥ 3 runs. Exact integers.
+    * Scale shape: the islands window partitions BY DOC (corpus-
+    * parallel, never global); per-source close is bounded. */
+  def repetitionRunsOf(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), col("source"),
+        posexplode(split(trim(col("text")), WS)).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = toks
+      .withColumn("chg",
+        when(lag(col("tok"), 1).over(wDoc) === col("tok"), 0).otherwise(1))
+      .withColumn("island", sum(col("chg")).over(wDoc))
+      .groupBy(col("doc_id"), col("source"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_id"), col("source"))
+      .agg(max(col("run_len")).as("doc_max_run"),
+        sum(when(col("run_len") >= 3, col("run_len")).otherwise(0L))
+          .as("doc_run_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("doc_max_run")).as("max_run"),
+        sum(when(col("doc_max_run") >= 3, 1L).otherwise(0L)).as("n_docs_run3"),
+        sum(col("doc_run_tokens")).as("run_tokens"))
+      .orderBy(col("source"))
+  }
+
+  def repetitionRuns(s: SparkSession, dir: String): DataFrame =
+    repetitionRunsOf(docs(s, dir))
+
+  val repetitionRunsSql: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    string_split_regex(trim(text), '$WS') AS ts FROM documents),
+       |pos AS (SELECT doc_id, source, ts,
+       |    unnest(generate_series(1, len(ts))) AS i FROM toks),
+       |tk AS (SELECT doc_id, source, i AS pos, ts[i] AS tok
+       |  FROM pos WHERE ts[i] <> ''),
+       |ch AS (SELECT doc_id, source, pos, tok,
+       |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+       |         THEN 0 ELSE 1 END AS chg
+       |  FROM tk),
+       |isl AS (SELECT doc_id, source,
+       |    sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM ch),
+       |runs AS (SELECT doc_id, source, island, count(*) AS run_len
+       |  FROM isl GROUP BY 1, 2, 3),
+       |per AS (SELECT doc_id, source, max(run_len) AS doc_max_run,
+       |    sum(CASE WHEN run_len >= 3 THEN run_len ELSE 0 END) AS doc_run_tokens
+       |  FROM runs GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(max(doc_max_run) AS BIGINT) AS max_run,
+       |  CAST(sum(CASE WHEN doc_max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_run3,
+       |  CAST(sum(doc_run_tokens) AS BIGINT) AS run_tokens
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q200 — cohort retention over the events feed
+  // ---------------------------------------------------------------
+
+  /** Day-cohort retention over the events stream: cohort = a user's
+    * first-event day; for each (cohort_day, day_k) the count of
+    * cohort users active k days later — THE product-analytics read
+    * on a feed (is the day-5 retention of January 10th's cohort
+    * holding?). Exact integers and dates only. Scale shape: first-
+    * event is one groupBy(user); the activity join is user-keyed
+    * (same key — the shuffle partitioning is reused, no second
+    * corpus exchange); the (cohort, k, user) distinct is bounded by
+    * active user-days, and the close is cohort×horizon-bounded. */
+  def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val d = events.select(col("user_id"),
+      to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val first = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_k"), col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_k"))
+  }
+
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(Tables.load(s, dir, "events"))
+
+  val cohortRetentionSql: String =
+    """WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+      |r AS (SELECT DISTINCT cohort_day,
+      |    CAST(day - cohort_day AS INT) AS day_k, d.user_id
+      |  FROM d JOIN f USING (user_id))
+      |SELECT cohort_day, day_k, count(*) AS n_users
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_val_cross_entropy" -> valCrossEntropy,
+    "q195_bigram_novelty" -> bigramNovelty,
+    "q196_length_ks" -> lengthKs,
+    "q197_stratified_sample" -> stratifiedSample,
+    "q198_label_centroid_sim" -> labelCentroidSim,
+    "q199_repetition_runs" -> repetitionRuns,
+    "q200_cohort_retention" -> cohortRetention)
+
+  def oracles: Map[String, String] = Map(
+    "q194_val_cross_entropy" -> valCrossEntropySql,
+    "q195_bigram_novelty" -> bigramNoveltySql,
+    "q196_length_ks" -> lengthKsSql,
+    "q197_stratified_sample" -> stratifiedSampleSql,
+    "q198_label_centroid_sim" -> labelCentroidSimSql,
+    "q199_repetition_runs" -> repetitionRunsSql,
+    "q200_cohort_retention" -> cohortRetentionSql)
+}

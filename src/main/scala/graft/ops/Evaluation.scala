@@ -136,23 +136,42 @@ object Evaluation {
     * are map-only (q187's kernel), one source aggregate, then a
     * 3×|sources| frame — nothing after the first reduce is
     * corpus-sized. */
-  def passAtK(s: SparkSession, dir: String): DataFrame = {
-    val flags = CurationOps.qualityRuleFlags(
-      Tables.load(s, dir, "documents"), "source", "text")
-    val g = flags.groupBy(col("source")).agg(count(lit(1)).as("n"),
-      sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
-        .otherwise(0L)).as("c"))
-    g.select(col("source"), col("n"), col("c"),
+  def passAtK(s: SparkSession, dir: String): DataFrame =
+    passAtKOf(Tables.load(s, dir, "documents"))
+
+  /** Generic pass@k core over any (source, text) frame. */
+  def passAtKOf(docsDf: DataFrame): DataFrame =
+    passScreenCounts(docsDf)
+      .select(col("source"), col("n"), col("c"),
         explode(array(lit(1), lit(5), lit(10))).as("k"))
       .filter(col("k") <= col("n"))
-      .withColumn("prod", aggregate(sequence(lit(0), col("k") - 1), lit(1.0d),
+      .transform(passAtKClose)
+      .orderBy(col("source"), col("k"))
+
+  /** Best-of-k yield with k CLAMPED per source to min(k, n): every
+    * source gets exactly one row — a 2-doc source reports its
+    * best-of-2 yield instead of silently vanishing from the k=5 slice
+    * (round-11, ADVICE r10 #3; tiny sources are exactly the ones most
+    * likely to have the worst yield). The emitted k column shows the
+    * clamp, so a reader can tell best-of-5 from best-of-n<5. */
+  def bestOfK(docsDf: DataFrame, k: Int): DataFrame =
+    passScreenCounts(docsDf)
+      .withColumn("k", least(lit(k.toLong), col("n")))
+      .transform(passAtKClose)
+
+  private def passScreenCounts(docsDf: DataFrame): DataFrame =
+    CurationOps.qualityRuleFlags(docsDf, "source", "text")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+          .otherwise(0L)).as("c"))
+
+  private def passAtKClose(g: DataFrame): DataFrame =
+    g.withColumn("prod", aggregate(sequence(lit(0), col("k") - 1), lit(1.0d),
         (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
           (col("n") - i).cast("double"))))
       .select(col("source"), col("k").cast("long").as("k"),
         col("n").as("n_samples"), col("c").as("n_pass"),
         round((lit(1.0d) - col("prod")) * 1e6).cast("long").as("pass_at_k_fx"))
-      .orderBy(col("source"), col("k"))
-  }
 
   val passAtKSql: String =
     s"""WITH ${CurationOps.qualityPassCteSql},

@@ -615,7 +615,7 @@ object TextAnalysis {
     *    buckets the new write touches, leaving the earlier crawl's
     *    stale postings mixed in — silently corrupt. If the batch
     *    partition exists, its content fingerprint (order-insensitive
-    *    sum of xxhash64(id, term, tf) — |delta|-bounded read) is
+    *    bit_xor of xxhash64(id, term, tf) — |delta|-bounded read) is
     *    compared against the incoming delta's: equal ⇒ true replay,
     *    proceed; different ⇒ throw unless `force = true`, which first
     *    DELETES the old batch subtree so the rewrite is clean. */
@@ -658,9 +658,12 @@ object TextAnalysis {
       s"$indexDir/postings/batch=$batchId")
     val fs = batchPath.getFileSystem(conf)
     if (fs.exists(batchPath)) {
+      // bit_xor, not sum: order-insensitive, immune to ANSI long
+      // overflow, and exact as a set fingerprint because posting rows
+      // are unique per (id, term) by construction
       def fingerprint(df: DataFrame): (Long, Long) = {
         val r = df.agg(
-          coalesce(sum(xxhash64(col("id"), col("term"), col("tf"))), lit(0L)),
+          coalesce(bit_xor(xxhash64(col("id"), col("term"), col("tf"))), lit(0L)),
           count(lit(1))).head()
         (r.getLong(0), r.getLong(1))
       }

@@ -153,21 +153,16 @@ object DatasetCard {
 
   /** Best-of-k yield off the q191-certified pass@k estimator: the
     * five sources where even five draws rarely clear the screen —
-    * the rejection-sampling cost row. k is clamped per source to the
-    * largest estimable k ≤ 5 (pass@k needs k ≤ n), so a source with
-    * fewer than 5 docs still appears — with its k column showing the
-    * clamp — instead of silently vanishing from exactly the row made
-    * for tiny low-yield sources (round-11 fix, ADVICE r10 #3). */
-  def bestOfKSummary(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
-    val perSrc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("k").desc)
-    graft.ops.Evaluation.passAtK(spark, dir)
-      .filter(col("k") <= 5)
-      .withColumn("rn", row_number().over(perSrc))
-      .filter(col("rn") === 1).drop("rn")
+    * the rejection-sampling cost row. Uses the k-clamped bestOfK core
+    * so a source with fewer than 5 docs reports its best-of-n yield
+    * (k column shows the clamp) instead of silently vanishing from
+    * exactly the row made for tiny low-yield sources (round-11 fix,
+    * ADVICE r10 #3). */
+  def bestOfKSummary(spark: SparkSession, dir: String, topK: Int = 5): DataFrame =
+    graft.ops.Evaluation.bestOfK(
+        graft.Tables.load(spark, dir, "documents"), 5)
       .orderBy(col("pass_at_k_fx"), col("source"))
       .limit(topK)
-  }
 
   /** Padding waste off the q190-certified audit: what each candidate
     * context length costs in padded tokens under doc-boundary

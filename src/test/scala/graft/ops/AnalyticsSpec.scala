@@ -198,4 +198,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(div(1) == 1L)
     assert(div(2) == 3L) // near-dup 2 deferred in favor of diverse 3
   }
+
+  test("goodTuringOf: hand-computed Chao1 through the wide-decimal correction path") {
+    // bigrams: "x y":2, "y x":1, "a b":1 → n_tokens=4, vocab=3,
+    // n1=2, n2=1; unseen = 2e6 div 4 = 500000;
+    // chao1 = 3e6 + (2·1·1e6) div (2·(1+1)) = 3e6 + 500000
+    val d = Seq(("s", "x y x y"), ("s", "a b")).toDF("source", "text")
+    val got = Analytics.goodTuringOf(d)
+      .select("source", "n_tokens", "vocab", "n1", "n2",
+        "unseen_mass_fx", "chao1_fx")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("s", 4L, 3L, 2L, 1L, 500000L, 3500000L)))
+  }
 }

@@ -73,4 +73,16 @@ class AuditOpsSpec extends SparkSpec {
     assert(cappedPairs == 1L, s"capped=$cappedPairs")
     assert(fullPairs == 781L, s"full=$fullPairs")
   }
+
+  test("paddingWasteOf excludes zero-word docs (empty split yields [''], not 1 token)") {
+    // "" and "   " must not count as 1-token docs — round-11 fix
+    // aligning with the length(trim)=0 guard the other audits use
+    val d = Seq("a b c", "", "   ").toDF("text")
+    val got = AuditOps.paddingWasteOf(d)
+      .select("ctx", "n_docs", "n_seqs", "n_pad")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (64L, 1L, 1L, 61L), (128L, 1L, 1L, 125L),
+      (256L, 1L, 1L, 253L), (512L, 1L, 1L, 509L)))
+  }
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed contracts for the round-11 corpus-statistics
+  * operators (q194–q200). */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side twin of the q66 'v1|' split stamp. */
+  private def isTrain(id: Long): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"v1|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    hex.substring(0, 4) < "cccc"
+  }
+
+  test("valCrossEntropyOf: hand-built LM, OOV bucket, exact fixed-point path") {
+    // assign texts BY the split each id actually lands in, so the LM
+    // and the val slice are fully known: train docs say "a a b",
+    // val docs say "a z" (z is OOV)
+    val ids = (0L until 40L)
+    val train = ids.filter(isTrain)
+    val vals = ids.filterNot(isTrain)
+    assert(train.nonEmpty && vals.nonEmpty)
+    val d = (train.map(i => (i, "s", "a a b")) ++ vals.map(i => (i, "s", "a z")))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.valCrossEntropyOf(d)
+      .as[(String, Long, Long, Double)].collect().toList
+    // LM: c(a)=2T, c(b)=T over N=3T tokens, V=2 → p(t)=(c+1)/(N+3)
+    val t = train.size.toLong; val v = vals.size.toLong
+    val n = 3 * t
+    def nl(c: Long): Long = math.round(math.log((n + 3).toDouble / (c + 1)) * 1e9)
+    // val tokens per doc: one 'a' (count 2T), one OOV 'z' (count 0)
+    val hfx = v * (nl(2 * t) + nl(0))
+    val expected = BigDecimal(hfx / (2.0 * v * 1e9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == List(("s", 2 * v, v, expected)))
+  }
+
+  test("bigramNoveltyOf: first-appearance attribution by min doc_id") {
+    val d = Seq(
+      (1L, "x", "a b c"),   // grams "a b","b c" — both first here
+      (2L, "y", "a b d"))   // "a b" first seen in doc 1, "b d" new
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.bigramNoveltyOf(d)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("x", 2L, 2L, 1000000L), ("y", 2L, 1L, 500000L)))
+  }
+
+  test("lengthKsOf: exact ECDF distance; identical distributions give 0") {
+    val d = Seq(
+      ("p", "w"), ("p", "w w"),   // lengths 1, 2
+      ("q", "w w"),               // length 2
+      ("r", "w"), ("r", "w w"))   // = p's distribution
+      .toDF("source", "text")
+    val ks = CorpusStats.lengthKsOf(d, "p", "q")
+      .as[(Long, Long, Long)].head()
+    assert(ks == ((2L, 1L, 500000L)))
+    val zero = CorpusStats.lengthKsOf(d, "p", "r")
+      .as[(Long, Long, Long)].head()
+    assert(zero == ((2L, 2L, 0L)))
+  }
+
+  test("stratifiedSampleOf: largest-remainder quotas hit the total exactly") {
+    // strata 6/3/1, total 5 → bases 3/1/0, remainders 0/5/5 → the one
+    // leftover seat goes to 'b' (tie with 'c' breaks on stratum asc)
+    val d = ((1 to 6).map(i => (i.toLong, "a")) ++
+      (7 to 9).map(i => (i.toLong, "b")) ++ Seq((10L, "c")))
+      .toDF("doc_id", "lang")
+    val got = CorpusStats.stratifiedSampleOf(d, "doc_id", "lang", 5L, "s")
+    val perStratum = got.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum == Map("a" -> 3L, "b" -> 2L))
+    assert(got.count() == 5L)
+    // stable under repartition (hash-rank picks, not partition order)
+    val again = CorpusStats.stratifiedSampleOf(d.repartition(7), "doc_id", "lang", 5L, "s")
+    assert(got.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    // total beyond the corpus degrades to the whole corpus
+    assert(CorpusStats.stratifiedSampleOf(d, "doc_id", "lang", 99L, "s").count() == 10L)
+  }
+
+  test("labelCentroidSimOf: orthogonal centroids 0, parallel 1e6") {
+    val e = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f)),
+      (2, Array(2.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val got = CorpusStats.labelCentroidSimOf(e, "label", "embedding")
+      .as[(Int, Int, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0, 1, 2L, 1L, 0L),        // orthogonal
+      (0, 2, 2L, 1L, 1000000L),  // parallel
+      (1, 2, 1L, 1L, 0L)))
+  }
+
+  test("repetitionRunsOf: gaps-and-islands run lengths on hand docs") {
+    val d = Seq(
+      (1L, "s", "a a a b b c"),  // runs 3,2,1 → max 3, run_tokens 3
+      (2L, "s", "x y"),          // no repeats
+      (3L, "t", "z z z z"))      // one run of 4
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.repetitionRunsOf(d)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("s", 2L, 3L, 1L, 3L), ("t", 1L, 4L, 1L, 4L)))
+  }
+
+  test("cohortRetentionOf: first-event day cohorts, distinct user-days") {
+    def nanos(day: Int, hour: Int): Long =
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atTime(hour, 0).toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    val ev = Seq(
+      (1L, nanos(0, 1)), (1L, nanos(0, 9)), (1L, nanos(1, 2)),  // two day-0 events collapse
+      (2L, nanos(1, 5)))
+      .toDF("user_id", "ts")
+    val got = CorpusStats.cohortRetentionOf(ev)
+      .select(col("cohort_day").cast("string"), col("day_k"), col("n_users"))
+      .as[(String, Int, Long)].collect().toList
+    assert(got == List(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)))
+  }
+}

@@ -813,4 +813,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(c0._5 == 1000000L, "the centroid itself scores exactly 1.0")
     assert(c2._4 == 1000000L && c2._5 == 1000000L)
   }
+
+  test("clusterSilhouette: a sole centroid scores every vector 1.0, not null") {
+    import spark.implicits._
+    // seedStep > max id → only id 0 seeds a centroid, so no second-
+    // nearest exists (c2 null); the round-11 guard defines that as
+    // maximal routing confidence instead of a null silhouette
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterSilhouette(e, "vec_id", "embedding", seedStep = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((0L, 3L, 1000000L, 1000000L, 1000000L)))
+  }
 }

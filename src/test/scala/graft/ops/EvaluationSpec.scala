@@ -74,4 +74,26 @@ class EvaluationSpec extends SparkSpec {
       assert(got(d)._1.isEmpty && got(d)._3.isEmpty)
     }
   }
+
+  test("bestOfK clamps k to n: a 2-doc source reports best-of-2 instead of vanishing") {
+    import spark.implicits._
+    // passText clears all four q187 rules (30 words, 2 stopwords,
+    // avg word length ~5.7, all distinct); failText fails r1 (nw<30)
+    val passText = ((1 to 28).map(i => f"word$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val failText = "too short"
+    val d = (Seq(("tiny", failText), ("tiny", failText)) ++
+      (1 to 3).map(_ => ("big", passText)) ++
+      (1 to 3).map(_ => ("big", failText))).toDF("source", "text")
+    val got = Evaluation.bestOfK(d, 5)
+      .select("source", "k", "n_samples", "n_pass", "pass_at_k_fx")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // tiny: n=2 < 5 → k clamped to 2; both fail → pass@2 = 0
+    assert(got("tiny") == (("tiny", 2L, 2L, 0L, 0L)))
+    // big: n=6, k=5, c=3 → a zero factor (n−c=3 < 5) → pass@5 = 1 exactly
+    assert(got("big") == (("big", 5L, 6L, 3L, 1000000L)))
+    // and the k=5 slice of passAtKOf (the pre-fix summary source)
+    // really does drop the tiny source — the gap bestOfK closes
+    assert(Evaluation.passAtKOf(d).filter(col("k") === 5)
+      .filter(col("source") === "tiny").count() == 0L)
+  }
 }

@@ -523,4 +523,68 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(got("u") - math.log(4.0)) < 1e-5)
     assert(got("z") == 0.0)
   }
+
+  test("appendToInvertedIndex rejects re-crawled ids; onExistingIds=drop keeps only new docs") {
+    // df is derived from pruned postings across ALL batches, so an id
+    // present in two batches double-counts — the round-11 guard turns
+    // the docstring warning into an enforced contract
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val base = d.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+    val overlap = d.filter( // one genuinely-new slice + one re-crawl slice
+      pmod(col("doc_id"), lit(4)) === 1 || pmod(col("doc_id"), lit(4)) === 2)
+    val inc = java.nio.file.Files.createTempDirectory("inv_gd_inc").toString
+    TextAnalysis.writeInvertedIndex(base, "doc_id", "text", inc)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToInvertedIndex(spark, inc, overlap, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("already indexed"))
+    // default-fail must not have half-written the batch
+    assert(!new java.io.File(s"$inc/postings/batch=delta").exists)
+    // drop mode: the %4==2 re-crawls are anti-joined out, the %4==1
+    // docs land, and the merged index serves exactly like a full build
+    TextAnalysis.appendToInvertedIndex(spark, inc, overlap, "doc_id", "text",
+      onExistingIds = "drop")
+    val full = java.nio.file.Files.createTempDirectory("inv_gd_full").toString
+    TextAnalysis.writeInvertedIndex(d, "doc_id", "text", full)
+    for (q <- Seq(Seq("table"), Seq("table", "scan", "merge"))) {
+      val a = TextAnalysis.serveBm25(spark, full, q, k = 20).collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.serveBm25(spark, inc, q, k = 20).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"query=$q")
+    }
+  }
+
+  test("appendToInvertedIndex refuses batchId reuse with different content; force re-targets cleanly") {
+    // dynamic overwrite only replaces the term buckets present in the
+    // NEW write — re-targeting a batch with a different delta would
+    // leave the earlier crawl's stale postings mixed in. Equal-content
+    // replay stays allowed (fingerprint match); different content
+    // throws; force=true deletes the old subtree first so the rewrite
+    // serves exactly like a fresh build
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val base = d.filter(pmod(col("doc_id"), lit(4)) === 0 ||
+      pmod(col("doc_id"), lit(4)) === 3)
+    val deltaA = d.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val deltaB = d.filter(pmod(col("doc_id"), lit(4)) === 2)
+    val inc = java.nio.file.Files.createTempDirectory("inv_ru_inc").toString
+    TextAnalysis.writeInvertedIndex(base, "doc_id", "text", inc)
+    TextAnalysis.appendToInvertedIndex(spark, inc, deltaA, "doc_id", "text", "crawl1")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToInvertedIndex(spark, inc, deltaB, "doc_id", "text", "crawl1")
+    }
+    assert(ex.getMessage.contains("DIFFERENT content"))
+    TextAnalysis.appendToInvertedIndex(spark, inc, deltaB, "doc_id", "text",
+      "crawl1", force = true)
+    val full = java.nio.file.Files.createTempDirectory("inv_ru_full").toString
+    TextAnalysis.writeInvertedIndex(
+      base.unionByName(deltaB), "doc_id", "text", full)
+    for (q <- Seq(Seq("table"), Seq("table", "scan", "merge"))) {
+      val a = TextAnalysis.serveBm25(spark, full, q, k = 20).collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.serveBm25(spark, inc, q, k = 20).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b, s"query=$q")
+    }
+    // no deltaA doc may survive the forced re-target
+    val ids = spark.read.parquet(s"$inc/doclens").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaA.select("doc_id").collect().map(_.getLong(0)).forall(!ids.contains(_)))
+  }
 }
