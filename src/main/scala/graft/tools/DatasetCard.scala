@@ -187,6 +187,33 @@ object DatasetCard {
       .orderBy(col("avg_sil_fx"), col("cluster_id"))
       .limit(topK)
 
+  /** Split-exchangeability screen off the q194-certified held-out
+    * cross-entropy: the sources whose val slice is most/least
+    * predictable under the train LM — outliers on either end mean
+    * the q66 split is not exchangeable for that source (duplication
+    * across the boundary, or a shifted sub-population). */
+  def crossEntropySummary(docsDf: DataFrame, topK: Int = 5): DataFrame =
+    graft.ops.CorpusStats.valCrossEntropyOf(docsDf)
+      .orderBy(col("xent"), col("source"))
+      .limit(topK)
+
+  /** Crawl-novelty attribution off the q195-certified first-
+    * appearance share: the sources still contributing the most new
+    * bigram types — where continued crawl buys text the corpus
+    * doesn't have. */
+  def noveltySummary(docsDf: DataFrame, topK: Int = 5): DataFrame =
+    graft.ops.CorpusStats.bigramNoveltyOf(docsDf)
+      .orderBy(col("novelty_fx").desc, col("source"))
+      .limit(topK)
+
+  /** Generation-stutter exposure off the q199-certified repetition
+    * runs: the sources with the longest adjacent-token runs — the
+    * per-run signal q65's doc-level fractions dilute away. */
+  def stutterSummary(docsDf: DataFrame, topK: Int = 5): DataFrame =
+    graft.ops.CorpusStats.repetitionRunsOf(docsDf)
+      .orderBy(col("max_run").desc, col("source"))
+      .limit(topK)
+
   /** Top URL hosts off the q92-certified host-frequency report. */
   def hostSummary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 10): DataFrame =
@@ -243,6 +270,9 @@ object DatasetCard {
       s""""lowest_best_of_5_yield":${rowsJson(bestOfKSummary(spark, dir))},""" +
       s""""padding_waste":${rowsJson(paddingWasteSummary(spark, dir))},""" +
       s""""highest_unseen_bigram_mass":${rowsJson(richnessSummary(docs))},""" +
-      s""""lowest_margin_ivf_clusters":${rowsJson(silhouetteSummary(spark, dir))}}"""
+      s""""lowest_margin_ivf_clusters":${rowsJson(silhouetteSummary(spark, dir))},""" +
+      s""""most_predictable_val_sources":${rowsJson(crossEntropySummary(docs))},""" +
+      s""""highest_novelty_sources":${rowsJson(noveltySummary(docs))},""" +
+      s""""longest_repetition_runs":${rowsJson(stutterSummary(docs))}}"""
   }
 }
