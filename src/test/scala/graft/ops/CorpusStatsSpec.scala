@@ -105,6 +105,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == List(("s", 2L, 3L, 1L, 3L), ("t", 1L, 4L, 1L, 4L)))
   }
 
+  test("scale contracts: KS and centroids invariant under replication, runs scale linearly") {
+    // the behaviors that must hold when the corpus grows m×:
+    // duplicating every doc of both sources leaves each ECDF — and so
+    // the KS distance — unchanged (counts scale, shares don't)
+    val d = Seq(("p", "w"), ("p", "w w"), ("q", "w w"), ("q", "w w w"))
+      .toDF("source", "text")
+    val dm = d.union(d).union(d)
+    val ks1 = CorpusStats.lengthKsOf(d, "p", "q").select("ks_fx").as[Long].head()
+    val ks3 = CorpusStats.lengthKsOf(dm, "p", "q").select("ks_fx").as[Long].head()
+    assert(ks1 == ks3 && ks1 > 0)
+    // replicating every vector of a label moves its centroid nowhere
+    val e = Seq((0, Array(1.0f, 0.2f)), (0, Array(0.8f, 0.4f)),
+      (1, Array(0.1f, 0.9f))).toDF("label", "embedding")
+    val c1 = CorpusStats.labelCentroidSimOf(e, "label", "embedding")
+      .select("cos_fx").as[Long].head()
+    val c4 = CorpusStats.labelCentroidSimOf(e.union(e).union(e).union(e),
+      "label", "embedding").select("cos_fx").as[Long].head()
+    assert(c1 == c4)
+    // repetition runs are per-doc: m× distinct-id copies scale the doc
+    // counts m× and leave the run spectrum (max_run) unchanged
+    val r = Seq((1L, "s", "a a a b"), (2L, "s", "x y")).toDF("doc_id", "source", "text")
+    val rm = (0 until 3).map(i => r.withColumn("doc_id", col("doc_id") + lit(i * 100L)))
+      .reduce(_ union _)
+    val s1 = CorpusStats.repetitionRunsOf(r)
+      .as[(String, Long, Long, Long, Long)].head()
+    val s3 = CorpusStats.repetitionRunsOf(rm)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(s1 == (("s", 2L, 3L, 1L, 3L)))
+    assert(s3 == (("s", 6L, 3L, 3L, 9L)))
+  }
+
   test("cohortRetentionOf: first-event day cohorts, distinct user-days") {
     def nanos(day: Int, hour: Int): Long =
       (java.time.LocalDate.of(2024, 1, 1).plusDays(day)
