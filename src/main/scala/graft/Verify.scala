@@ -21,6 +21,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
+    // Oracle SQL first, results second: the map depends only on
+    // SparkEntry, so writing it up front means a Verify killed
+    // mid-run leaves every completed query's parquet CHECKABLE
+    // (the round-10 empty-artifact lesson — partial truth always
+    // beats an empty directory).
+    writeOracleJson(outDir, only)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -39,6 +45,10 @@ object Verify {
         System.gc()
       }
     }
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String, only: Option[Set[String]]): Unit = {
     def q(s: String): String = OracleJson.quote(s)
     // mirror the `only` filter: otherwise a filtered re-gate emits the
     // full oracle map and check_oracle.py FAILs every absent result
@@ -46,6 +56,6 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    ()
   }
 }
