@@ -39,18 +39,25 @@ object SimilarityShapes {
     Similarity.cosineDupPairs(emb(s, dir), "vec_id", "embedding", 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // Row-wise list_sum(list_transform(...)) — the q181 recipe — NOT the
+  // unnest-to-rows form: unnest materialized pairs × dims rows each
+  // carrying BOTH 64-float arrays (~128M rows at sf0.1), which ran
+  // ~17s standalone and ~190s under a long gate run's memory
+  // pressure; the row-wise form is ~3s with bit-identical rows
+  // (per-pair double products summed in list order, same as Spark's
+  // left-fold `aggregate`; per-vector norms precomputed like the
+  // Spark side's withNorm).
   val cosineDupPairsSql: String =
-    """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |        a.embedding AS ae, b.embedding AS be
-      |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-      |x AS (SELECT id_a, id_b, ae, be, unnest(generate_series(1, len(ae))) AS i FROM p),
-      |d AS (SELECT id_a, id_b,
-      |        sum(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
-      |        sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS na2,
-      |        sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS nb2
-      |      FROM x GROUP BY id_a, id_b),
-      |s AS (SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS sim FROM d)
-      |SELECT id_a, id_b, round(sim, 4) AS sim FROM s
+    """WITH n AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(embedding,
+      |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+      |      FROM embeddings),
+      |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |          / (a.nrm * b.nrm) AS sim
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(sim, 4) AS sim FROM d
       |WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   /** q105 — semantic benchmark decontamination: the embedding-space
