@@ -718,7 +718,18 @@ object Similarity {
     * the standing corpus is never re-read. Periodic retrains (when
     * centroid drift degrades recall — measured by the q94 recall
     * report against the current corpus) rebuild via
-    * `writeIvfPqIndex`; between retrains this is the only write. */
+    * `writeIvfPqIndex`; between retrains this is the only write.
+    *
+    * Deliberate asymmetry with `TextAnalysis.appendToInvertedIndex`'s
+    * round-11 guards: this append needs NO re-crawl/batch-reuse
+    * enforcement because nothing here derives cross-batch statistics
+    * — serving dedups by vector id at read time (spec-pinned replay
+    * tolerance), so a replayed or re-crawled id costs duplicate rows
+    * until the next compaction, never a wrong score. BM25's df IS a
+    * cross-batch statistic, which is why the text index enforces what
+    * this one only absorbs; adding fail-fast id checks here would
+    * break the at-least-once contract its appends rely on (no batch
+    * partition column to scope a replay to). */
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
       newEmb: DataFrame, idCol: String, vecCol: String,
       nAssign: Int = 2): Unit = {
