@@ -5,13 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Round-11 corpus-statistics operators (q194–q200): the planning /
+/** Round-11 corpus-statistics operators (q194–q201): the planning /
   * drift / attribution numbers a curation team reads BETWEEN pipeline
   * runs — held-out cross-entropy under the train split's LM,
   * crawl-order novelty attribution, distribution-drift KS distance,
   * exact proportional stratified sampling, embedding-space label
-  * similarity, adjacent-repetition runs, and feed-side cohort
-  * retention. Every operator is oracle-gated; every float touchpoint
+  * similarity, adjacent-repetition runs, feed-side cohort
+  * retention, and the release gate that turns the audit battery into
+  * one pass/fail checklist. Every operator is oracle-gated; every
+  * float touchpoint
   * uses the fixed-point recipes the earlier gates certified (per-row
   * `round(ln·1e9)` longs for logs, exact-integer sums widened to
   * DECIMAL(38)/HUGEINT before any product that could wrap, doubles
@@ -459,8 +461,141 @@ object CorpusStats {
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  // q201 — dataset release gate (the CI checklist over the audits)
+  // ---------------------------------------------------------------
+
+  /** The release checklist a dataset build runs before shipping: five
+    * named checks, each a tiny aggregate of an already-certified
+    * audit kernel, emitted as (check, value_fx, threshold_fx, pass) —
+    * the one table a release pipeline actually blocks on. Checks and
+    * their scale-free thresholds (shares, not counts, so the gate
+    * means the same thing at 500 docs and 100 TB):
+    *   - quality_pass_share ≥ 0.50  (q187's four-rule screen)
+    *   - exact_dup_share    ≤ 0.05  (md5 text fingerprints, q28 kernel)
+    *   - stutter_doc_share  ≤ 0.05  (q199's run ≥ 3 exposure)
+    *   - empty_doc_share    ≤ 0.01  (zero-word docs)
+    *   - val_oov_share      ≤ 0.20  (q194's LM: val tokens unseen in train)
+    * All shares are exact truncating 1e-6 fixed point; `pass` is an
+    * exact integer comparison, so the verdict can never float-drift.
+    * Scale shape: each check is one corpus aggregate over a map-only
+    * kernel (the run check reuses q199's per-doc windows); the output
+    * is 5 rows. */
+  def releaseGateOf(d: DataFrame): DataFrame = {
+    val checks = Seq(
+      ("quality_pass_share", 500000L, true),
+      ("exact_dup_share", 50000L, false),
+      ("stutter_doc_share", 50000L, false),
+      ("empty_doc_share", 10000L, false),
+      ("val_oov_share", 200000L, false))
+    // every share is an exact truncating integer division (`div`, the
+    // DuckDB `//` twin) — Column./ would be double division
+    val quality = CurationOps.qualityRuleFlags(d, "source", "text")
+      .agg(sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+        .otherwise(0L)).as("p"), count(lit(1)).as("n"))
+      .select(lit("quality_pass_share").as("chk"),
+        expr("(p * 1000000) div n").as("v"))
+    val dups = d.groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("uniq"))
+      .select(lit("exact_dup_share").as("chk"),
+        expr("((tot - uniq) * 1000000) div tot").as("v"))
+    val stutter = repetitionRunsOf(d)
+      .agg(sum(col("n_docs_run3")).as("r3"), sum(col("n_docs")).as("n"))
+      .select(lit("stutter_doc_share").as("chk"),
+        expr("(r3 * 1000000) div n").as("v"))
+    val empty = d
+      .agg(sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+        .as("e"), count(lit(1)).as("n"))
+      .select(lit("empty_doc_share").as("chk"),
+        expr("(e * 1000000) div n").as("v"))
+    val oov = valCrossEntropyOf(d)
+      .agg(sum(col("n_oov")).as("o"), sum(col("n_tokens")).as("n"))
+      .select(lit("val_oov_share").as("chk"),
+        expr("(o * 1000000) div n").as("v"))
+    val thresholds = d.sparkSession.createDataFrame(checks)
+      .toDF("chk", "threshold_fx", "gte")
+    quality.unionByName(dups).unionByName(stutter)
+      .unionByName(empty).unionByName(oov)
+      .join(broadcast(thresholds), Seq("chk"))
+      .select(col("chk"), col("v").as("value_fx"), col("threshold_fx"),
+        when(col("gte"), col("v") >= col("threshold_fx"))
+          .otherwise(col("v") <= col("threshold_fx")).as("pass"))
+      .orderBy(col("chk"))
+  }
+
+  def releaseGate(s: SparkSession, dir: String): DataFrame =
+    releaseGateOf(docs(s, dir))
+
+  val releaseGateSql: String = {
+    val nTok =
+      s"""CASE WHEN length(trim(text)) = 0 THEN 0
+         | ELSE len(string_split_regex(trim(text), '$WS')) END""".stripMargin
+    s"""WITH ${CurationOps.qualityPassCteSql},
+       |qv AS (SELECT 'quality_pass_share' AS chk,
+       |    CAST((sum(pass) * 1000000) // count(*) AS BIGINT) AS value_fx
+       |  FROM qpass),
+       |fp AS (SELECT md5(text) AS f, count(*) AS n FROM documents GROUP BY 1),
+       |dv AS (SELECT 'exact_dup_share' AS chk,
+       |    CAST(((sum(n) - count(*)) * 1000000) // sum(n) AS BIGINT) AS value_fx
+       |  FROM fp),
+       |stoks AS (SELECT doc_id, string_split_regex(trim(text), '$WS') AS ts
+       |  FROM documents),
+       |spos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+       |  FROM stoks),
+       |stk AS (SELECT doc_id, i AS pos, ts[i] AS tok FROM spos
+       |  WHERE ts[i] <> ''),
+       |sch AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+       |         THEN 0 ELSE 1 END AS chg
+       |  FROM stk),
+       |sisl AS (SELECT doc_id,
+       |    sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM sch),
+       |sruns AS (SELECT doc_id, island, count(*) AS run_len
+       |  FROM sisl GROUP BY 1, 2),
+       |sper AS (SELECT doc_id, max(run_len) AS doc_max_run
+       |  FROM sruns GROUP BY 1),
+       |sv AS (SELECT 'stutter_doc_share' AS chk,
+       |    CAST((sum(CASE WHEN doc_max_run >= 3 THEN 1 ELSE 0 END) * 1000000)
+       |      // count(*) AS BIGINT) AS value_fx
+       |  FROM sper),
+       |ev AS (SELECT 'empty_doc_share' AS chk,
+       |    CAST((sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+       |      * 1000000) // count(*) AS BIGINT) AS value_fx
+       |  FROM documents),
+       |osp AS (SELECT text,
+       |    substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' AS tr
+       |  FROM documents),
+       |otk AS (SELECT tr, unnest(string_split_regex(trim(text), '$WS')) AS tok
+       |  FROM osp),
+       |olm AS (SELECT DISTINCT tok FROM otk WHERE tr AND tok <> ''),
+       |ovc AS (SELECT o.tok, count(*) AS cv, max(CASE WHEN l.tok IS NULL
+       |      THEN 1 ELSE 0 END) AS oov
+       |  FROM otk o LEFT JOIN olm l ON l.tok = o.tok
+       |  WHERE NOT o.tr AND o.tok <> '' GROUP BY o.tok),
+       |ov AS (SELECT 'val_oov_share' AS chk,
+       |    CAST((sum(cv * oov) * 1000000) // sum(cv) AS BIGINT) AS value_fx
+       |  FROM ovc),
+       |vals AS (SELECT * FROM qv UNION ALL SELECT * FROM dv
+       |  UNION ALL SELECT * FROM sv UNION ALL SELECT * FROM ev
+       |  UNION ALL SELECT * FROM ov),
+       |th(chk, threshold_fx, gte) AS (VALUES
+       |  ('quality_pass_share', CAST(500000 AS BIGINT), true),
+       |  ('exact_dup_share', CAST(50000 AS BIGINT), false),
+       |  ('stutter_doc_share', CAST(50000 AS BIGINT), false),
+       |  ('empty_doc_share', CAST(10000 AS BIGINT), false),
+       |  ('val_oov_share', CAST(200000 AS BIGINT), false))
+       |SELECT v.chk, v.value_fx, t.threshold_fx,
+       |  CASE WHEN t.gte THEN v.value_fx >= t.threshold_fx
+       |       ELSE v.value_fx <= t.threshold_fx END AS pass
+       |FROM vals v JOIN th t ON t.chk = v.chk
+       |ORDER BY v.chk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_release_gate" -> releaseGate,
     "q194_val_cross_entropy" -> valCrossEntropy,
     "q195_bigram_novelty" -> bigramNovelty,
     "q196_length_ks" -> lengthKs,
@@ -470,6 +605,7 @@ object CorpusStats {
     "q200_cohort_retention" -> cohortRetention)
 
   def oracles: Map[String, String] = Map(
+    "q201_release_gate" -> releaseGateSql,
     "q194_val_cross_entropy" -> valCrossEntropySql,
     "q195_bigram_novelty" -> bigramNoveltySql,
     "q196_length_ks" -> lengthKsSql,

@@ -136,6 +136,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(s3 == (("s", 6L, 3L, 3L, 9L)))
   }
 
+  test("releaseGateOf: hand-computed checklist, both verdict branches exercised") {
+    val passText = ((1 to 28).map(i => f"word$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val d = (Seq(
+      (0L, "s", ""),               // empty
+      (1L, "s", "z z z w"),        // stutter run 3, quality fail
+      (2L, "s", passText),         // quality pass, dup pair with 3
+      (3L, "s", passText)) ++
+      (4L to 39L).map(i => (i, "s", s"short text v$i")))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.releaseGateOf(d)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // empty: 1/40; dup: (40-39)/40; quality: 2/40; stutter: 1/39
+    // docs with >=1 token
+    assert(got("empty_doc_share") == ((25000L, 10000L, false)))
+    assert(got("exact_dup_share") == ((25000L, 50000L, true)))
+    assert(got("quality_pass_share") == ((50000L, 500000L, false)))
+    assert(got("stutter_doc_share") == ((1000000L / 39L, 50000L, true)))
+    // oov computed independently from the same split stamp
+    val rows = (Seq((0L, ""), (1L, "z z z w"), (2L, passText), (3L, passText)) ++
+      (4L to 39L).map(i => (i, s"short text v$i")))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val trainVocab = rows.filter(r => isTrain(r._1)).flatMap(r => toks(r._2)).toSet
+    val valToks = rows.filterNot(r => isTrain(r._1)).flatMap(r => toks(r._2))
+    val expOov = valToks.count(!trainVocab.contains(_)).toLong * 1000000L / valToks.size
+    assert(got("val_oov_share") == ((expOov, 200000L, expOov <= 200000L)))
+  }
+
   test("cohortRetentionOf: first-event day cohorts, distinct user-days") {
     def nanos(day: Int, hour: Int): Long =
       (java.time.LocalDate.of(2024, 1, 1).plusDays(day)
