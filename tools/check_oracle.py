@@ -13,11 +13,25 @@ verdict is written INCREMENTALLY — appended to <outdir>/
 oracle_check.jsonl and the summary <outdir>/oracle_check.json is
 rewritten after every query — so a kill at 50% still leaves 50% of
 the rows on disk instead of an empty artifact. Each row carries the
-DuckDB wall time so slow oracles are attributable.
+DuckDB wall time so slow oracles are attributable, and a per-query
+watchdog (ORACLE_TIMEOUT_SEC, default 300) interrupts any single
+DuckDB statement that hangs, failing THAT query and moving on — one
+pathological oracle can no longer stall the whole gate.
 """
-import sys, os, json, glob, hashlib, time
+import sys, os, json, glob, hashlib, time, threading
 
 import duckdb
+
+
+def run_with_budget(con, sql, budget_sec):
+    """Run one statement under a watchdog: con.interrupt() fires if it
+    exceeds the budget, turning a hang into a per-query failure."""
+    timer = threading.Timer(budget_sec, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        timer.cancel()
 
 
 def canon(rows, cols):
@@ -34,14 +48,14 @@ def canon(rows, cols):
     return hashlib.md5("\n".join(out).encode()).hexdigest()
 
 
-def check_one(con, outdir, name, sql):
+def check_one(con, outdir, name, sql, budget_sec):
     """Returns (passed: bool, reason: str, n_rows: int)."""
     res_dir = f"{outdir}/{name}"
     if not glob.glob(f"{res_dir}/*.parquet"):
         return False, "no spark result", 0
     try:
         got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-        want = con.sql(sql).df()
+        want = run_with_budget(con, sql, budget_sec)
     except Exception as e:
         return False, str(e), 0
     gcols, wcols = sorted(got.columns), sorted(want.columns)
@@ -74,6 +88,7 @@ def main(outdir, sfdir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    budget_sec = float(os.environ.get("ORACLE_TIMEOUT_SEC", "300"))
     n_pass = n_fail = 0
     results = {}
     jsonl_path = f"{outdir}/oracle_check.jsonl"
@@ -81,7 +96,7 @@ def main(outdir, sfdir):
     open(jsonl_path, "w").close()  # fresh run, fresh log
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
-        passed, reason, n_rows = check_one(con, outdir, name, sql)
+        passed, reason, n_rows = check_one(con, outdir, name, sql, budget_sec)
         dt = round(time.time() - t0, 3)
         if passed:
             print(f"PASS {name} ({n_rows} rows, {dt}s)", flush=True)
