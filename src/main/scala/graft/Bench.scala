@@ -163,6 +163,7 @@ object Bench {
     val serveResults: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty // dev-loop filter: skip serve section
       else try {
+        import org.apache.spark.sql.functions.{lit, pmod}
         val emb = Tables.load(spark, sfDir, "embeddings")
         val docs = Tables.load(spark, sfDir, "documents")
         val idxDir = s"${servePrefix}_ivfpq"
@@ -173,20 +174,50 @@ object Bench {
         val w = ops.Classifier.train(feats)
         val invDir = s"${servePrefix}_inv"
         ops.TextAnalysis.writeInvertedIndex(docs, "doc_id", "text", invDir)
+        // Index LIFECYCLE serve rows (round-11): the cost that repeats
+        // at 100 TB is serving between maintenance events, so measure
+        // the same two serves against base+delta-APPENDED indexes and
+        // again after COMPACTION — appends may only degrade serve by
+        // the extra per-partition file opens, and compaction must
+        // return it to the fresh-build line (row-equality is
+        // spec-pinned; these rows quantify the latency story).
+        val idxApp = s"${servePrefix}_ivfpq_app"
+        ops.Similarity.writeIvfPqIndex(
+          emb.filter(pmod(col("vec_id"), lit(4)) =!= 1), "vec_id", "embedding", idxApp)
+        ops.Similarity.appendToIvfPqIndex(spark, idxApp,
+          emb.filter(pmod(col("vec_id"), lit(4)) === 1), "vec_id", "embedding")
+        val idxCmp = s"${servePrefix}_ivfpq_cmp"
+        ops.Similarity.compactIvfPqIndex(spark, idxApp, idxCmp)
+        val invApp = s"${servePrefix}_inv_app"
+        ops.TextAnalysis.writeInvertedIndex(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 1), "doc_id", "text", invApp)
+        ops.TextAnalysis.appendToInvertedIndex(spark, invApp,
+          docs.filter(pmod(col("doc_id"), lit(4)) === 1), "doc_id", "text")
+        val invCmp = s"${servePrefix}_inv_cmp"
+        ops.TextAnalysis.compactInvertedIndex(spark, invApp, invCmp)
         Seq(
           "serve_ivfpq_topk" -> med3(ops.Similarity.servePqIndex(
             spark, idxDir, queriesDf, k = 5, nProbe = 8, shortlist = 100).count()),
+          "serve_ivfpq_after_append" -> med3(ops.Similarity.servePqIndex(
+            spark, idxApp, queriesDf, k = 5, nProbe = 8, shortlist = 100).count()),
+          "serve_ivfpq_compacted" -> med3(ops.Similarity.servePqIndex(
+            spark, idxCmp, queriesDf, k = 5, nProbe = 8, shortlist = 100).count()),
           "serve_quality_score" -> med3(
             ops.Classifier.scoreCorpus(docs, "doc_id", "text", w).count()),
           "serve_bm25_search" -> med3(ops.TextAnalysis.serveBm25(
-            spark, invDir, Seq("table", "scan", "merge"), k = 20).count()))
+            spark, invDir, Seq("table", "scan", "merge"), k = 20).count()),
+          "serve_bm25_after_append" -> med3(ops.TextAnalysis.serveBm25(
+            spark, invApp, Seq("table", "scan", "merge"), k = 20).count()),
+          "serve_bm25_compacted" -> med3(ops.TextAnalysis.serveBm25(
+            spark, invCmp, Seq("table", "scan", "merge"), k = 20).count()))
       } catch { case e: Throwable =>
         // surface the failure IN the JSON (serve_error below): an empty
         // serve_queries map with only a stderr note read as complete
         serveError = Some(e.toString.takeWhile(_ != '\n').take(200))
         System.err.println(s"[bench] serve section failed: $e"); Seq.empty
       } finally {
-        for (sfx <- Seq("_ivfpq", "_inv")) {
+        for (sfx <- Seq("_ivfpq", "_ivfpq_app", "_ivfpq_cmp",
+            "_inv", "_inv_app", "_inv_cmp")) {
           val d = new java.io.File(s"$servePrefix$sfx")
           if (d.exists) {
             def rm(f: java.io.File): Unit = {
