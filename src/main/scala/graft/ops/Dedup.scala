@@ -147,6 +147,65 @@ object Dedup {
     jaccardForCandidates(docSets.select(col("id"), col("shs")), cand, minJaccard)
   }
 
+  /** Exact CONTAINMENT join — the asymmetric near-dup Jaccard
+    * structurally misses: C(A ⊆ B) = |A∩B| / |A| ≥ t flags a short
+    * doc whose shingles B (much larger) swallows — quote inclusion,
+    * article-in-digest, boilerplate-wrapped reposts — where
+    * J = |A∩B| / |A∪B| stays tiny BECAUSE |B| ≫ |A|. Emits ORDERED
+    * pairs (id_sub, id_sup, containment_fx), containment in exact
+    * truncating 1e-6 fixed point.
+    *
+    * Pruning is prefix-filtered exact (the prefixFilterJaccard
+    * recipe, adapted): only the SUB side can be prefix-bounded —
+    * C ≥ t needs overlap o ≥ o_min = ⌈t·|A|⌉, so if B misses ALL of
+    * A's (|A| − o_min + 1) globally-rarest shingles, at most
+    * o_min − 1 remain and the pair can't qualify; the SUP side must
+    * stay fully indexed (any of B's shingles may hit A's prefix).
+    * o_min and the prefix length are computed in exact integers
+    * (t as 1e-6 fixed point, ceil as (t_fx·sz + 999999) div 1e6) so
+    * no float boundary can shave the certificate. Zero pruning loss
+    * is oracle-certified (q202 gates this exact operator against the
+    * naive all-ordered-pairs mirror, the q122 pattern).
+    *
+    * Scale shape: rarity-sorted prefixes keep the join's key
+    * distribution biased to LOW-df shingles, but unlike the Jaccard
+    * join the probe hits full documents — a tiny doc of globally hot
+    * shingles still fans out over every doc sharing them (that IS
+    * its true candidate set under containment). The quadratic
+    * exposure is bounded by df of the prefix shingles; for corpora
+    * where that bites, run on a df-capped shingle vocabulary or
+    * bound the sub side's length, both upstream filters that keep
+    * this operator exact over what they pass. */
+  def prefixFilterContainment(shingleSets: DataFrame,
+      minContainment: Double): DataFrame = {
+    val tFx = math.round(minContainment * 1e6)
+    val dfreq = shingleSets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val docSets = graft.PlanCapture.checkpoint(
+      shingleSets.join(dfreq, Seq("sh"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+        .withColumn("shs", transform(col("ord"), x => x("sh")))
+        .withColumn("sz", size(col("shs")))
+        .withColumn("plen", expr(
+          s"CAST(sz - (($tFx * CAST(sz AS BIGINT) + 999999) div 1000000) + 1 AS INT)"))
+        .select(col("id"), col("shs"),
+          slice(col("shs"), lit(1), col("plen")).as("prefix")),
+      "containment-docsets")
+    val pref = docSets.select(col("id").as("id_sub"), explode(col("prefix")).as("sh"))
+    val cand = pref
+      .join(shingleSets.select(col("id").as("id_sup"), col("sh")), Seq("sh"))
+      .filter(col("id_sub") =!= col("id_sup"))
+      .select(col("id_sub"), col("id_sup")).distinct()
+    cand
+      .join(docSets.select(col("id").as("id_sub"), col("shs").as("shs_a")), Seq("id_sub"))
+      .join(docSets.select(col("id").as("id_sup"), col("shs").as("shs_b")), Seq("id_sup"))
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("containment_fx", expr("(inter * 1000000) div size(shs_a)"))
+      .filter(col("containment_fx") >= tFx)
+      .select(col("id_sub"), col("id_sup"), col("containment_fx"))
+  }
+
   /** MinHash signatures: numHashes md5-string minima per doc.
     * (Portable stand-in for the usual (a·x+b) mod p permutations —
     * identical uniformity argument, and string-comparable across

@@ -44,6 +44,28 @@ object DedupShapes {
         Dedup.wordBigrams(docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text"), 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q202 — prefix-filtered EXACT containment join over the q30
+    * sample: the ASYMMETRIC near-dup report (short doc swallowed by a
+    * long one — quote inclusion, article-in-digest) that Jaccard
+    * structurally misses because |B| ≫ |A| crushes |A∩B|/|A∪B|. Gated
+    * against the naive all-ordered-pairs oracle, so a hash match
+    * certifies the sub-side prefix pruning loses no pair (the q122
+    * pattern for the containment measure). */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterContainment(
+        Dedup.wordBigrams(docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text"), 0.5)
+      .orderBy(col("id_sub"), col("id_sup"))
+
+  val containmentPairsSql: String =
+    s"""WITH ${shingleSql("WHERE doc_id < 1000")},
+       |inter AS (SELECT a.id AS id_sub, b.id AS id_sup, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id != b.id GROUP BY 1, 2)
+       |SELECT id_sub, id_sup,
+       |  CAST((inter * 1000000) // sa.sz AS BIGINT) AS containment_fx
+       |FROM inter JOIN sz sa ON sa.id = id_sub
+       |WHERE (inter * 1000000) // sa.sz >= 500000
+       |ORDER BY id_sub, id_sup""".stripMargin
+
   /** MinHash+LSH candidates verified by exact Jaccard — the certified
     * shingle→minhash→band→bucket-join pipeline (8 hashes, 4 bands). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -569,6 +591,7 @@ object DedupShapes {
     "q167_simhash_calibration" -> simhashCalibration,
     "q30_jaccard_pairs" -> jaccardPairs,
     "q122_prefix_jaccard" -> prefixJaccard,
+    "q202_containment_pairs" -> containmentPairs,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
@@ -585,6 +608,7 @@ object DedupShapes {
     "q167_simhash_calibration" -> simhashCalibrationSql,
     "q30_jaccard_pairs" -> jaccardPairsSql,
     "q122_prefix_jaccard" -> jaccardPairsSql,
+    "q202_containment_pairs" -> containmentPairsSql,
     "q31_minhash_lsh" -> minhashLshSql,
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,

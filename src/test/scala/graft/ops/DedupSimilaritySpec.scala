@@ -814,6 +814,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(c2._4 == 1000000L && c2._5 == 1000000L)
   }
 
+  test("prefixFilterContainment: asymmetric semantics on a hand case") {
+    import spark.implicits._
+    // A's bigrams {a b, b c} are fully inside B's {a b, b c, c d, d e}:
+    // C(A⊆B) = 1 → emitted; C(B⊆A) = 2/4 = 0.5 < 0.8 → not emitted;
+    // the unrelated doc pairs with nobody
+    val d = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixFilterContainment(
+        Dedup.wordBigrams(d, "doc_id", "text"), 0.8)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 2L, 1000000L)))
+    // at t = 0.5 the reverse direction qualifies too (2/4 = 0.5)
+    val both = Dedup.prefixFilterContainment(
+        Dedup.wordBigrams(d, "doc_id", "text"), 0.5)
+      .orderBy(col("id_sub")).as[(Long, Long, Long)].collect().toList
+    assert(both == List((1L, 2L, 1000000L), (2L, 1L, 500000L)))
+  }
+
+  test("prefixFilterContainment ≡ naive all-ordered-pairs on the corpus (zero pruning loss)") {
+    val sets = Dedup.wordBigrams(docs, "doc_id", "text")
+    val naive = sets.as("a").join(sets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_sub"), col("b.id").as("id_sup"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sets.groupBy(col("id").as("id_sub")).agg(count(lit(1)).as("sz")), "id_sub")
+      .withColumn("containment_fx", expr("(inter * 1000000) div sz"))
+      .filter(col("containment_fx") >= 500000L)
+      .select(col("id_sub"), col("id_sup"), col("containment_fx"))
+    val pruned = Dedup.prefixFilterContainment(sets, 0.5)
+    assert(naive.collect().map(_.toSeq).toSet ==
+      pruned.collect().map(_.toSeq).toSet)
+    assert(pruned.count() > 0)
+  }
+
   test("clusterSilhouette: a sole centroid scores every vector 1.0, not null") {
     import spark.implicits._
     // seedStep > max id → only id 0 seeds a centroid, so no second-
