@@ -187,6 +187,12 @@ object DatasetCard {
       .orderBy(col("avg_sil_fx"), col("cluster_id"))
       .limit(topK)
 
+  /** The q201-certified release checklist — the card's verdict row:
+    * five scale-free checks with their values, thresholds, and
+    * pass/fail, straight off the gated operator. */
+  def releaseGateSummary(docsDf: DataFrame): DataFrame =
+    graft.ops.CorpusStats.releaseGateOf(docsDf)
+
   /** Split-exchangeability screen off the q194-certified held-out
     * cross-entropy: the sources whose val slice is most/least
     * predictable under the train LM — outliers on either end mean
@@ -249,6 +255,7 @@ object DatasetCard {
 
     s"""{"dataset":${js(dir)},"n_docs":${total.getLong(2)},""" +
       s""""total_tokens":${total.getLong(3)},""" +
+      s""""release_gate":${rowsJson(releaseGateSummary(docs))},""" +
       s""""composition":${rowsJson(TextAnalysis.corpusStats(spark, dir).filter(col("lang").isNotNull && col("source").isNotNull))},""" +
       s""""mixture_1m_alpha05":${rowsJson(TextAnalysis.mixture(spark, dir))},""" +
       s""""quality_deciles":${rowsJson(TextAnalysis.qualityDeciles(spark, dir))},""" +
