@@ -3,7 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Headline benchmark: every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR (driver default sf0.1), one JSON line out.
+  * SPARK_GRAFT_SF_DIR (driver default sf0.1). Stdout carries ONE
+  * COMPACT (<1 KB) JSON line — totals, top-5 warm queries, load/GC
+  * stamps, and the path to the full per-query detail, which is always
+  * written to `bench_out.json` (SPARK_GRAFT_BENCH_OUT). Round-12
+  * split: the single 12 KB detail line overflowed the driver's
+  * tail-capture buffer in rounds 10-11 (`parsed: null`), so the
+  * detail now lives only in the file.
   *
   * Methodology: one untimed warm-up pass (JIT + codegen + OS page
   * cache — a native engine's steady state is the fair baseline), then
@@ -53,7 +59,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+    // Per-query GC attribution (round-12, VERDICT r11 item 1b): the
+    // driver's warm numbers for the checkpoint-heavy dedup family ran
+    // 3-9× the quiesced local numbers with identical plans — the
+    // hypothesis is long-single-JVM GC pressure, so stamp collector
+    // time per query (summed across every rep, cold included) to make
+    // that pressure visible in the artifact instead of inferred.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val gcByQuery = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     def run(name: String): Double = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val dt =
         try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -72,6 +90,8 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
+      // attribute the cleanup collection to the query that caused it
+      gcByQuery(name) += (gcMillis() - g0) / 1e3
       dt
     }
 
@@ -239,29 +259,47 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val cqs = coldPerQ.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val sqs = serveResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val gqs = names.map(n => "\"" + n + "\":" + (math.round(gcByQuery(n) * 1000) / 1000.0))
+      .mkString("{", ",", "}")
     val tiq = trainInQuery.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val gcTotal = math.round(gcByQuery.values.sum * 1000) / 1000.0
     // 1-min loadavg at start > 4 ⇒ the cold pass (and likely warm pass
     // 1) ran contended — stamp it so readers discard the comparison
     val highLoad =
       try loadBefore.stripPrefix("[").split(",").head.toDouble > 4.0
       catch { case _: Throwable => false }
-    val json =
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cold_total_sec":$cold,"cold_queries":$cqs,""" +
         s""""serve_queries":$sqs,"train_in_query":$tiq,""" +
+        s""""gc_queries":$gqs,"gc_sec_total":$gcTotal,""" +
         serveError.map(e => s""""serve_error":${OracleJson.quote(e)},""").getOrElse("") +
         s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
         s""""high_load_at_start":$highLoad,"quiesce_waited":$quiesceWaited,""" +
         s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,"sf":"$sfDir"}"""
-    println(json)
-    // The single giant stdout line is fragile under the driver's
-    // capture window (BENCH_r04 arrived truncated mid-JSON) — also
-    // land it in a file so the artifact survives.
+    // Full detail goes to the FILE; stdout gets a COMPACT (<1 KB) final
+    // line. Round-12 fix for BENCH_r11.json `parsed: null`: the 202-
+    // query detail line grew to ~12 KB and overflowed the driver's
+    // tail-capture buffer, so the captured tail started mid-JSON. The
+    // compact line keeps the driver-contract keys (metric/value/unit/
+    // queries/sf) but carries only the top-5 warm queries plus the load
+    // stamps and the path to the full JSON.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+      java.nio.file.Paths.get(benchOut), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,""" +
+        s""""n_queries":${results.size},"cold_total_sec":$cold,""" +
+        s""""gc_sec_total":$gcTotal,""" +
+        s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
+        s""""high_load_at_start":$highLoad,"quiesce_waited":$quiesceWaited,""" +
+        s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,""" +
+        s""""full_json":"$benchOut","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -54,13 +54,39 @@ object GraftSession {
     * Window operation!" on every such frame (~147 times per full gate
     * run — VERDICT r10 item 7: correct plans, drowned logs). Those
     * single-partition moves are exactly what a bounded frame wants,
-    * so silence precisely the window-exec loggers and nothing else;
-    * any UNBOUNDED global window would still be caught by the plan
+    * so silence precisely THAT MESSAGE and nothing else — a
+    * StringMatchFilter on the window-exec logger config (round-12
+    * ADVICE: the earlier whole-logger ERROR level also swallowed
+    * genuine window warnings like spill-to-disk, process-wide). Any
+    * UNBOUNDED global window would still be caught by the plan
     * audit (PlanAudit flags corpus-sized exchanges), which is the
     * right tool for that failure, not a per-query log line. */
   def quietBoundedWindowWarnings(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // cosmetic only — never fail a session on it
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.StringMatchFilter
+      val name = "org.apache.spark.sql.execution.window"
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val existing = cfg.getLoggerConfig(name)
+      val target =
+        if (existing.getName == name) existing
+        else {
+          val lc = new LoggerConfig(name, existing.getLevel, true)
+          cfg.addLogger(name, lc)
+          lc
+        }
+      // idempotent across repeated session builds: LoggerConfig keeps a
+      // single head filter slot here, so only add once
+      if (target.getFilter == null) {
+        target.addFilter(StringMatchFilter.newBuilder()
+          .setMatchString("No Partition Defined for Window operation")
+          .setOnMatch(Filter.Result.DENY)
+          .setOnMismatch(Filter.Result.NEUTRAL)
+          .build())
+        ctx.updateLoggers()
+      }
+    } catch { case _: Throwable => () } // cosmetic only — never fail a session on it
 }

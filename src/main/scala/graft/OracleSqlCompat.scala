@@ -27,8 +27,17 @@ object OracleSqlCompat {
   private val CteDef =
     "(?m)(^[ \\t]*|\\bWITH RECURSIVE[ \\t]+|\\bWITH[ \\t]+)([A-Za-z_][A-Za-z0-9_]*)[ \\t]+AS[ \\t]+\\(".r
 
+  /** Scoped to statements that actually contain `WITH RECURSIVE`
+    * (round-12 ADVICE): that is the only mode where DuckDB re-inlines
+    * multi-referenced CTEs (plain WITH chains are auto-materialized
+    * when referenced more than once), and it shrinks the textual
+    * regex's blast radius — a future non-recursive oracle with a
+    * line-leading `name AS (` that is NOT a CTE (a multi-line WINDOW
+    * clause, a derived-table alias) can no longer be rewritten into
+    * invalid SQL. OracleSqlCompatSpec pins the non-matching forms. */
   def materializeCtes(sql: String): String =
-    CteDef.replaceAllIn(sql, m =>
+    if (!sql.contains("WITH RECURSIVE")) sql
+    else CteDef.replaceAllIn(sql, m =>
       scala.util.matching.Regex.quoteReplacement(
         m.group(1) + m.group(2) + " AS MATERIALIZED ("))
 }

@@ -41,8 +41,13 @@ object CorpusStats {
     *
     * Determinism (the q128 entropy recipe): each token TYPE's
     * −ln p is fixed-pointed once (`round(ln·1e9)` BIGINT), weighted
-    * by its exact val count, summed as integers; only the final
-    * per-source division is a double of exact ints. Scale shape: LM
+    * by its exact val count, summed as integers; the per-source
+    * cross-entropy is emitted as `xent_fx`, the exact TRUNCATING
+    * integer division sum(hfx) div sum(cv) — a 1e-9 fixed point
+    * (round-12 ADVICE: the earlier `round(double, 6)` output could
+    * flake on a decimal-tie quotient because Spark rounds via
+    * BigDecimal HALF_UP while DuckDB rounds in floating point; both
+    * summands are non-negative so `div` and `//` agree). Scale shape: LM
     * and val counts are token-TYPE tables (vocabulary-bounded, not
     * corpus-bounded) built by ONE (tok) shuffle each; the join is
     * type-table × type-table on tok; N/V ride a 1-row broadcast. */
@@ -65,8 +70,8 @@ object CorpusStats {
       .groupBy(col("source"))
       .agg(sum(col("cv")).as("n_tokens"),
         sum(when(col("ct").isNull, col("cv")).otherwise(0L)).as("n_oov"),
-        round(sum(col("hfx")) / (sum(col("cv")) * 1e9), 6).as("xent"))
-      .select(col("source"), col("n_tokens"), col("n_oov"), col("xent"))
+        expr("sum(hfx) div sum(cv)").as("xent_fx"))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("xent_fx"))
       .orderBy(col("source"))
   }
 
@@ -89,7 +94,7 @@ object CorpusStats {
        |  FROM vc LEFT JOIN lm USING (tok) CROSS JOIN nv)
        |SELECT source, CAST(sum(cv) AS BIGINT) AS n_tokens,
        |  CAST(sum(CASE WHEN ct IS NULL THEN cv ELSE 0 END) AS BIGINT) AS n_oov,
-       |  round(CAST(sum(hfx) AS BIGINT) / (CAST(sum(cv) AS BIGINT) * 1e9), 6) AS xent
+       |  CAST(sum(hfx) // sum(cv) AS BIGINT) AS xent_fx
        |FROM h GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
@@ -181,7 +186,14 @@ object CorpusStats {
         sum(when(col("source") === srcA, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("source") === srcB, 1L).otherwise(0L)).as("n_b"))))
       .select(col("n_a"), col("n_b"),
-        abs(expr("(cca * 1000000) div n_a") - expr("(ccb * 1000000) div n_b"))
+        // zero guard (round-12 ADVICE): this drift gate exists for the
+        // "source vanished in the refresh" case, so an empty side must
+        // REPORT maximal drift (sentinel 1e6 = KS distance 1.0), not
+        // raise ANSI/DuckDB divide-by-zero. CASE short-circuits on
+        // both engines, so the div never evaluates on the guarded row.
+        when(col("n_a") === 0 || col("n_b") === 0, lit(1000000L))
+          .otherwise(
+            abs(expr("(cca * 1000000) div n_a") - expr("(ccb * 1000000) div n_b")))
           .as("d_fx"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(col("d_fx")).as("ks_fx"))
@@ -210,8 +222,9 @@ object CorpusStats {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccb
        |  FROM byn)
        |SELECT n_a, n_b,
-       |  CAST(max(abs((cca * 1000000) // n_a - (ccb * 1000000) // n_b)) AS BIGINT)
-       |    AS ks_fx
+       |  CAST(max(CASE WHEN n_a = 0 OR n_b = 0 THEN 1000000
+       |    ELSE abs((cca * 1000000) // n_a - (ccb * 1000000) // n_b) END)
+       |    AS BIGINT) AS ks_fx
        |FROM cum CROSS JOIN tot GROUP BY n_a, n_b""".stripMargin
 
   // ---------------------------------------------------------------
@@ -477,9 +490,18 @@ object CorpusStats {
     *   - val_oov_share      ≤ 0.20  (q194's LM: val tokens unseen in train)
     * All shares are exact truncating 1e-6 fixed point; `pass` is an
     * exact integer comparison, so the verdict can never float-drift.
-    * Scale shape: each check is one corpus aggregate over a map-only
-    * kernel (the run check reuses q199's per-doc windows); the output
-    * is 5 rows. */
+    *
+    * Scale shape (round-12, VERDICT r11 item 4 — was 7 corpus scans,
+    * one per check): TWO corpus scans total. Scan 1 is one map-only
+    * per-doc projection — text fingerprint, the q187 four-rule pass
+    * flag, token count, and the q199 max-repetition-run computed as a
+    * map-side ARRAY FOLD over the token list (no per-token window;
+    * identical run semantics, certified by the unchanged oracle) —
+    * reduced by ONE aggregate (quality/dup/stutter/empty all
+    * conditional sums + one count_distinct). Scan 2 is the val-OOV
+    * check: one (tok) shuffle aggregating train/val counts per token
+    * TYPE side by side — the q194 kernel folded into a single pass.
+    * The five emitted rows and the DuckDB oracle are unchanged. */
   def releaseGateOf(d: DataFrame): DataFrame = {
     val checks = Seq(
       ("quality_pass_share", 500000L, true),
@@ -487,34 +509,65 @@ object CorpusStats {
       ("stutter_doc_share", 50000L, false),
       ("empty_doc_share", 10000L, false),
       ("val_oov_share", 200000L, false))
+    val t = trim(col("text"))
+    val ts = split(t, WS)
+    // q199's gaps-and-islands per-doc max run, as a map-side fold over
+    // the token array: (prev, cur, mx) ← extend the run on equality,
+    // reset to 1 otherwise. Empty docs fold to mx = 0 (no tokens), so
+    // they stay OUT of the stutter denominator exactly as in the
+    // window form, whose oracle still certifies these values.
+    val maxRun = aggregate(
+      filter(ts, x => x =!= ""),
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("mx")),
+      (acc, x) => {
+        val cur2 = when(x === acc("prev"), acc("cur") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), cur2.as("cur"), greatest(acc("mx"), cur2).as("mx"))
+      },
+      acc => acc("mx"))
+    val perDoc = d.select(
+        md5(col("text")).as("fp"),
+        when(length(t) === 0, 0L).otherwise(size(ts).cast("long")).as("nw"),
+        length(regexp_replace(t, WS, "")).cast("long").as("nch"),
+        size(filter(ts, w => w.isin("the", "a", "of", "and", "to", "in")))
+          .cast("long").as("nstop"),
+        size(array_distinct(ts)).cast("long").as("ndis"),
+        maxRun.as("max_run"))
+      .select(col("fp"), col("nw"), col("max_run"),
+        // the q187 conjunction, verbatim from qualityRuleFlags
+        (col("nw").between(30L, 100000L) &&
+          col("nw") > 0L &&
+          expr("(nch * 1000000) div nw").between(3000000L, 10000000L) &&
+          col("nstop") >= 2L &&
+          expr("(ndis * 1000000) div nw") >= 500000L).as("q_pass"))
     // every share is an exact truncating integer division (`div`, the
     // DuckDB `//` twin) — Column./ would be double division
-    val quality = CurationOps.qualityRuleFlags(d, "source", "text")
-      .agg(sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
-        .otherwise(0L)).as("p"), count(lit(1)).as("n"))
-      .select(lit("quality_pass_share").as("chk"),
-        expr("(p * 1000000) div n").as("v"))
-    val dups = d.groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n")).as("tot"), count(lit(1)).as("uniq"))
-      .select(lit("exact_dup_share").as("chk"),
-        expr("((tot - uniq) * 1000000) div tot").as("v"))
-    val stutter = repetitionRunsOf(d)
-      .agg(sum(col("n_docs_run3")).as("r3"), sum(col("n_docs")).as("n"))
-      .select(lit("stutter_doc_share").as("chk"),
-        expr("(r3 * 1000000) div n").as("v"))
-    val empty = d
-      .agg(sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
-        .as("e"), count(lit(1)).as("n"))
-      .select(lit("empty_doc_share").as("chk"),
-        expr("(e * 1000000) div n").as("v"))
-    val oov = valCrossEntropyOf(d)
-      .agg(sum(col("n_oov")).as("o"), sum(col("n_tokens")).as("n"))
+    val docChecks = perDoc
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("p"),
+        countDistinct(col("fp")).as("uniq"),
+        sum(when(col("nw") > 0L, 1L).otherwise(0L)).as("ntokdocs"),
+        sum(when(col("max_run") >= 3L, 1L).otherwise(0L)).as("r3"),
+        sum(when(col("nw") === 0L, 1L).otherwise(0L)).as("e"))
+      .select(expr(
+        """stack(4,
+          |  'quality_pass_share', (p * 1000000) div n,
+          |  'exact_dup_share', ((n - uniq) * 1000000) div n,
+          |  'stutter_doc_share', (r3 * 1000000) div ntokdocs,
+          |  'empty_doc_share', (e * 1000000) div n) AS (chk, v)""".stripMargin))
+    val tokAgg = d.select(isTrain(col("doc_id")).as("tr"),
+        explode(split(trim(col("text")), WS)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("ctr"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("cv"))
+    val oov = tokAgg
+      .agg(sum(when(col("ctr") === 0L, col("cv")).otherwise(0L)).as("o"),
+        sum(col("cv")).as("n"))
       .select(lit("val_oov_share").as("chk"),
         expr("(o * 1000000) div n").as("v"))
     val thresholds = d.sparkSession.createDataFrame(checks)
       .toDF("chk", "threshold_fx", "gte")
-    quality.unionByName(dups).unionByName(stutter)
-      .unionByName(empty).unionByName(oov)
+    docChecks.unionByName(oov)
       .join(broadcast(thresholds), Seq("chk"))
       .select(col("chk"), col("v").as("value_fx"), col("threshold_fx"),
         when(col("gte"), col("v") >= col("threshold_fx"))

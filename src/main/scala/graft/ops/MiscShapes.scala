@@ -100,18 +100,55 @@ object MiscShapes {
     * those values directly while the engine must RECOVER them from the
     * real payload bytes through the mapPartitions decode — a corrupted
     * byte anywhere in synthesize/decode flips a group and fails the
-    * hash. The decode itself remains the documented stub (no codec
-    * libs in this container); MultimodalSpec covers the row-level
-    * semantics. */
+    * hash. Round-12: the decode is the REAL magic-byte sniffer
+    * (Multimodal.decodeHeader), which handles the synthetic GRFT
+    * format alongside the four real ones q203 gates. */
   def mediaDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val media = Multimodal.synthesize(docs(s, dir))
-    Multimodal.decodeStub(media).toDF()
+    Multimodal.decodeHeader(media).toDF()
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_width"),
         sum(col("n_bytes")).cast("long").as("total_bytes"))
       .orderBy(col("kind"))
   }
+
+  /** q203 — REAL multimodal header decode, oracle-gated on planted
+    * ground truth (the q38/q58 pattern, upgraded to genuine formats):
+    * payloads carry real PNG / JPEG / GIF / BMP header structures
+    * (IHDR + CRC32, APP0+SOF0 segment chain, logical screen
+    * descriptor, BITMAPINFOHEADER) synthesized from deterministic
+    * per-row functions, and the engine must recover (format, width,
+    * height) by PARSING THE BYTES — big-endian vs little-endian,
+    * JPEG's height-before-width SOF layout, the segment walk past
+    * APP0 — while the oracle states the planted values arithmetically.
+    * `fp_wh` bit-packs (media_id, width, height) per row and XORs
+    * them, so a single transposed or misparsed row flips the group
+    * fingerprint. Scale shape: decode is map-only over the payload
+    * partition; the aggregate is 4 groups. */
+  def mediaFormats(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeFormats(docs(s, dir))
+    Multimodal.decodeHeader(media).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        expr("bit_xor(media_id * 1048576 + width * 1024 + height)").as("fp_wh"))
+      .orderBy(col("format"))
+  }
+
+  val mediaFormatsSql: String =
+    """SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |    WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(doc_id % 640 + 16) AS BIGINT) AS sum_width,
+      |  CAST(sum(doc_id % 480 + 16) AS BIGINT) AS sum_height,
+      |  CAST(sum(octet_length(encode(text)) +
+      |    CASE doc_id % 4 WHEN 2 THEN 13 WHEN 3 THEN 54 ELSE 33 END)
+      |    AS BIGINT) AS total_bytes,
+      |  bit_xor(doc_id * 1048576 + (doc_id % 640 + 16) * 1024
+      |    + (doc_id % 480 + 16)) AS fp_wh
+      |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 
   // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
   // dtype-sensitive compare would flag against Spark's int64.
@@ -157,6 +194,7 @@ object MiscShapes {
     "q36_binary_meta" -> binaryMeta,
     "q37_jwt_claims" -> jwtClaims,
     "q38_media_decode" -> mediaDecode,
+    "q203_media_formats" -> mediaFormats,
     "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
@@ -164,5 +202,6 @@ object MiscShapes {
     "q36_binary_meta" -> binaryMetaSql,
     "q37_jwt_claims" -> jwtClaimsSql,
     "q38_media_decode" -> mediaDecodeSql,
+    "q203_media_formats" -> mediaFormatsSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

@@ -200,7 +200,7 @@ object DatasetCard {
     * across the boundary, or a shifted sub-population). */
   def crossEntropySummary(docsDf: DataFrame, topK: Int = 5): DataFrame =
     graft.ops.CorpusStats.valCrossEntropyOf(docsDf)
-      .orderBy(col("xent"), col("source"))
+      .orderBy(col("xent_fx"), col("source"))
       .limit(topK)
 
   /** Crawl-novelty attribution off the q195-certified first-

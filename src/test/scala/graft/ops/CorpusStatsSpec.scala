@@ -26,15 +26,17 @@ class CorpusStatsSpec extends SparkSpec {
     val d = (train.map(i => (i, "s", "a a b")) ++ vals.map(i => (i, "s", "a z")))
       .toDF("doc_id", "source", "text")
     val got = CorpusStats.valCrossEntropyOf(d)
-      .as[(String, Long, Long, Double)].collect().toList
+      .as[(String, Long, Long, Long)].collect().toList
     // LM: c(a)=2T, c(b)=T over N=3T tokens, V=2 → p(t)=(c+1)/(N+3)
     val t = train.size.toLong; val v = vals.size.toLong
     val n = 3 * t
     def nl(c: Long): Long = math.round(math.log((n + 3).toDouble / (c + 1)) * 1e9)
-    // val tokens per doc: one 'a' (count 2T), one OOV 'z' (count 0)
+    // val tokens per doc: one 'a' (count 2T), one OOV 'z' (count 0);
+    // xent_fx is the exact truncating integer division of the 1e-9
+    // fixed-point sum by the val token count (round-12 ADVICE: no
+    // round(double) output on the gate)
     val hfx = v * (nl(2 * t) + nl(0))
-    val expected = BigDecimal(hfx / (2.0 * v * 1e9))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = hfx / (2 * v)
     assert(got == List(("s", 2 * v, v, expected)))
   }
 
@@ -60,6 +62,11 @@ class CorpusStatsSpec extends SparkSpec {
     val zero = CorpusStats.lengthKsOf(d, "p", "r")
       .as[(Long, Long, Long)].head()
     assert(zero == ((2L, 2L, 0L)))
+    // source vanished in the refresh: an empty side reports maximal
+    // drift (sentinel 1e6), not a divide-by-zero (round-12 ADVICE)
+    val gone = CorpusStats.lengthKsOf(d, "p", "absent")
+      .as[(Long, Long, Long)].head()
+    assert(gone == ((2L, 0L, 1000000L)))
   }
 
   test("stratifiedSampleOf: largest-remainder quotas hit the total exactly") {

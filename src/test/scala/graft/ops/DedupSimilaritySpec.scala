@@ -832,6 +832,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(both == List((1L, 2L, 1000000L), (2L, 1L, 500000L)))
   }
 
+  test("prefixFilterContainmentCapped ≡ exact when the cap doesn't bind; bounded when it does") {
+    import spark.implicits._
+    val sets = Dedup.wordBigrams(docs, "doc_id", "text")
+    // cap above the corpus max df — byte-identical to the exact form
+    val maxDf = sets.groupBy(col("sh")).count()
+      .agg(max(col("count"))).as[Long].head()
+    val exact = Dedup.prefixFilterContainment(sets, 0.5)
+      .collect().map(_.toSeq).toSet
+    val unbound = Dedup.prefixFilterContainmentCapped(sets, 0.5, maxDf)
+      .collect().map(_.toSeq).toSet
+    assert(unbound == exact && exact.nonEmpty)
+    // binding cap on a hand fixture: HOT is in all 4 docs (df 4 >
+    // cap 2) and is doc 4's ENTIRE set, so capping drops doc 4's
+    // boilerplate-only pairs; docs 1/2 still contain each other
+    // through their rare shingles, exact on the CAPPED vocabulary:
+    // A1' = {s1, s2} fully inside A2' = {s1, s2, s3} → 1.0
+    val hand = Seq(
+      (1L, "s1"), (1L, "s2"), (1L, "HOT"),
+      (2L, "s1"), (2L, "s2"), (2L, "s3"), (2L, "HOT"),
+      (3L, "p1"), (3L, "HOT"),
+      (4L, "HOT")).toDF("id", "sh")
+    val capped = Dedup.prefixFilterContainmentCapped(hand, 0.8, 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1000000L)))
+    // the uncapped form also pairs doc 4 (its whole set is the hot
+    // shingle) with every other doc — the exposure the cap bounds
+    val uncapped = Dedup.prefixFilterContainment(hand, 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Set((4L, 1L, 1000000L), (4L, 2L, 1000000L), (4L, 3L, 1000000L))
+      .subsetOf(uncapped))
+    assert(uncapped.contains((1L, 2L, 1000000L)))
+  }
+
   test("prefixFilterContainment ≡ naive all-ordered-pairs on the corpus (zero pruning loss)") {
     val sets = Dedup.wordBigrams(docs, "doc_id", "text")
     val naive = sets.as("a").join(sets.as("b"),

@@ -3,22 +3,58 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Binary-column pipeline: synthesize → decode (stub) → features →
-  * similarity reuse; frame sampling; CSV sink round-trip. */
+/** Binary-column pipeline: synthesize → decode (real magic-byte
+  * header parse) → features → similarity reuse; frame sampling; CSV
+  * sink round-trip. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
 
-  test("synthesize + decodeStub: header metadata round-trips, body length preserved") {
+  test("synthesize + decodeHeader: GRFT metadata round-trips, body length preserved") {
     val media = Multimodal.synthesize(docs.limit(20))
-    val meta = Multimodal.decodeStub(media).collect()
+    val meta = Multimodal.decodeHeader(media).collect()
     assert(meta.length == 20)
     meta.foreach { m =>
       assert(m.width == (m.media_id % 640 + 16).toInt)
       assert(m.height == (m.media_id % 480 + 16).toInt)
       assert(m.format == "grft" && m.n_bytes > 8)
     }
+  }
+
+  test("synthesizeFormats + decodeHeader: real PNG/JPEG/GIF/BMP headers recover planted dims") {
+    val media = Multimodal.synthesizeFormats(docs.limit(40))
+    val meta = Multimodal.decodeHeader(media).collect()
+    assert(meta.length == 40)
+    val expectFmt = Map(0L -> "png", 1L -> "jpeg", 2L -> "gif", 3L -> "bmp")
+    meta.foreach { m =>
+      assert(m.format == expectFmt(m.media_id % 4),
+        s"media ${m.media_id}: got ${m.format}")
+      assert(m.width == (m.media_id % 640 + 16).toInt, s"width of ${m.media_id}")
+      assert(m.height == (m.media_id % 480 + 16).toInt, s"height of ${m.media_id}")
+    }
+    assert(meta.map(_.format).distinct.sorted.toSeq == Seq("bmp", "gif", "jpeg", "png"))
+  }
+
+  test("sniff: hand-byte contracts — endianness, JPEG SOF order, CRC, unknowns") {
+    // PNG: big-endian dims; the synthesized IHDR CRC is a REAL CRC32
+    val png = Multimodal.pngHeader(300, 200)
+    assert(Multimodal.sniff(png) == (("png", 300, 200)))
+    val crc = new java.util.zip.CRC32
+    crc.update(png.slice(12, 29)) // "IHDR" + 13 data bytes
+    val stamped = ((png(29) & 0xffL) << 24) | ((png(30) & 0xffL) << 16) |
+      ((png(31) & 0xffL) << 8) | (png(32) & 0xffL)
+    assert(stamped == crc.getValue, "IHDR CRC must be the genuine CRC32")
+    // JPEG: the parser must walk past APP0 and read LINES (height)
+    // before SAMPLES/LINE (width) — the classic transposition bug
+    assert(Multimodal.sniff(Multimodal.jpegHeader(640, 120)) == (("jpeg", 640, 120)))
+    // GIF + BMP: little-endian
+    assert(Multimodal.sniff(Multimodal.gifHeader(12345, 678)) == (("gif", 12345, 678)))
+    assert(Multimodal.sniff(Multimodal.bmpHeader(1920, 1080, 7)) == (("bmp", 1920, 1080)))
+    // corrupted magic / truncation degrade to unknown, never throw
+    assert(Multimodal.sniff("not an image".getBytes("UTF-8"))._1 == "unknown")
+    assert(Multimodal.sniff(png.take(20))._1 == "unknown")
+    assert(Multimodal.sniff(Array[Byte](0xff.toByte, 0xd8.toByte))._1 == "unknown")
   }
 
   test("byteHistogram features are L1-normalized and feed Similarity unchanged") {
@@ -33,7 +69,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("resizeStub rewrites dims, preserves magic") {
     val resized = Multimodal.resizeStub(Multimodal.synthesize(docs.limit(5)), 32, 24)
-    val meta = Multimodal.decodeStub(resized).collect()
+    val meta = Multimodal.decodeHeader(resized).collect()
     meta.foreach(m => assert(m.width == 32 && m.height == 24))
   }
 

@@ -23,15 +23,43 @@ import sys, os, json, glob, hashlib, time, threading
 import duckdb
 
 
+class LateInterrupt(Exception):
+    """The watchdog fired AFTER the statement completed (finish-at-the-
+    budget race): the result is good, but a pending interrupt may be
+    parked on the shared connection and would spuriously fail the NEXT
+    statement. Carries the result; the caller must rotate connections."""
+    def __init__(self, df):
+        super().__init__("late interrupt")
+        self.df = df
+
+
 def run_with_budget(con, sql, budget_sec):
     """Run one statement under a watchdog: con.interrupt() fires if it
-    exceeds the budget, turning a hang into a per-query failure."""
-    timer = threading.Timer(budget_sec, con.interrupt)
+    exceeds the budget, turning a hang into a per-query failure. A
+    `fired` flag distinguishes the three outcomes (round-12 ADVICE):
+    clean finish; true timeout (fired + exception -> report 'timeout'
+    explicitly, not a bare InterruptException); and the fired-but-
+    completed race -> LateInterrupt so the caller discards the tainted
+    connection instead of letting the stray interrupt hit query N+1."""
+    fired = threading.Event()
+
+    def kick():
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(budget_sec, kick)
     timer.start()
     try:
-        return con.sql(sql).df()
+        df = con.sql(sql).df()
+    except Exception as e:
+        if fired.is_set():
+            raise TimeoutError(f"oracle timeout after {budget_sec}s") from e
+        raise
     finally:
         timer.cancel()
+    if fired.is_set():
+        raise LateInterrupt(df)
+    return df
 
 
 def canon(rows, cols):
@@ -49,20 +77,29 @@ def canon(rows, cols):
 
 
 def check_one(con, outdir, name, sql, budget_sec):
-    """Returns (passed: bool, reason: str, n_rows: int)."""
+    """Returns (passed: bool, reason: str, n_rows: int, tainted: bool);
+    tainted means the shared connection may hold a stray interrupt and
+    the caller must rotate to a fresh one before the next query."""
     res_dir = f"{outdir}/{name}"
     if not glob.glob(f"{res_dir}/*.parquet"):
-        return False, "no spark result", 0
+        return False, "no spark result", 0, False
     try:
         got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-        want = run_with_budget(con, sql, budget_sec)
+        try:
+            want = run_with_budget(con, sql, budget_sec)
+            tainted = False
+        except LateInterrupt as li:
+            want = li.df
+            tainted = True
+    except TimeoutError as e:
+        return False, str(e), 0, True
     except Exception as e:
-        return False, str(e), 0
+        return False, str(e), 0, False
     gcols, wcols = sorted(got.columns), sorted(want.columns)
     if gcols != wcols:
-        return False, f"cols {gcols} vs {wcols}", len(got)
+        return False, f"cols {gcols} vs {wcols}", len(got), tainted
     if len(got) != len(want):
-        return False, f"rows {len(got)} vs {len(want)}", len(got)
+        return False, f"rows {len(got)} vs {len(want)}", len(got), tainted
     # dtype-kind parity: DuckDB HUGEINT (e.g. sum over INTEGER) lands in
     # pandas as float64/object while Spark writes int64 — the driver's
     # compare is dtype-sensitive even when stringified values agree.
@@ -72,21 +109,26 @@ def check_one(con, outdir, name, sql, budget_sec):
         and not {got[c].dtype.kind, want[c].dtype.kind} <= {"i", "u"}]
     if kind_mismatch:
         return False, ("dtype kind mismatch on " + ", ".join(
-            f"{c}: {got[c].dtype} vs {want[c].dtype}" for c in kind_mismatch)), len(got)
+            f"{c}: {got[c].dtype} vs {want[c].dtype}" for c in kind_mismatch)), \
+            len(got), tainted
     gh = canon(got.to_dict("records"), gcols)
     wh = canon(want.to_dict("records"), wcols)
     if gh != wh:
-        return False, f"hash mismatch ({len(got)} rows)", len(got)
-    return True, "", len(got)
+        return False, f"hash mismatch ({len(got)} rows)", len(got), tainted
+    return True, "", len(got), tainted
 
 
 def main(outdir, sfdir):
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            p = f"{sfdir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = fresh_con()
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     budget_sec = float(os.environ.get("ORACLE_TIMEOUT_SEC", "300"))
     n_pass = n_fail = 0
@@ -96,8 +138,15 @@ def main(outdir, sfdir):
     open(jsonl_path, "w").close()  # fresh run, fresh log
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
-        passed, reason, n_rows = check_one(con, outdir, name, sql, budget_sec)
+        passed, reason, n_rows, tainted = check_one(
+            con, outdir, name, sql, budget_sec)
         dt = round(time.time() - t0, 3)
+        if tainted:
+            # the watchdog's interrupt touched this connection (true
+            # timeout or the finish-at-the-budget race) — a stray
+            # pending interrupt must not fail the NEXT query
+            con.close()
+            con = fresh_con()
         if passed:
             print(f"PASS {name} ({n_rows} rows, {dt}s)", flush=True)
             n_pass += 1
