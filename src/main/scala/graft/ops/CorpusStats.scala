@@ -502,13 +502,34 @@ object CorpusStats {
     * check: one (tok) shuffle aggregating train/val counts per token
     * TYPE side by side — the q194 kernel folded into a single pass.
     * The five emitted rows and the DuckDB oracle are unchanged. */
-  def releaseGateOf(d: DataFrame): DataFrame = {
-    val checks = Seq(
-      ("quality_pass_share", 500000L, true),
-      ("exact_dup_share", 50000L, false),
-      ("stutter_doc_share", 50000L, false),
-      ("empty_doc_share", 10000L, false),
-      ("val_oov_share", 200000L, false))
+  /** The gate's named checks with their scale-free thresholds and
+    * direction (gte = pass when value ≥ threshold). */
+  private val releaseChecks = Seq(
+    ("quality_pass_share", 500000L, true),
+    ("exact_dup_share", 50000L, false),
+    ("stutter_doc_share", 50000L, false),
+    ("empty_doc_share", 10000L, false),
+    ("val_oov_share", 200000L, false))
+
+  /** Threshold join + pass verdict over (chk, v) rows — shared by the
+    * batch gate and the streaming rollup so both emit the identical
+    * 5-row table. */
+  private[graft] def releaseVerdict(values: DataFrame): DataFrame = {
+    val thresholds = values.sparkSession.createDataFrame(releaseChecks)
+      .toDF("chk", "threshold_fx", "gte")
+    values
+      .join(broadcast(thresholds), Seq("chk"))
+      .select(col("chk"), col("v").as("value_fx"), col("threshold_fx"),
+        when(col("gte"), col("v") >= col("threshold_fx"))
+          .otherwise(col("v") <= col("threshold_fx")).as("pass"))
+      .orderBy(col("chk"))
+  }
+
+  /** Scan-1 kernel: the per-doc projection every doc-level check reads
+    * — text fingerprint, token count, array-fold max repetition run,
+    * q187 quality pass. Map-only; shared by the batch gate and the
+    * streaming rollup. */
+  private[graft] def releasePerDoc(d: DataFrame): DataFrame = {
     val t = trim(col("text"))
     val ts = split(t, WS)
     // q199's gaps-and-islands per-doc max run, as a map-side fold over
@@ -524,7 +545,7 @@ object CorpusStats {
         struct(x.as("prev"), cur2.as("cur"), greatest(acc("mx"), cur2).as("mx"))
       },
       acc => acc("mx"))
-    val perDoc = d.select(
+    d.select(
         md5(col("text")).as("fp"),
         when(length(t) === 0, 0L).otherwise(size(ts).cast("long")).as("nw"),
         length(regexp_replace(t, WS, "")).cast("long").as("nch"),
@@ -539,9 +560,23 @@ object CorpusStats {
           expr("(nch * 1000000) div nw").between(3000000L, 10000000L) &&
           col("nstop") >= 2L &&
           expr("(ndis * 1000000) div nw") >= 500000L).as("q_pass"))
+  }
+
+  /** Scan-2 kernel: train/val counts per token TYPE (the q194 LM's
+    * OOV inputs, one pass) — additive across batches, so the
+    * streaming rollup can accumulate it per micro-batch. */
+  private[graft] def releaseTokenCounts(d: DataFrame): DataFrame =
+    d.select(isTrain(col("doc_id")).as("tr"),
+        explode(split(trim(col("text")), WS)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("ctr"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("cv"))
+
+  def releaseGateOf(d: DataFrame): DataFrame = {
     // every share is an exact truncating integer division (`div`, the
     // DuckDB `//` twin) — Column./ would be double division
-    val docChecks = perDoc
+    val docChecks = releasePerDoc(d)
       .agg(count(lit(1)).as("n"),
         sum(when(col("q_pass"), 1L).otherwise(0L)).as("p"),
         countDistinct(col("fp")).as("uniq"),
@@ -554,25 +589,12 @@ object CorpusStats {
           |  'exact_dup_share', ((n - uniq) * 1000000) div n,
           |  'stutter_doc_share', (r3 * 1000000) div ntokdocs,
           |  'empty_doc_share', (e * 1000000) div n) AS (chk, v)""".stripMargin))
-    val tokAgg = d.select(isTrain(col("doc_id")).as("tr"),
-        explode(split(trim(col("text")), WS)).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("tok"))
-      .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("ctr"),
-        sum(when(!col("tr"), 1L).otherwise(0L)).as("cv"))
-    val oov = tokAgg
+    val oov = releaseTokenCounts(d)
       .agg(sum(when(col("ctr") === 0L, col("cv")).otherwise(0L)).as("o"),
         sum(col("cv")).as("n"))
       .select(lit("val_oov_share").as("chk"),
         expr("(o * 1000000) div n").as("v"))
-    val thresholds = d.sparkSession.createDataFrame(checks)
-      .toDF("chk", "threshold_fx", "gte")
-    docChecks.unionByName(oov)
-      .join(broadcast(thresholds), Seq("chk"))
-      .select(col("chk"), col("v").as("value_fx"), col("threshold_fx"),
-        when(col("gte"), col("v") >= col("threshold_fx"))
-          .otherwise(col("v") <= col("threshold_fx")).as("pass"))
-      .orderBy(col("chk"))
+    releaseVerdict(docChecks.unionByName(oov))
   }
 
   def releaseGate(s: SparkSession, dir: String): DataFrame =

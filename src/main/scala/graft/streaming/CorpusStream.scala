@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.ops.{CorpusPipeline, Dedup, TextAnalysis}
+import graft.ops.{CorpusPipeline, CorpusStats, Dedup, TextAnalysis}
 
 /** The training-data cleaning pipeline in STREAMING form — continuous
   * corpus ingest (crawl output landing as files / a topic) instead of
@@ -139,6 +139,81 @@ object CorpusStream {
         maskBatch(batch, batchId, corpusPath, indexPath, idCol, textCol, cfg)
       }
       .start()
+
+  /** STREAMING release gate (round-12, VERDICT r11 next #6): the q201
+    * checklist maintained CONTINUOUSLY over an ingest stream instead
+    * of one end-of-build batch pass. Every q201 check is map-side
+    * reducible, so each micro-batch lands three PARTIAL tables under
+    * `statsPath` and the 5-row verdict is assembled from the
+    * accumulated partials on demand — the corpus text is read once,
+    * at ingest, never re-scanned:
+    *   - `docs/batch=N`: ONE row of additive doc-level sums
+    *     (n, quality passes, tokened docs, stutter docs, empties);
+    *   - `fp/batch=N`: per-batch content-fingerprint counts (the
+    *     exact-dup check needs corpus-wide distinctness, which no
+    *     bounded per-batch number can carry — the fp table is the
+    *     honest sufficient statistic, |distinct texts| rows);
+    *   - `tok/batch=N`: per-batch (token, train count, val count) —
+    *     the q194 OOV sufficient statistic, vocabulary-bounded.
+    * Replay-idempotent by file layout: each batch overwrites its own
+    * `batch=N` directory (the maskBatch contract), so a restarted
+    * batch replaces its failed attempt instead of double-counting. */
+  def releaseGateStream(docs: DataFrame, statsPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        rollupBatch(batch, batchId, statsPath)
+      }
+      .start()
+
+  /** One micro-batch of the release-gate rollup — named so the replay
+    * contract is directly testable (the maskBatch pattern). */
+  def rollupBatch(batch: DataFrame, batchId: Long, statsPath: String): Unit = {
+    val perDoc = CorpusStats.releasePerDoc(batch)
+    perDoc
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("nw") > 0L, 1L).otherwise(0L)).as("ntokdocs"),
+        sum(when(col("max_run") >= 3L, 1L).otherwise(0L)).as("r3"),
+        sum(when(col("nw") === 0L, 1L).otherwise(0L)).as("e"))
+      .write.mode("overwrite").parquet(s"$statsPath/docs/batch=$batchId")
+    perDoc.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$statsPath/fp/batch=$batchId")
+    CorpusStats.releaseTokenCounts(batch)
+      .write.mode("overwrite").parquet(s"$statsPath/tok/batch=$batchId")
+    ()
+  }
+
+  /** Assemble the 5-row release verdict from the accumulated partials
+    * — identical rows to `CorpusStats.releaseGateOf` over the union
+    * of all landed batches (spec-pinned). Cost is O(partials), not
+    * O(corpus): the doc table is one row per batch, fp/tok tables are
+    * distinct-text- / vocabulary-bounded. */
+  def releaseGateFromPartials(spark: SparkSession, statsPath: String): DataFrame = {
+    val docTotals = spark.read.parquet(s"$statsPath/docs")
+      .agg(sum(col("n")).as("n"), sum(col("p")).as("p"),
+        sum(col("ntokdocs")).as("ntokdocs"), sum(col("r3")).as("r3"),
+        sum(col("e")).as("e"))
+    val uniq = spark.read.parquet(s"$statsPath/fp")
+      .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
+      .agg(count(lit(1)).as("uniq"))
+    val docChecks = docTotals.crossJoin(uniq)
+      .select(expr(
+        """stack(4,
+          |  'quality_pass_share', (p * 1000000) div n,
+          |  'exact_dup_share', ((n - uniq) * 1000000) div n,
+          |  'stutter_doc_share', (r3 * 1000000) div ntokdocs,
+          |  'empty_doc_share', (e * 1000000) div n) AS (chk, v)""".stripMargin))
+    val oov = spark.read.parquet(s"$statsPath/tok")
+      .groupBy(col("tok"))
+      .agg(sum(col("ctr")).as("ctr"), sum(col("cv")).as("cv"))
+      .agg(sum(when(col("ctr") === 0L, col("cv")).otherwise(0L)).as("o"),
+        sum(col("cv")).as("n"))
+      .select(lit("val_oov_share").as("chk"),
+        expr("(o * 1000000) div n").as("v"))
+    CorpusStats.releaseVerdict(docChecks.unionByName(oov))
+  }
 
   /** One micro-batch of the inline masking — named (not an inline
     * closure) so the replay contract is directly testable. Replay

@@ -300,6 +300,36 @@ class CorpusStreamSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 5L), s"indexed: $indexed")
   }
 
+  test("release-gate rollup: accumulated partials ≡ batch releaseGateOf; replay-idempotent") {
+    val passText = ((1 to 28).map(i => f"word$i%02d") ++ Seq("the", "a")).mkString(" ")
+    val rows = (Seq(
+      (0L, "s", ""),            // empty
+      (1L, "s", "z z z w"),     // stutter run 3, quality fail
+      (2L, "s", passText),      // quality pass, dup pair with 3
+      (3L, "s", passText)) ++
+      (4L to 39L).map(i => (i, "s", s"short text v$i")))
+    val full = rows.toDF("doc_id", "source", "text")
+    val stats = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    // three micro-batches, split so the cross-batch checks matter: the
+    // dup pair (2, 3) straddles batches 0/1, and the q66 train/val
+    // token split straddles all three
+    val batches = Seq(rows.take(3), rows.slice(3, 20), rows.drop(20))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CorpusStream.rollupBatch(b.toDF("doc_id", "source", "text"), i.toLong, stats)
+    }
+    val streamed = CorpusStream.releaseGateFromPartials(spark, stats)
+      .collect().map(_.toSeq).toList
+    val batch = graft.ops.CorpusStats.releaseGateOf(full)
+      .collect().map(_.toSeq).toList
+    assert(streamed == batch && batch.size == 5)
+    // restart-replay of batch 1 overwrites its own partials — the
+    // verdict must not double-count
+    CorpusStream.rollupBatch(batches(1).toDF("doc_id", "source", "text"), 1L, stats)
+    val replayed = CorpusStream.releaseGateFromPartials(spark, stats)
+      .collect().map(_.toSeq).toList
+    assert(replayed == batch, "replayed batch double-counted")
+  }
+
   test("maskBatch replay: re-running batch N against its own failed output loses nothing") {
     val other = "completely different prose about seven green turtles " +
       "crossing a quiet winter road before dawn light arrives"
