@@ -150,6 +150,46 @@ object MiscShapes {
       |    + (doc_id % 480 + 16)) AS fp_wh
       |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 
+  /** q204 — REAL audio header decode (the q203 pattern extended to the
+    * audio modality): payloads carry genuine WAV (RIFF chunk walk — a
+    * LIST chunk sits between fmt and data, so fixed-offset parsing
+    * fails) and FLAC (STREAMINFO's 20/3/5/36-bit packed fields)
+    * structures synthesized from deterministic per-row functions; the
+    * engine recovers (format, sample rate, channels, sample count) by
+    * parsing the bytes while the oracle states the planted values
+    * arithmetically. `fp_audio` packs one XOR fingerprint per row so a
+    * single misparse flips its group. Map-only decode; 2 groups out. */
+  def audioFormats(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeAudio(docs(s, dir))
+    Multimodal.decodeAudio(media).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sample_rate").cast("long")).as("sum_rate"),
+        sum(col("channels").cast("long")).as("sum_channels"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        expr("bit_xor(media_id * 33554432 + sample_rate * 512 + " +
+          "channels * 256 + n_samples)").as("fp_audio"))
+      .orderBy(col("format"))
+  }
+
+  val audioFormatsSql: String =
+    """SELECT CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'flac' END AS format,
+      |  count(*) AS n,
+      |  CAST(sum(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END) AS BIGINT)
+      |    AS sum_rate,
+      |  CAST(sum((doc_id // 2) % 2 + 1) AS BIGINT) AS sum_channels,
+      |  CAST(sum(doc_id % 200 + 50) AS BIGINT) AS sum_samples,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0
+      |    THEN 56 + (doc_id % 200 + 50) * ((doc_id // 2) % 2 + 1) * 2
+      |    ELSE 42 + octet_length(encode(text)) END) AS BIGINT) AS total_bytes,
+      |  bit_xor(doc_id * 33554432
+      |    + (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END) * 512
+      |    + ((doc_id // 2) % 2 + 1) * 256 + (doc_id % 200 + 50)) AS fp_audio
+      |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
+
   // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
   // dtype-sensitive compare would flag against Spark's int64.
   val mediaDecodeSql: String =
@@ -195,6 +235,7 @@ object MiscShapes {
     "q37_jwt_claims" -> jwtClaims,
     "q38_media_decode" -> mediaDecode,
     "q203_media_formats" -> mediaFormats,
+    "q204_audio_formats" -> audioFormats,
     "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
@@ -203,5 +244,6 @@ object MiscShapes {
     "q37_jwt_claims" -> jwtClaimsSql,
     "q38_media_decode" -> mediaDecodeSql,
     "q203_media_formats" -> mediaFormatsSql,
+    "q204_audio_formats" -> audioFormatsSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

@@ -34,6 +34,8 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   case class DecodedMeta(media_id: Long, kind: String, width: Int, height: Int,
       format: String, n_bytes: Int)
+  case class AudioMeta(media_id: Long, format: String, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long, n_bytes: Int)
   case class MediaFeatures(media_id: Long, features: Array[Float])
 
   /** Synthesize a media table from the documents corpus: payload =
@@ -131,6 +133,73 @@ object Multimodal {
   }
 
   // ----------------------------------------------------------------
+  // Real audio headers (synthesis side)
+  // ----------------------------------------------------------------
+
+  /** Canonical PCM WAV: RIFF container with a fmt chunk, a LIST
+    * metadata chunk BETWEEN fmt and data (as real encoders emit — it
+    * forces the parser to walk chunks instead of assuming the 44-byte
+    * fixed layout), then the data chunk with `nSamples` zeroed frames.
+    * 56 + nSamples·channels·2 bytes total (16-bit samples). */
+  private[ops] def wavPayload(sampleRate: Int, channels: Int,
+      nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nSamples * blockAlign
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16)
+    val list = "LIST".getBytes("US-ASCII") ++ le32(4) ++
+      "INFO".getBytes("US-ASCII")
+    val data = "data".getBytes("US-ASCII") ++ le32(dataLen) ++
+      new Array[Byte](dataLen)
+    val chunks = fmt ++ list ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+      "WAVE".getBytes("US-ASCII") ++ chunks
+  }
+
+  /** FLAC: "fLaC" magic + the mandatory STREAMINFO metadata block.
+    * The interesting fields are BIT-packed, not byte-aligned — sample
+    * rate (20 bits), channels−1 (3), bits-per-sample−1 (5), total
+    * samples (36) share one big-endian 64-bit word at STREAMINFO
+    * offset 10. 42 bytes; callers append frame bytes after. */
+  private[ops] def flacHeader(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Long): Array[Byte] = {
+    val magic = "fLaC".getBytes("US-ASCII")
+    // last-block flag set, block type 0 = STREAMINFO, 3-byte BE length
+    val blockHdr = Array[Byte](0x80.toByte, 0, 0, 34)
+    val sizes = be16(4096) ++ be16(4096) ++ // min/max block size
+      Array[Byte](0, 0, 0, 0, 0, 0)        // min/max frame size (unset)
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) |
+      (nSamples & 0xfffffffffL)
+    val word = (0 until 8).map(i => ((packed >>> (56 - 8 * i)) & 0xff).toByte).toArray
+    magic ++ blockHdr ++ sizes ++ word ++ new Array[Byte](16) // MD5 unset
+  }
+
+  /** Synthesize a REAL-format audio table: format alternates wav/flac
+    * by doc_id; sample rate cycles the five standard rates, channel
+    * count and sample count are deterministic per-row functions (the
+    * q204 gate recovers them from the genuine header bytes — the WAV
+    * values only via the RIFF chunk walk, the FLAC values only via the
+    * 20/3/5/36-bit unpack). FLAC payloads carry the utf-8 text as fake
+    * frame bytes; WAV data frames are zeroed at the declared length. */
+  def synthesizeAudio(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sr = rates((id % 5).toInt)
+        val ch = ((id / 2) % 2 + 1).toInt
+        val ns = (id % 200 + 50).toInt
+        val payload =
+          if (id % 2 == 0) wavPayload(sr, ch, ns)
+          else flacHeader(sr, ch, 16, ns.toLong) ++ text.getBytes("UTF-8")
+        MediaRow(id, "audio", payload)
+      }
+  }
+
+  // ----------------------------------------------------------------
   // Real magic-byte decode
   // ----------------------------------------------------------------
 
@@ -195,6 +264,74 @@ object Multimodal {
     } else if (isGrft) {
       ("grft", rBe16(p, 4), rBe16(p, 6))
     } else ("unknown", -1, -1)
+  }
+
+  /** Sniff one audio payload: (format, sampleRate, channels, bits,
+    * nSamples); ("unknown", -1, -1, -1, -1) on no match / truncation.
+    * WAV goes through a real RIFF chunk walk (chunks are word-aligned:
+    * odd declared sizes carry a pad byte the walk must skip); FLAC
+    * unpacks the STREAMINFO bit fields. */
+  private[ops] def sniffAudio(p: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val none = ("unknown", -1, -1, -1, -1L)
+    def isRiffWave = p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+    def isFlac = p.length >= 42 &&
+      p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C'
+    if (isRiffWave) {
+      var i = 12
+      var sr = -1; var ch = -1; var bits = -1; var dataLen = -1L
+      while (i + 8 <= p.length && (sr < 0 || dataLen < 0)) {
+        val size = rLe32(p, i + 4).toLong & 0xffffffffL
+        val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' '
+        val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a'
+        if (isFmt && i + 8 + 16 <= p.length) {
+          ch = rLe16(p, i + 10)
+          sr = rLe32(p, i + 12)
+          bits = rLe16(p, i + 22)
+        } else if (isData) dataLen = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (sr > 0 && ch > 0 && bits > 0 && dataLen >= 0)
+        ("wav", sr, ch, bits, dataLen / (ch * (bits / 8)))
+      else none
+    } else if (isFlac) {
+      // walk metadata blocks to STREAMINFO (type 0); mandatory first
+      // per spec, but walking keeps the parser honest about the flag
+      // byte's last-block bit and 3-byte BE lengths
+      var i = 4
+      var res = none
+      var done = false
+      while (!done && i + 4 <= p.length) {
+        val flag = u8(p(i)); val typ = flag & 0x7f
+        val len = (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+        if (typ == 0 && i + 4 + 18 <= p.length) {
+          var packed = 0L
+          var j = 0
+          while (j < 8) { packed = (packed << 8) | u8(p(i + 4 + 10 + j)); j += 1 }
+          res = ("flac", (packed >>> 44).toInt,
+            ((packed >>> 41) & 0x7).toInt + 1,
+            ((packed >>> 36) & 0x1f).toInt + 1,
+            packed & 0xfffffffffL)
+          done = true
+        } else if ((flag & 0x80) != 0) done = true // last block, no STREAMINFO
+        else i += 4 + len
+      }
+      res
+    } else none
+  }
+
+  /** Audio header decode — the q204 surface. Same scale shape as
+    * [[decodeHeader]]: map-only mapPartitions, payload bytes never
+    * leave their partition, output is a handful of scalar columns. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (fmt, sr, ch, bits, ns) = sniffAudio(r.payload)
+        AudioMeta(r.media_id, fmt, sr, ch, bits, ns, r.payload.length)
+      }
+    }
   }
 
   /** Header decode over a media Dataset: recovers (format, width,

@@ -57,6 +57,43 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniff(Array[Byte](0xff.toByte, 0xd8.toByte))._1 == "unknown")
   }
 
+  test("synthesizeAudio + decodeAudio: WAV/FLAC recover planted rate/channels/samples") {
+    val media = Multimodal.synthesizeAudio(docs.limit(40))
+    val meta = Multimodal.decodeAudio(media).collect()
+    assert(meta.length == 40)
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    meta.foreach { m =>
+      val id = m.media_id
+      assert(m.format == (if (id % 2 == 0) "wav" else "flac"), s"fmt of $id")
+      assert(m.sample_rate == rates((id % 5).toInt), s"rate of $id")
+      assert(m.channels == ((id / 2) % 2 + 1).toInt, s"channels of $id")
+      assert(m.bits == 16 && m.n_samples == id % 200 + 50, s"samples of $id")
+    }
+    assert(meta.map(_.format).distinct.sorted.toSeq == Seq("flac", "wav"))
+  }
+
+  test("sniffAudio: hand-byte contracts — RIFF chunk walk, odd-size pad, FLAC bit unpack") {
+    // WAV: the LIST chunk between fmt and data forces a real walk
+    assert(Multimodal.sniffAudio(Multimodal.wavPayload(44100, 2, 100)) ==
+      (("wav", 44100, 2, 16, 100L)))
+    // odd-size chunk: a 5-byte junk chunk between WAVE and fmt carries
+    // a pad byte — a walk that forgets word alignment lands off-by-one
+    val odd = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      new Array[Byte](5 + 1) ++ // 5 payload + 1 pad
+      Multimodal.wavPayload(8000, 1, 10).drop(12)
+    assert(Multimodal.sniffAudio(odd) == (("wav", 8000, 1, 16, 10L)))
+    // FLAC: 20/3/5/36-bit fields unpack exactly, incl. a >32-bit
+    // sample count crossing the byte boundary
+    assert(Multimodal.sniffAudio(Multimodal.flacHeader(96000, 8, 24, 68719476735L)) ==
+      (("flac", 96000, 8, 24, 68719476735L)))
+    // truncation / corrupt magic degrade to unknown, never throw
+    assert(Multimodal.sniffAudio(Multimodal.wavPayload(8000, 1, 10).take(11))._1 == "unknown")
+    assert(Multimodal.sniffAudio("RIFFxxxxNOPE".getBytes("US-ASCII"))._1 == "unknown")
+    assert(Multimodal.sniffAudio(Multimodal.flacHeader(8000, 1, 16, 1L).take(20))._1 == "unknown")
+  }
+
   test("byteHistogram features are L1-normalized and feed Similarity unchanged") {
     val feats = Multimodal.byteHistogram(Multimodal.synthesize(docs.limit(50))).toDF()
     val sums = feats.select(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
