@@ -600,6 +600,79 @@ object CorpusStats {
   def releaseGate(s: SparkSession, dir: String): DataFrame =
     releaseGateOf(docs(s, dir))
 
+  // ---------------------------------------------------------------
+  // q205 — val-OOV trend across appends (crawl-order cohorts)
+  // ---------------------------------------------------------------
+
+  /** Shared trend kernel: cumulative val-OOV share per batch PREFIX
+    * from per-batch token-type counts (batch, tok, ctr, cv) — the
+    * additive sufficient statistic the streaming release gate already
+    * lands. The ≤-join against the distinct batch ids replays each
+    * prefix exactly (|tok rows| × |batches|, vocabulary-bounded ×
+    * append-count-bounded — never corpus-bounded); a zero-val prefix
+    * emits the all-OOV sentinel instead of dividing by zero (the q196
+    * rule). */
+  private[graft] def oovTrendFrom(tok: DataFrame): DataFrame = {
+    val batches = tok.select(col("batch")).distinct()
+      .withColumnRenamed("batch", "upto")
+    tok.join(broadcast(batches), col("batch") <= col("upto"))
+      .groupBy(col("upto"), col("tok"))
+      .agg(sum(col("ctr")).as("ctr"), sum(col("cv")).as("cv"))
+      .groupBy(col("upto"))
+      .agg(sum(when(col("ctr") === 0L, col("cv")).otherwise(0L)).as("o"),
+        sum(col("cv")).as("n"))
+      .select(col("upto").cast("long").as("batch"),
+        when(col("n") === 0L, lit(1000000L))
+          .otherwise(expr("(o * 1000000) div n")).as("val_oov_fx"))
+      .orderBy(col("batch"))
+  }
+
+  /** Per-append val-OOV trajectory: split the corpus into crawl-order
+    * cohorts (ntile over doc_id — the q195 crawl-order notion; at
+    * 100 TB the cohorts would be the actual append batch ids, as in
+    * the streaming twin, so no global sort exists there) and report
+    * the release gate's val_oov_share as each cohort lands. A trend
+    * bending UP means new crawl slices carry vocabulary the train
+    * split hasn't seen — retrain the tokenizer/LM before trusting
+    * q194's numbers; trending DOWN means the val slice is saturating.
+    * The final row equals q201's val_oov_share by construction
+    * (spec-pinned). */
+  def valOovTrendOf(d: DataFrame, nCohorts: Int = 4): DataFrame = {
+    val byCohort = d.select(col("doc_id"), col("text"))
+      .withColumn("batch",
+        ntile(nCohorts).over(Window.orderBy(col("doc_id"))) - 1)
+    val tok = byCohort.select(col("batch"), isTrain(col("doc_id")).as("tr"),
+        explode(split(trim(col("text")), WS)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("batch"), col("tok"))
+      .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("ctr"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("cv"))
+    oovTrendFrom(tok)
+  }
+
+  def valOovTrend(s: SparkSession, dir: String): DataFrame =
+    valOovTrendOf(docs(s, dir))
+
+  val valOovTrendSql: String =
+    s"""WITH coh AS (SELECT doc_id, text,
+       |    ntile(4) OVER (ORDER BY doc_id) - 1 AS batch FROM documents),
+       |tk AS (SELECT batch,
+       |    substr(md5('v1|' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' AS tr,
+       |    unnest(string_split_regex(trim(text), '$WS')) AS tok
+       |  FROM coh),
+       |tc AS (SELECT batch, tok,
+       |    sum(CASE WHEN tr THEN 1 ELSE 0 END) AS ctr,
+       |    sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS cv
+       |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+       |b AS (SELECT DISTINCT batch AS upto FROM tc),
+       |cum AS (SELECT b.upto, t.tok, sum(t.ctr) AS ctr, sum(t.cv) AS cv
+       |  FROM tc t JOIN b ON t.batch <= b.upto GROUP BY 1, 2)
+       |SELECT CAST(upto AS BIGINT) AS batch,
+       |  CAST(CASE WHEN sum(cv) = 0 THEN 1000000
+       |    ELSE (sum(CASE WHEN ctr = 0 THEN cv ELSE 0 END) * 1000000)
+       |      // sum(cv) END AS BIGINT) AS val_oov_fx
+       |FROM cum GROUP BY 1 ORDER BY batch""".stripMargin
+
   val releaseGateSql: String = {
     val nTok =
       s"""CASE WHEN length(trim(text)) = 0 THEN 0
@@ -677,7 +750,8 @@ object CorpusStats {
     "q197_stratified_sample" -> stratifiedSample,
     "q198_label_centroid_sim" -> labelCentroidSim,
     "q199_repetition_runs" -> repetitionRuns,
-    "q200_cohort_retention" -> cohortRetention)
+    "q200_cohort_retention" -> cohortRetention,
+    "q205_val_oov_trend" -> valOovTrend)
 
   def oracles: Map[String, String] = Map(
     "q201_release_gate" -> releaseGateSql,
@@ -687,5 +761,6 @@ object CorpusStats {
     "q197_stratified_sample" -> stratifiedSampleSql,
     "q198_label_centroid_sim" -> labelCentroidSimSql,
     "q199_repetition_runs" -> repetitionRunsSql,
-    "q200_cohort_retention" -> cohortRetentionSql)
+    "q200_cohort_retention" -> cohortRetentionSql,
+    "q205_val_oov_trend" -> valOovTrendSql)
 }

@@ -215,6 +215,13 @@ object CorpusStream {
     CorpusStats.releaseVerdict(docChecks.unionByName(oov))
   }
 
+  /** Val-OOV trend across the landed appends — the q205 trajectory
+    * computed from the SAME tok partials the rollup already writes
+    * (each `batch=N` directory is one append's token-type counts).
+    * O(vocabulary × appends), never re-reads the corpus. */
+  def releaseOovTrendFromPartials(spark: SparkSession, statsPath: String): DataFrame =
+    CorpusStats.oovTrendFrom(spark.read.parquet(s"$statsPath/tok"))
+
   /** One micro-batch of the inline masking — named (not an inline
     * closure) so the replay contract is directly testable. Replay
     * safety: the base/index reads keep only partitions with

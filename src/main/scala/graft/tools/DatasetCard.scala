@@ -193,6 +193,16 @@ object DatasetCard {
   def releaseGateSummary(docsDf: DataFrame): DataFrame =
     graft.ops.CorpusStats.releaseGateOf(docsDf)
 
+  /** The q205-certified val-OOV trend across crawl-order appends —
+    * the release gate's forward-looking companion: the gate's
+    * val_oov_share is one number at release time; this row shows
+    * where it is HEADING as appends land (bending up = new crawl
+    * vocabulary the train split hasn't seen — retrain before trusting
+    * the LM-based rows above; the last row equals the gate's
+    * val_oov_share by construction). */
+  def oovTrendSummary(docsDf: DataFrame): DataFrame =
+    graft.ops.CorpusStats.valOovTrendOf(docsDf)
+
   /** Split-exchangeability screen off the q194-certified held-out
     * cross-entropy: the sources whose val slice is most/least
     * predictable under the train LM — outliers on either end mean
@@ -256,6 +266,7 @@ object DatasetCard {
     s"""{"dataset":${js(dir)},"n_docs":${total.getLong(2)},""" +
       s""""total_tokens":${total.getLong(3)},""" +
       s""""release_gate":${rowsJson(releaseGateSummary(docs))},""" +
+      s""""val_oov_trend":${rowsJson(oovTrendSummary(docs))},""" +
       s""""composition":${rowsJson(TextAnalysis.corpusStats(spark, dir).filter(col("lang").isNotNull && col("source").isNotNull))},""" +
       s""""mixture_1m_alpha05":${rowsJson(TextAnalysis.mixture(spark, dir))},""" +
       s""""quality_deciles":${rowsJson(TextAnalysis.qualityDeciles(spark, dir))},""" +

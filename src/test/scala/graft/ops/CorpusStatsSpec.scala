@@ -171,6 +171,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("val_oov_share") == ((expOov, 200000L, expOov <= 200000L)))
   }
 
+  test("valOovTrendOf: hand-computed prefixes; final row equals the gate's val_oov_share") {
+    // two crawl-order cohorts over 8 docs: cohort 0 = ids 0-3,
+    // cohort 1 = ids 4-7; texts assigned BY split membership so both
+    // prefixes are fully hand-computable
+    val ids = 0L until 8L
+    val d = ids.map { i =>
+      val t = if (isTrain(i)) "a b" else if (i < 4) "a q" else "q r"
+      (i, "s", t)
+    }.toDF("doc_id", "source", "text")
+    val got = CorpusStats.valOovTrendOf(d, nCohorts = 2)
+      .as[(Long, Long)].collect().toList
+    // driver-side twin of the cumulative-prefix OOV computation
+    def oovAt(upto: Long): Long = {
+      val in = ids.filter(i => i / 4 <= upto)
+      val vocab = in.filter(isTrain).flatMap(i => Seq("a", "b")).toSet
+      val valToks = in.filterNot(isTrain)
+        .flatMap(i => if (i < 4) Seq("a", "q") else Seq("q", "r"))
+      if (valToks.isEmpty) 1000000L
+      else valToks.count(!vocab.contains(_)).toLong * 1000000L / valToks.size
+    }
+    assert(got == List((0L, oovAt(0)), (1L, oovAt(1))))
+    // the trend's last row IS the release gate's val_oov_share
+    val gate = CorpusStats.releaseGateOf(d)
+      .filter(col("chk") === "val_oov_share")
+      .select(col("value_fx")).as[Long].head()
+    assert(got.last._2 == gate, "trend tail must equal the gate's val_oov_share")
+  }
+
   test("cohortRetentionOf: first-event day cohorts, distinct user-days") {
     def nanos(day: Int, hour: Int): Long =
       (java.time.LocalDate.of(2024, 1, 1).plusDays(day)

@@ -328,6 +328,13 @@ class CorpusStreamSpec extends SparkSpec {
     val replayed = CorpusStream.releaseGateFromPartials(spark, stats)
       .collect().map(_.toSeq).toList
     assert(replayed == batch, "replayed batch double-counted")
+    // the q205 trend off the SAME partials: one row per landed append,
+    // and its final prefix equals the assembled gate's val_oov_share
+    val trend = CorpusStream.releaseOovTrendFromPartials(spark, stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(trend.map(_._1) == List(0L, 1L, 2L), s"trend batches: $trend")
+    val gateOov = batch.find(_.head == "val_oov_share").get(1)
+    assert(trend.last._2 == gateOov, "trend tail must equal the gate's val_oov_share")
   }
 
   test("maskBatch replay: re-running batch N against its own failed output loses nothing") {
