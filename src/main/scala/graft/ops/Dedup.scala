@@ -213,34 +213,74 @@ object Dedup {
     * doc of globally hot shingles fans out over every doc sharing
     * them — quadratic in the hot-df on a boilerplate-heavy corpus).
     *
-    * The cap is a VOCABULARY cap, applied before the exact operator:
-    * shingles with global document frequency above `maxDf` are
-    * dropped from every doc's set, then the exact prefix-filtered
-    * containment runs unchanged on the reduced sets. Three
-    * properties follow directly:
+    * The cap is a VOCABULARY cap: shingles with global document
+    * frequency above `maxDf` are dropped from every doc's set before
+    * the prefix-filtered join. Crucially (round-13, VERDICT r12 item
+    * 1) the DENOMINATOR is each sub-doc's ORIGINAL shingle count |A|,
+    * not the capped |A′| — the capped intersection |A′∩B′| is a lower
+    * bound on the true |A∩B|, so the emitted score is a CONSERVATIVE
+    * lower bound on true containment and the operator's output is a
+    * SUBSET of the exact operator's (never an extra pair; the r12
+    * |A′| denominator shrank with the cap and pushed sub-threshold
+    * pairs over t — the probe measured 44k false positives at 4×
+    * boilerplate replication). Properties:
+    *   - capped ⊆ exact ALWAYS (score is a lower bound on the true
+    *     score — spec-pinned on a hostile hand case);
     *   - capped ≡ exact whenever the cap doesn't bind (no shingle
     *     over `maxDf` ⇒ byte-identical output — spec-pinned, the
-    *     q179 recipe), because df values of surviving shingles are
-    *     unchanged by dropping OTHER shingles' postings;
+    *     q179 recipe), because then |A| = |A′| and df values of
+    *     surviving shingles are unchanged;
     *   - the candidate join is linearly BOUNDED: every prefix
     *     shingle's posting list is ≤ maxDf rows, so candidates ≤
     *     Σ_sub plen·maxDf — no hot-shingle quadratic blowup at any
-    *     corpus size;
-    *   - the operator stays EXACT over what it passes: emitted
-    *     containment is |A'∩B'| / |A'| on the capped vocabulary
-    *     (docs whose every shingle is hot drop out) — the same
-    *     "exact over the passed vocabulary" contract as the capped
-    *     Jaccard family, trading recall on boilerplate-only overlap
-    *     (which near-dup pipelines deliberately discount) for a
-    *     bounded join. */
+    *     corpus size. The only trade left is the documented recall
+    *     loss on boilerplate-dominated overlap (pairs whose true
+    *     containment rides on hot shingles score lower and may drop
+    *     below t — `lost` in docs/CONTAINMENT_PROBE; `extra` is 0 by
+    *     construction).
+    *
+    * Prefix arithmetic under the original-|A| denominator: a pair
+    * needs capped overlap o ≥ o_min = ⌈t·|A|⌉ out of |A′| available
+    * shingles, so the sub prefix is the (|A′| − o_min + 1)
+    * globally-rarest capped shingles; a doc with |A′| < o_min can
+    * never qualify as SUB (dropped from the prefix index) but stays
+    * fully indexed as SUP. */
   def prefixFilterContainmentCapped(shingleSets: DataFrame,
       minContainment: Double, maxDf: Long): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
+    val tFx = math.round(minContainment * 1e6)
+    val origSz = shingleSets.groupBy(col("id"))
+      .agg(count(lit(1)).as("orig_sz"))
     val dfreq = shingleSets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val kept = shingleSets
       .join(dfreq.filter(col("df") <= maxDf), Seq("sh"))
-      .select(col("id"), col("sh"))
-    prefixFilterContainment(kept, minContainment)
+      .select(col("id"), col("sh"), col("df"))
+    val docSets = graft.PlanCapture.checkpoint(
+      kept.groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+        .join(origSz, Seq("id"))
+        .withColumn("shs", transform(col("ord"), x => x("sh")))
+        .withColumn("sz", size(col("shs")))
+        .withColumn("omin", expr(s"($tFx * orig_sz + 999999) div 1000000"))
+        .withColumn("plen", expr("CAST(sz - omin + 1 AS INT)"))
+        .select(col("id"), col("shs"), col("orig_sz"),
+          when(col("plen") >= 1, slice(col("shs"), lit(1), col("plen")))
+            .otherwise(array().cast("array<string>")).as("prefix")),
+      "containment-capped-docsets")
+    val pref = docSets.select(col("id").as("id_sub"), explode(col("prefix")).as("sh"))
+    val cand = pref
+      .join(kept.select(col("id").as("id_sup"), col("sh")), Seq("sh"))
+      .filter(col("id_sub") =!= col("id_sup"))
+      .select(col("id_sub"), col("id_sup")).distinct()
+    cand
+      .join(docSets.select(col("id").as("id_sub"), col("shs").as("shs_a"),
+        col("orig_sz")), Seq("id_sub"))
+      .join(docSets.select(col("id").as("id_sup"), col("shs").as("shs_b")), Seq("id_sup"))
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("containment_fx", expr("(inter * 1000000) div orig_sz"))
+      .filter(col("containment_fx") >= tFx)
+      .select(col("id_sub"), col("id_sup"), col("containment_fx"))
   }
 
   /** MinHash signatures: numHashes md5-string minima per doc.

@@ -66,6 +66,31 @@ object DedupShapes {
        |WHERE (inter * 1000000) // sa.sz >= 500000
        |ORDER BY id_sub, id_sup""".stripMargin
 
+  /** q211 — the df-CAPPED containment twin (the 100 TB production
+    * path), gated against a naive DuckDB mirror of its exact
+    * semantics: drop shingles with global df > 8, count the capped
+    * intersection, divide by the ORIGINAL |A| (round-13 conservative
+    * denominator — VERDICT r12 item 1). The cap binds on this corpus
+    * (stopword bigrams clear df 8 easily), so the gate certifies the
+    * bounded join's real output, not the trivially-exact case. */
+  def containmentPairsCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterContainmentCapped(
+        Dedup.wordBigrams(docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text"),
+        0.5, 8L)
+      .orderBy(col("id_sub"), col("id_sup"))
+
+  val containmentPairsCappedSql: String =
+    s"""WITH ${shingleSql("WHERE doc_id < 1000")},
+       |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |kept AS (SELECT s.id, s.sh FROM sh s JOIN dfreq d ON d.sh = s.sh AND d.df <= 8),
+       |inter AS (SELECT a.id AS id_sub, b.id AS id_sup, count(*) AS inter
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.id != b.id GROUP BY 1, 2)
+       |SELECT id_sub, id_sup,
+       |  CAST((inter * 1000000) // sa.sz AS BIGINT) AS containment_fx
+       |FROM inter JOIN sz sa ON sa.id = id_sub
+       |WHERE (inter * 1000000) // sa.sz >= 500000
+       |ORDER BY id_sub, id_sup""".stripMargin
+
   /** MinHash+LSH candidates verified by exact Jaccard — the certified
     * shingle→minhash→band→bucket-join pipeline (8 hashes, 4 bands). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -592,6 +617,7 @@ object DedupShapes {
     "q30_jaccard_pairs" -> jaccardPairs,
     "q122_prefix_jaccard" -> prefixJaccard,
     "q202_containment_pairs" -> containmentPairs,
+    "q211_containment_capped" -> containmentPairsCapped,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
@@ -609,6 +635,7 @@ object DedupShapes {
     "q30_jaccard_pairs" -> jaccardPairsSql,
     "q122_prefix_jaccard" -> jaccardPairsSql,
     "q202_containment_pairs" -> containmentPairsSql,
+    "q211_containment_capped" -> containmentPairsCappedSql,
     "q31_minhash_lsh" -> minhashLshSql,
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,

@@ -62,16 +62,23 @@ object ContainmentProbe {
       // candidate count = |distinct (sub, sup) sharing a prefix
       // shingle| — the operator's own prefix selection, recomputed
       // here so the blow-up is measured at its source
-      def candidates(s: org.apache.spark.sql.DataFrame): Long = {
+      // `orig` carries the DENOMINATOR sets (round-13: the capped
+      // operator divides by the ORIGINAL |A|, so its o_min — and
+      // hence its prefix length — comes from the uncapped size)
+      def candidates(s: org.apache.spark.sql.DataFrame,
+          orig: org.apache.spark.sql.DataFrame): Long = {
         val tFx = math.round(t * 1e6)
         val dfreq = s.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val origSz = orig.groupBy(col("id")).agg(count(lit(1)).as("orig_sz"))
         val pref = s.join(dfreq, Seq("sh"))
           .groupBy(col("id"))
           .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+          .join(origSz, Seq("id"))
           .withColumn("shs", transform(col("ord"), x => x("sh")))
           .withColumn("sz", size(col("shs")))
           .withColumn("plen", expr(
-            s"CAST(sz - (($tFx * CAST(sz AS BIGINT) + 999999) div 1000000) + 1 AS INT)"))
+            s"CAST(sz - (($tFx * orig_sz + 999999) div 1000000) + 1 AS INT)"))
+          .filter(col("plen") >= 1)
           .select(col("id").as("id_sub"),
             explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
         pref.join(s.select(col("id").as("id_sup"), col("sh")), Seq("sh"))
@@ -87,8 +94,8 @@ object ContainmentProbe {
           .filter(col("df") <= maxDf), Seq("sh"))
         .select(col("id"), col("sh")).localCheckpoint(true)
 
-      val candExact = candidates(sets)
-      val candCapped = candidates(keptSets)
+      val candExact = candidates(sets, sets)
+      val candCapped = candidates(keptSets, sets)
       val t0 = System.nanoTime()
       val exact = pairsOf(Dedup.prefixFilterContainment(sets, t))
       val tExact = (System.nanoTime() - t0) / 1e9

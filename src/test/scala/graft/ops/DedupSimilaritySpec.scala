@@ -843,26 +843,39 @@ class DedupSimilaritySpec extends SparkSpec {
     val unbound = Dedup.prefixFilterContainmentCapped(sets, 0.5, maxDf)
       .collect().map(_.toSeq).toSet
     assert(unbound == exact && exact.nonEmpty)
-    // binding cap on a hand fixture: HOT is in all 4 docs (df 4 >
-    // cap 2) and is doc 4's ENTIRE set, so capping drops doc 4's
-    // boilerplate-only pairs; docs 1/2 still contain each other
-    // through their rare shingles, exact on the CAPPED vocabulary:
-    // A1' = {s1, s2} fully inside A2' = {s1, s2, s3} → 1.0
+  }
+
+  test("prefixFilterContainmentCapped ⊆ exact: original-|A| denominator is a conservative lower bound") {
+    import spark.implicits._
+    // HOT df 5, HOTB/HOTC df 3 — all above cap 2, dropped everywhere;
+    // r1 (df 2) and r9 (df 2) survive. t = 0.5.
     val hand = Seq(
-      (1L, "s1"), (1L, "s2"), (1L, "HOT"),
-      (2L, "s1"), (2L, "s2"), (2L, "s3"), (2L, "HOT"),
-      (3L, "p1"), (3L, "HOT"),
-      (4L, "HOT")).toDF("id", "sh")
-    val capped = Dedup.prefixFilterContainmentCapped(hand, 0.8, 2L)
+      (1L, "r1"), (1L, "HOT"),
+      (2L, "r1"), (2L, "r2"), (2L, "HOT"),
+      (3L, "r3"), (3L, "HOT"), (3L, "HOTB"), (3L, "HOTC"),
+      (4L, "r4"), (4L, "HOT"), (4L, "HOTB"), (4L, "HOTC"),
+      (5L, "r9"), (5L, "HOT"), (5L, "HOTB"), (5L, "HOTC"),
+      (6L, "r9"), (6L, "z1")).toDF("id", "sh")
+    val capped = Dedup.prefixFilterContainmentCapped(hand, 0.5, 2L)
       .as[(Long, Long, Long)].collect().toSet
-    assert(capped == Set((1L, 2L, 1000000L)))
-    // the uncapped form also pairs doc 4 (its whole set is the hot
-    // shingle) with every other doc — the exposure the cap bounds
-    val uncapped = Dedup.prefixFilterContainment(hand, 0.8)
+    // (1→2): capped inter {r1} = 1 over ORIGINAL |A1| = 2 → 0.5, kept
+    //   (exact score is 1.0 — lower bound, never higher);
+    // (6→5): doc 5 has plen ≤ 0 (orig 4, capped 1, o_min 2) so it
+    //   can't be a SUB, but it MUST stay eligible as SUP;
+    // (5→6): the r12 regression — old |A′| denominator gave
+    //   1/1 = 1.0 (an extra pair; true containment is 1/4 = 0.25);
+    //   the original-|A| denominator keeps it out.
+    assert(capped == Set((1L, 2L, 500000L), (6L, 5L, 500000L)))
+    val exactPairs = Dedup.prefixFilterContainment(hand, 0.5)
       .as[(Long, Long, Long)].collect().toSet
-    assert(Set((4L, 1L, 1000000L), (4L, 2L, 1000000L), (4L, 3L, 1000000L))
-      .subsetOf(uncapped))
-    assert(uncapped.contains((1L, 2L, 1000000L)))
+    // capped pair set ⊆ exact pair set, and per-pair fx never higher
+    assert(capped.map(p => (p._1, p._2)).subsetOf(exactPairs.map(p => (p._1, p._2))))
+    val exactFx = exactPairs.map(p => (p._1, p._2) -> p._3).toMap
+    capped.foreach { case (a, b, fx) => assert(fx <= exactFx((a, b))) }
+    // the boilerplate fan-out the cap bounds: exact pairs doc 1 with
+    // every HOT-sharing doc, capped does not
+    assert(Set((1L, 3L), (1L, 4L), (1L, 5L))
+      .subsetOf(exactPairs.map(p => (p._1, p._2))))
   }
 
   test("prefixFilterContainment ≡ naive all-ordered-pairs on the corpus (zero pruning loss)") {
