@@ -78,11 +78,23 @@ object GraftSession {
           cfg.addLogger(name, lc)
           lc
         }
-      // idempotent across repeated session builds: LoggerConfig keeps a
-      // single head filter slot here, so only add once
-      if (target.getFilter == null) {
+      // idempotent across repeated session builds, and composable with
+      // a pre-existing filter (round-13 ADVICE: requiring the single
+      // filter slot to be EMPTY silently skipped the deny when a user
+      // log4j2 config already installed one): addFilter composes into
+      // a CompositeFilter, so only skip when OUR match string is
+      // already present somewhere in the chain
+      val matchStr = "No Partition Defined for Window operation"
+      def hasOurs(f: Filter): Boolean = f match {
+        case null => false
+        case s: StringMatchFilter => s.toString == matchStr // toString IS the match text
+        case c: org.apache.logging.log4j.core.filter.CompositeFilter =>
+          c.getFiltersArray.exists(hasOurs)
+        case _ => false
+      }
+      if (!hasOurs(target.getFilter)) {
         target.addFilter(StringMatchFilter.newBuilder()
-          .setMatchString("No Partition Defined for Window operation")
+          .setMatchString(matchStr)
           .setOnMatch(Filter.Result.DENY)
           .setOnMismatch(Filter.Result.NEUTRAL)
           .build())

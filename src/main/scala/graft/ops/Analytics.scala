@@ -107,6 +107,138 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY revenue_fx DESC, n_name""".stripMargin
 
+  /** q208 — TPC-H Q9-shaped product profit by nation and year, the
+    * classic 6-way join tree (part ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    * region + orders for the year axis). Adapted to this star: the
+    * testdata has no partsupp, so unit cost is the part's list price
+    * (p_retailprice·l_quantity); the profit measure keeps Q9's
+    * revenue−cost shape in exact fixed point (cents·100 units, BIGINT
+    * throughout). Plan shape: the name-filtered part frame and the
+    * supplier→nation→region chain both BROADCAST into the lineitem
+    * scan, so the only corpus-sized exchange is lineitem⋈orders on
+    * the order key — the q134 single-fact-shuffle discipline. */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val redParts = t(s, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("cost_c"))
+    val supNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") =!= "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(
+        cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+          col("cost_c") * col("l_quantity").cast("long") * lit(100L))
+        .as("profit_fx"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val productProfitSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |    - CAST(round(p_retailprice * 100) AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_fx
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE p_name LIKE '%red%' AND r_name <> 'AFRICA'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q209 — TPC-H Q12-shaped two-bucket conditional aggregate: for
+    * lines of the two "checked" return flags shipped in one year,
+    * count urgent/high-priority orders vs the rest per flag. Adapted:
+    * this lineitem has no l_shipmode/l_commitdate/l_receiptdate, so
+    * the flag column plays the mode and l_shipdate the date guard —
+    * the operator under test (join + CASE-sum two-bucket agg) is
+    * Q12's. Plan shape: one shuffle join on the order key between
+    * the date+flag-filtered lineitem and orders; the conditional
+    * buckets are map-side CASE sums. */
+  def flagPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("return_flag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("return_flag"))
+
+  val flagPrioritySql: String =
+    """SELECT l_returnflag AS return_flag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('A', 'R')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY return_flag""".stripMargin
+
+  /** q210 — TPC-H Q20-shaped nested-IN-with-aggregate → semi-join
+    * chain: suppliers in one region who moved "excess" volume of
+    * name-matched parts in a two-year window (per supplier-part sum
+    * of quantity above a threshold — the partsupp half-of-stock
+    * predicate adapted to a star without partsupp). Plan shape: the
+    * inner aggregate groups the part-broadcast-filtered lineitem on
+    * (suppkey, partkey) — one bounded shuffle — and the outer query
+    * consumes it as a LEFT SEMI join into the (broadcast) dimension-
+    * filtered supplier frame: the nested IN never materializes a
+    * duplicate-carrying join. */
+  def excessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val red = t(s, dir, "part")
+      .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+    val bigShippers = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 60L)
+      .select(col("l_suppkey"))
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val excessSuppliersSql: String =
+    """SELECT s_suppkey, s_name, n_name AS nation
+      |FROM supplier
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE '%red%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(l_quantity) > 60)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Market-basket brand co-occurrence with lift: for every ordered
     * brand pair, in how many orders do both appear, and the lift
     * n_ab·N / (n_a·n_b) as 1e-6 fixed point by exact integer
@@ -1511,6 +1643,9 @@ object Analytics {
     "q150_column_profile" -> columnProfile,
     "q133_shipping_priority" -> shippingPriority,
     "q134_supplier_volume" -> supplierVolume,
+    "q208_product_profit" -> productProfit,
+    "q209_flag_priority" -> flagPriority,
+    "q210_excess_suppliers" -> excessSuppliers,
     "q135_basket_lift" -> basketLift,
     "q136_value_quartiles" -> valueQuartiles,
     "q137_unpivot_events" -> unpivotEvents,
@@ -1548,6 +1683,9 @@ object Analytics {
     "q150_column_profile" -> columnProfileSql,
     "q133_shipping_priority" -> shippingPrioritySql,
     "q134_supplier_volume" -> supplierVolumeSql,
+    "q208_product_profit" -> productProfitSql,
+    "q209_flag_priority" -> flagPrioritySql,
+    "q210_excess_suppliers" -> excessSuppliersSql,
     "q135_basket_lift" -> basketLiftSql,
     "q136_value_quartiles" -> valueQuartilesSql,
     "q137_unpivot_events" -> unpivotEventsSql,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -121,13 +122,19 @@ object CorpusPipeline {
     // decontaminate references the gated frame twice (gram side +
     // anti-join side) — persist so the two filter stages run once
     // WHILE the pair computation below evaluates them.
+    // DISK_ONLY (round-13, VERDICT r12 item 2): these survivors carry
+    // the corpus TEXT, and two of them are alive simultaneously while
+    // the pair computation runs — in a long many-query JVM the heap
+    // copies were 13 s of q69's GC. Spilling them to local disk costs
+    // well under a second at bench scale and keeps the old-gen flat.
     val gated = docs.filter(
       qualityGate(col(textCol), cfg.base) &&
         !TextAnalysis.repetitiveFlag(col(textCol), cfg.maxDup3Frac, cfg.maxTopTokFrac))
-      .persist()
+      .persist(StorageLevel.DISK_ONLY)
     val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
       cfg.decontamN, cfg.decontamMinShared)
-    val ex = exactStage(decon, idCol, textCol, cfg.base.exactByFingerprint).persist()
+    val ex = exactStage(decon, idCol, textCol, cfg.base.exactByFingerprint)
+      .persist(StorageLevel.DISK_ONLY)
     // minhashDedupCapped is EAGER (it checkpoints its tiny pair list
     // and frees its own intermediates), so by the time it returns the
     // caches above have served every multi-reference consumer. The
@@ -147,8 +154,10 @@ object CorpusPipeline {
       cfg.base.numHashes, cfg.base.bandSize, cfg.base.minJaccard, cfg.base.maxBucket)
     val keep = graft.PlanCapture.checkpoint(
       Dedup.dedupCorpus(ex.select(col(idCol)), idCol, pairs), "recipe-keep-ids")
-    gated.unpersist()
-    ex.unpersist()
+    // blocking: the suite runs the recipe family back-to-back, and an
+    // async release lets stage blocks linger into the next query
+    gated.unpersist(true)
+    ex.unpersist(true)
     TextAnalysis.hashSplit(docs.join(broadcast(keep), Seq(idCol), "left_semi"),
       idCol, cfg.splitSeed, cfg.trainFrac)
   }
@@ -197,21 +206,22 @@ object CorpusPipeline {
         !TextAnalysis.repetitiveFlag(col(textCol), b.maxDup3Frac, b.maxTopTokFrac))
     val gated =
       (if (cfg.piiGate) gated0.filter(!CurationOps.hasPii(col(textCol))) else gated0)
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     // decon is referenced twice (gram side of the fuzzy scan + the
     // anti-join left side) — persist, as trainingRecipe does for the
     // same shape, or the exact-decontamination stage executes twice.
     val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
-      b.decontamN, b.decontamMinShared).persist()
+      b.decontamN, b.decontamMinShared).persist(StorageLevel.DISK_ONLY)
     val defuzz = decon.join(
         broadcast(CurationOps.fuzzyContaminatedIds(decon, benchmark, idCol, textCol,
           cfg.fuzzyN, cfg.fuzzyMinFrac)),
         Seq(idCol), "left_anti")
-      .persist()
+      .persist(StorageLevel.DISK_ONLY)
     val debp = CurationOps.dropBoilerplateHeavy(defuzz, idCol, textCol,
       CurationOps.boilerplateGramSet(defuzz, idCol, textCol, cfg.bpN, cfg.bpMinDocs),
       cfg.bpN, cfg.bpMaxFrac)
-    val ex = exactStage(debp, idCol, textCol, b.base.exactByFingerprint).persist()
+    val ex = exactStage(debp, idCol, textCol, b.base.exactByFingerprint)
+      .persist(StorageLevel.DISK_ONLY)
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       b.base.numHashes, b.base.bandSize, b.base.minJaccard, b.base.maxBucket)
     val keep0 = graft.PlanCapture.checkpoint(
@@ -225,10 +235,10 @@ object CorpusPipeline {
             .select(col(idCol)), "curation-budget-ids")
       case None => keep0
     }
-    gated.unpersist()
-    decon.unpersist()
-    defuzz.unpersist()
-    ex.unpersist()
+    gated.unpersist(true)
+    decon.unpersist(true)
+    defuzz.unpersist(true)
+    ex.unpersist(true)
     TextAnalysis.hashSplit(docs.join(broadcast(keep), Seq(idCol), "left_semi"),
       idCol, b.splitSeed, b.trainFrac)
   }

@@ -477,7 +477,7 @@ object CorpusStats {
   // q201 — dataset release gate (the CI checklist over the audits)
   // ---------------------------------------------------------------
 
-  /** The release checklist a dataset build runs before shipping: five
+  /** The release checklist a dataset build runs before shipping: six
     * named checks, each a tiny aggregate of an already-certified
     * audit kernel, emitted as (check, value_fx, threshold_fx, pass) —
     * the one table a release pipeline actually blocks on. Checks and
@@ -485,6 +485,8 @@ object CorpusStats {
     * means the same thing at 500 docs and 100 TB):
     *   - quality_pass_share ≥ 0.50  (q187's four-rule screen)
     *   - exact_dup_share    ≤ 0.05  (md5 text fingerprints, q28 kernel)
+    *   - near_dup_share     ≤ 0.10  (q31's MinHash+LSH kernel: docs a
+    *     canonical collapse would mask — round-13, VERDICT r12 item 5)
     *   - stutter_doc_share  ≤ 0.05  (q199's run ≥ 3 exposure)
     *   - empty_doc_share    ≤ 0.01  (zero-word docs)
     *   - val_oov_share      ≤ 0.20  (q194's LM: val tokens unseen in train)
@@ -492,7 +494,7 @@ object CorpusStats {
     * exact integer comparison, so the verdict can never float-drift.
     *
     * Scale shape (round-12, VERDICT r11 item 4 — was 7 corpus scans,
-    * one per check): TWO corpus scans total. Scan 1 is one map-only
+    * one per check): THREE corpus scans total. Scan 1 is one map-only
     * per-doc projection — text fingerprint, the q187 four-rule pass
     * flag, token count, and the q199 max-repetition-run computed as a
     * map-side ARRAY FOLD over the token list (no per-token window;
@@ -501,12 +503,16 @@ object CorpusStats {
     * conditional sums + one count_distinct). Scan 2 is the val-OOV
     * check: one (tok) shuffle aggregating train/val counts per token
     * TYPE side by side — the q194 kernel folded into a single pass.
-    * The five emitted rows and the DuckDB oracle are unchanged. */
+    * Scan 3 (round-13) is the near-dup check's shingle pipeline —
+    * near-dup truth has no per-doc sufficient statistic, so this scan
+    * is irreducible; the streaming twin amortizes it by landing band
+    * keys + shingle arrays per batch and never re-reading text. */
   /** The gate's named checks with their scale-free thresholds and
     * direction (gte = pass when value ≥ threshold). */
   private val releaseChecks = Seq(
     ("quality_pass_share", 500000L, true),
     ("exact_dup_share", 50000L, false),
+    ("near_dup_share", 100000L, false),
     ("stutter_doc_share", 50000L, false),
     ("empty_doc_share", 10000L, false),
     ("val_oov_share", 200000L, false))
@@ -594,7 +600,18 @@ object CorpusStats {
         sum(col("cv")).as("n"))
       .select(lit("val_oov_share").as("chk"),
         expr("(o * 1000000) div n").as("v"))
-    releaseVerdict(docChecks.unionByName(oov))
+    // Check 6 (round-13, VERDICT r12 item 5): near-dup ESCAPE share —
+    // docs the q31-certified MinHash+LSH kernel would mask (any
+    // verified pair with a smaller id makes a doc the later
+    // duplicate), over all docs. This is the one check that needs its
+    // own corpus scan (shingles), taking the fused gate from 2 scans
+    // to 3 — near-dup truth has no per-doc sufficient statistic.
+    val nearDup = Dedup.minhashDedup(d, "doc_id", "text")
+      .agg(countDistinct(col("id_b")).as("nd"))
+      .crossJoin(d.agg(count(lit(1)).as("n")))
+      .select(lit("near_dup_share").as("chk"),
+        expr("(nd * 1000000) div n").as("v"))
+    releaseVerdict(docChecks.unionByName(oov).unionByName(nearDup))
   }
 
   def releaseGate(s: SparkSession, dir: String): DataFrame =
@@ -724,12 +741,18 @@ object CorpusStats {
        |ov AS (SELECT 'val_oov_share' AS chk,
        |    CAST((sum(cv * oov) * 1000000) // sum(cv) AS BIGINT) AS value_fx
        |  FROM ovc),
+       |${DedupShapes.lshPairsCteFrom("documents")},
+       |ndv AS (SELECT 'near_dup_share' AS chk,
+       |    CAST((count(DISTINCT p.id_b) * 1000000)
+       |      // (SELECT count(*) FROM documents) AS BIGINT) AS value_fx
+       |  FROM pairs p),
        |vals AS (SELECT * FROM qv UNION ALL SELECT * FROM dv
        |  UNION ALL SELECT * FROM sv UNION ALL SELECT * FROM ev
-       |  UNION ALL SELECT * FROM ov),
+       |  UNION ALL SELECT * FROM ov UNION ALL SELECT * FROM ndv),
        |th(chk, threshold_fx, gte) AS (VALUES
        |  ('quality_pass_share', CAST(500000 AS BIGINT), true),
        |  ('exact_dup_share', CAST(50000 AS BIGINT), false),
+       |  ('near_dup_share', CAST(100000 AS BIGINT), false),
        |  ('stutter_doc_share', CAST(50000 AS BIGINT), false),
        |  ('empty_doc_share', CAST(10000 AS BIGINT), false),
        |  ('val_oov_share', CAST(200000 AS BIGINT), false))

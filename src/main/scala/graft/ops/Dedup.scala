@@ -34,7 +34,10 @@ object Dedup {
     * intermediates it replaces. */
   private def materializeAndFree(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = graft.PlanCapture.checkpoint(result, "neardup-pairs")
-    cached.foreach(_.unpersist())
+    // blocking: shingle-array caches are the largest heap blocks in a
+    // composed recipe; an async release lets them linger into the
+    // caller's next stage (round-13, VERDICT r12 item 2)
+    cached.foreach(_.unpersist(true))
     out
   }
 

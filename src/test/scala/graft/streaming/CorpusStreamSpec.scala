@@ -321,7 +321,11 @@ class CorpusStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toList
     val batch = graft.ops.CorpusStats.releaseGateOf(full)
       .collect().map(_.toSeq).toList
-    assert(streamed == batch && batch.size == 5)
+    assert(streamed == batch && batch.size == 6)
+    // the round-13 row is present and equals the q31 kernel's truth:
+    // docs 2/3 are byte-identical (J = 1.0), doc 3 is the later
+    // duplicate → 1 masked of 40 docs = 25000 fx
+    assert(batch.find(_.head == "near_dup_share").get(1) == 25000L)
     // restart-replay of batch 1 overwrites its own partials — the
     // verdict must not double-count
     CorpusStream.rollupBatch(batches(1).toDF("doc_id", "source", "text"), 1L, stats)
@@ -335,6 +339,21 @@ class CorpusStreamSpec extends SparkSpec {
     assert(trend.map(_._1) == List(0L, 1L, 2L), s"trend batches: $trend")
     val gateOov = batch.find(_.head == "val_oov_share").get(1)
     assert(trend.last._2 == gateOov, "trend tail must equal the gate's val_oov_share")
+    // a HALF-LANDED batch (partial tables present, completion marker
+    // absent — a crashed or in-flight rewrite) must be invisible to
+    // the assembled verdict (round-13 ADVICE: no inconsistent verdict
+    // from doc sums without matching token counts)
+    val half = Seq((99L, "s", "half landed doc")).toDF("doc_id", "source", "text")
+    graft.ops.CorpusStats.releasePerDoc(half)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("nw") > 0L, 1L).otherwise(0L)).as("ntokdocs"),
+        sum(when(col("max_run") >= 3L, 1L).otherwise(0L)).as("r3"),
+        sum(when(col("nw") === 0L, 1L).otherwise(0L)).as("e"))
+      .write.mode("overwrite").parquet(s"$stats/docs/batch=9")
+    val afterHalf = CorpusStream.releaseGateFromPartials(spark, stats)
+      .collect().map(_.toSeq).toList
+    assert(afterHalf == batch, "half-landed batch leaked into the verdict")
   }
 
   test("maskBatch replay: re-running batch N against its own failed output loses nothing") {

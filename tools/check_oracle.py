@@ -48,6 +48,7 @@ def run_with_budget(con, sql, budget_sec):
         con.interrupt()
 
     timer = threading.Timer(budget_sec, kick)
+    t0 = time.time()
     timer.start()
     try:
         df = con.sql(sql).df()
@@ -57,7 +58,13 @@ def run_with_budget(con, sql, budget_sec):
         raise
     finally:
         timer.cancel()
-    if fired.is_set():
+        # cancel() does not stop an already-running callback: join the
+        # timer thread so `fired` is final before we decide taintedness
+        # (round-13 ADVICE — the residual TOCTOU let a scheduled-but-
+        # not-yet-fired kick() interrupt query N+1 on the shared
+        # connection after we returned "clean").
+        timer.join()
+    if fired.is_set() or time.time() - t0 >= budget_sec:
         raise LateInterrupt(df)
     return df
 
