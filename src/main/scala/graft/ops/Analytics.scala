@@ -239,6 +239,50 @@ object Analytics {
       |  HAVING sum(l_quantity) > 60)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q213 — TPC-H Q22-shaped dormant high-balance customers: the
+    * uncorrelated-scalar-subquery + anti-join combination (Q22's
+    * cntrycode buckets played by the nation key; "no orders at all"
+    * tightened to "no orders since 2000" because this star's order
+    * table covers every customer). The above-average cut is an exact
+    * integer CROSS-MULTIPLICATION (bal·n_pos > Σbal_pos) — no
+    * division, so no float boundary and no scale sensitivity. Plan
+    * shape: the 1-row stats frame broadcasts into the customer scan;
+    * the anti side is the date-filtered orders key set (shuffled
+    * left-anti on the customer key — at 100 TB that's the one
+    * exchange, keyed on the natural join key). */
+  def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(3, 7, 11, 14, 19))
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("cntrycode"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val stats = cust.filter(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("tot"), count(lit(1)).as("npos"))
+    cust.crossJoin(broadcast(stats))
+      .filter(col("bal_c") * col("npos") > col("tot"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val dormantCustomersSql: String =
+    """WITH cust AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer WHERE c_nationkey IN (3, 7, 11, 14, 19)),
+      |st AS (SELECT CAST(sum(bal_c) AS BIGINT) AS tot, count(*) AS npos
+      |  FROM cust WHERE bal_c > 0)
+      |SELECT cntrycode, count(*) AS numcust,
+      |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+      |FROM cust, st
+      |WHERE bal_c * npos > tot AND c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1 ORDER BY cntrycode""".stripMargin
+
   /** Market-basket brand co-occurrence with lift: for every ordered
     * brand pair, in how many orders do both appear, and the lift
     * n_ab·N / (n_a·n_b) as 1e-6 fixed point by exact integer
@@ -1646,6 +1690,7 @@ object Analytics {
     "q208_product_profit" -> productProfit,
     "q209_flag_priority" -> flagPriority,
     "q210_excess_suppliers" -> excessSuppliers,
+    "q213_dormant_customers" -> dormantCustomers,
     "q135_basket_lift" -> basketLift,
     "q136_value_quartiles" -> valueQuartiles,
     "q137_unpivot_events" -> unpivotEvents,
@@ -1686,6 +1731,7 @@ object Analytics {
     "q208_product_profit" -> productProfitSql,
     "q209_flag_priority" -> flagPrioritySql,
     "q210_excess_suppliers" -> excessSuppliersSql,
+    "q213_dormant_customers" -> dormantCustomersSql,
     "q135_basket_lift" -> basketLiftSql,
     "q136_value_quartiles" -> valueQuartilesSql,
     "q137_unpivot_events" -> unpivotEventsSql,
