@@ -169,8 +169,27 @@ object Bench {
     val coldPerQ = names.map(n => n -> run(n))
     val cold = (System.nanoTime() - coldT0) / 1e9
 
+    // Settle before each warm pass (round-13): the per-query cleanup
+    // frees cache/checkpoint blocks synchronously, but BROADCAST
+    // torrent blocks are reclaimed by the ContextCleaner only after
+    // the driver GCs the Broadcast handles — an async queue the
+    // broadcast-heavy q9x/q18x tail leaves full. With the recipe
+    // family now first in pass order, whoever ran right after that
+    // tail inherited the backlog (q69 read 27 s in-suite vs 6.5 s
+    // isolated, GC-attributed only 4.8 s — the rest was allocation
+    // stalls against un-reclaimed blocks). Two GCs with a drain gap
+    // bound the inheritance at 3 fixed points instead of taxing the
+    // first measured query of every pass.
+    def settle(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc(); Thread.sleep(1500); System.gc()
+    }
+    settle()
     val pass1 = names.map(n => n -> run(n)).toMap
+    settle()
     val pass2 = names.map(n => n -> run(n)).toMap
+    settle()
     val results = names.map { n =>
       val reps = Seq(pass1(n), pass2(n), run(n)).filter(_ >= 0)
       n -> (if (reps.isEmpty) -1.0 else reps.sorted.apply(reps.size / 2))

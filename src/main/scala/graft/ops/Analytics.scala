@@ -219,7 +219,10 @@ object Analytics {
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // the HAVING-cut key set is sparse by construction (excess
+      // volume is the exception) — broadcast it instead of letting
+      // the planner sort-merge the supplier dimension against it
+      .join(broadcast(bigShippers), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
       .orderBy(col("s_suppkey"))
   }

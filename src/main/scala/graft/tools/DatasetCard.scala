@@ -188,8 +188,9 @@ object DatasetCard {
       .limit(topK)
 
   /** The q201-certified release checklist — the card's verdict row:
-    * five scale-free checks with their values, thresholds, and
-    * pass/fail, straight off the gated operator. */
+    * six scale-free checks (round-13 adds near_dup_share) with their
+    * values, thresholds, and pass/fail, straight off the gated
+    * operator. */
   def releaseGateSummary(docsDf: DataFrame): DataFrame =
     graft.ops.CorpusStats.releaseGateOf(docsDf)
 
