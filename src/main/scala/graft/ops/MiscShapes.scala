@@ -329,6 +329,187 @@ object MiscShapes {
       |  bit_xor((doc_id % 2097152) * 131072 + sr) AS fp_r
       |FROM s GROUP BY 1 ORDER BY cohort""".stripMargin
 
+  /** q214 — REAL GIF pixel decode through the hand-built LZW codec:
+    * payloads are complete GIF89a files whose pixel INDEX is a
+    * planted per-pixel function and whose 256-entry palette derives
+    * the channels from it; the engine must LZW-decompress the real
+    * code stream (9→12-bit growth, clear/EOI, sub-block reassembly)
+    * and map indices through the color table, while the oracle
+    * restates the planted arithmetic. Codec certified both directions
+    * against the JDK's independent ImageIO GIF coder in
+    * MultimodalSpec. Map-only; ≤19 width groups. */
+  def gifPixelMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeGifPixels(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeGifPixels(media).toDF()
+      .groupBy(col("width").cast("long").as("width"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_px")).as("total_px"),
+        sum(col("sum_b")).as("tot_b"),
+        sum(col("sum_g")).as("tot_g"),
+        sum(col("sum_r")).as("tot_r"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_b)").as("fp_b"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_g)").as("fp_g"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_r)").as("fp_r"))
+      .orderBy(col("width"))
+  }
+
+  val gifPixelMeansSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 19 + 4 AS w, doc_id % 13 + 4 AS h
+      |    FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT doc_id, w,
+      |    (doc_id + 11*xs.x + 29*ys.y) % 256 AS i
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 21)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys
+      |  WHERE xs.x < w AND ys.y < h),
+      |s AS (SELECT doc_id, w, count(*) AS npx,
+      |    CAST(sum((5 * i) % 256) AS BIGINT) AS sb,
+      |    CAST(sum((3 * i) % 256) AS BIGINT) AS sg,
+      |    CAST(sum(i) AS BIGINT) AS sr
+      |  FROM px GROUP BY 1, 2)
+      |SELECT w AS width, count(*) AS n,
+      |  CAST(sum(npx) AS BIGINT) AS total_px,
+      |  CAST(sum(sb) AS BIGINT) AS tot_b,
+      |  CAST(sum(sg) AS BIGINT) AS tot_g,
+      |  CAST(sum(sr) AS BIGINT) AS tot_r,
+      |  bit_xor((doc_id % 2097152) * 131072 + sb) AS fp_b,
+      |  bit_xor((doc_id % 2097152) * 131072 + sg) AS fp_g,
+      |  bit_xor((doc_id % 2097152) * 131072 + sr) AS fp_r
+      |FROM s GROUP BY 1 ORDER BY width""".stripMargin
+
+  /** q215 — REAL GIF resize certified at the pixel level: LZW-decode
+    * every planted GIF, nearest-neighbor remap the indices, RE-ENCODE
+    * with the same codec, decode THAT, and gate the recovered channel
+    * sums — a full decode→transform→encode→decode round-trip through
+    * the entropy coder on every row. */
+  def gifResizePixels(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeGifPixels(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeGifPixels(Multimodal.resizeGifNearest(media, 8, 6)).toDF()
+      .groupBy((col("media_id") % 7).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_px")).as("total_px"),
+        sum(col("sum_b")).as("tot_b"),
+        sum(col("sum_g")).as("tot_g"),
+        sum(col("sum_r")).as("tot_r"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_b)").as("fp_b"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_g)").as("fp_g"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_r)").as("fp_r"))
+      .orderBy(col("cohort"))
+  }
+
+  val gifResizePixelsSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 19 + 4 AS w, doc_id % 13 + 4 AS h
+      |    FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT doc_id,
+      |    (doc_id + 11*((xs.x * w) // 8) + 29*((ys.y * h) // 6)) % 256 AS i
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) ys),
+      |s AS (SELECT doc_id, count(*) AS npx,
+      |    CAST(sum((5 * i) % 256) AS BIGINT) AS sb,
+      |    CAST(sum((3 * i) % 256) AS BIGINT) AS sg,
+      |    CAST(sum(i) AS BIGINT) AS sr
+      |  FROM px GROUP BY 1)
+      |SELECT doc_id % 7 AS cohort, count(*) AS n,
+      |  CAST(sum(npx) AS BIGINT) AS total_px,
+      |  CAST(sum(sb) AS BIGINT) AS tot_b,
+      |  CAST(sum(sg) AS BIGINT) AS tot_g,
+      |  CAST(sum(sr) AS BIGINT) AS tot_r,
+      |  bit_xor((doc_id % 2097152) * 131072 + sb) AS fp_b,
+      |  bit_xor((doc_id % 2097152) * 131072 + sg) AS fp_g,
+      |  bit_xor((doc_id % 2097152) * 131072 + sr) AS fp_r
+      |FROM s GROUP BY 1 ORDER BY cohort""".stripMargin
+
+  /** q216 — REAL PNG pixel decode: payloads are complete PNGs (IHDR
+    * with genuine CRC32, zlib-DEFLATE IDAT of filtered scanlines —
+    * the filter type cycles through all five per row, so a decoder
+    * that skimps any filter fails the sums); the engine chunk-walks
+    * with CRC verification, inflates via the JDK zlib, and reverses
+    * the filters in byte arithmetic. Cross-validated per-pixel
+    * against ImageIO's independent PNG codec in MultimodalSpec.
+    * Channel functions are the q207 planted trio. */
+  def pngPixelMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizePngPixels(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodePngPixels(media).toDF()
+      .groupBy(col("width").cast("long").as("width"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_px")).as("total_px"),
+        sum(col("sum_b")).as("tot_b"),
+        sum(col("sum_g")).as("tot_g"),
+        sum(col("sum_r")).as("tot_r"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_b)").as("fp_b"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_g)").as("fp_g"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_r)").as("fp_r"))
+      .orderBy(col("width"))
+  }
+
+  val pngPixelMeansSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 23 + 4 AS w, doc_id % 11 + 4 AS h
+      |    FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT doc_id, w, xs.x, ys.y
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 25)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 13)) AS y) ys
+      |  WHERE xs.x < w AND ys.y < h),
+      |s AS (SELECT doc_id, w, count(*) AS npx,
+      |    CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sb,
+      |    CAST(sum((doc_id*3 + 11*x + 5*y) % 256) AS BIGINT) AS sg,
+      |    CAST(sum((doc_id*5 + 3*x + 17*y) % 256) AS BIGINT) AS sr
+      |  FROM px GROUP BY 1, 2)
+      |SELECT w AS width, count(*) AS n,
+      |  CAST(sum(npx) AS BIGINT) AS total_px,
+      |  CAST(sum(sb) AS BIGINT) AS tot_b,
+      |  CAST(sum(sg) AS BIGINT) AS tot_g,
+      |  CAST(sum(sr) AS BIGINT) AS tot_r,
+      |  bit_xor((doc_id % 2097152) * 131072 + sb) AS fp_b,
+      |  bit_xor((doc_id % 2097152) * 131072 + sg) AS fp_g,
+      |  bit_xor((doc_id % 2097152) * 131072 + sr) AS fp_r
+      |FROM s GROUP BY 1 ORDER BY width""".stripMargin
+
+  /** q217 — REAL PNG resize: inflate→unfilter→nearest-neighbor
+    * remap→re-filter (Sub)→re-deflate a complete PNG, then decode
+    * THAT — the full zlib round-trip on every row. */
+  def pngResizePixels(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizePngPixels(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodePngPixels(Multimodal.resizePngNearest(media, 8, 6)).toDF()
+      .groupBy((col("media_id") % 7).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_px")).as("total_px"),
+        sum(col("sum_b")).as("tot_b"),
+        sum(col("sum_g")).as("tot_g"),
+        sum(col("sum_r")).as("tot_r"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_b)").as("fp_b"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_g)").as("fp_g"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_r)").as("fp_r"))
+      .orderBy(col("cohort"))
+  }
+
+  val pngResizePixelsSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 23 + 4 AS w, doc_id % 11 + 4 AS h
+      |    FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT doc_id, (xs.x * w) // 8 AS sx, (ys.y * h) // 6 AS sy
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) ys),
+      |s AS (SELECT doc_id, count(*) AS npx,
+      |    CAST(sum((doc_id + 7*sx + 13*sy) % 256) AS BIGINT) AS sb,
+      |    CAST(sum((doc_id*3 + 11*sx + 5*sy) % 256) AS BIGINT) AS sg,
+      |    CAST(sum((doc_id*5 + 3*sx + 17*sy) % 256) AS BIGINT) AS sr
+      |  FROM px GROUP BY 1)
+      |SELECT doc_id % 7 AS cohort, count(*) AS n,
+      |  CAST(sum(npx) AS BIGINT) AS total_px,
+      |  CAST(sum(sb) AS BIGINT) AS tot_b,
+      |  CAST(sum(sg) AS BIGINT) AS tot_g,
+      |  CAST(sum(sr) AS BIGINT) AS tot_r,
+      |  bit_xor((doc_id % 2097152) * 131072 + sb) AS fp_b,
+      |  bit_xor((doc_id % 2097152) * 131072 + sg) AS fp_g,
+      |  bit_xor((doc_id % 2097152) * 131072 + sr) AS fp_r
+      |FROM s GROUP BY 1 ORDER BY cohort""".stripMargin
+
   // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
   // dtype-sensitive compare would flag against Spark's int64.
   val mediaDecodeSql: String =
@@ -378,6 +559,10 @@ object MiscShapes {
     "q206_video_formats" -> videoFormats,
     "q207_bmp_pixel_means" -> bmpPixelMeans,
     "q212_bmp_resize_pixels" -> bmpResizePixels,
+    "q214_gif_pixel_means" -> gifPixelMeans,
+    "q215_gif_resize_pixels" -> gifResizePixels,
+    "q216_png_pixel_means" -> pngPixelMeans,
+    "q217_png_resize_pixels" -> pngResizePixels,
     "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
@@ -390,5 +575,9 @@ object MiscShapes {
     "q206_video_formats" -> videoFormatsSql,
     "q207_bmp_pixel_means" -> bmpPixelMeansSql,
     "q212_bmp_resize_pixels" -> bmpResizePixelsSql,
+    "q214_gif_pixel_means" -> gifPixelMeansSql,
+    "q215_gif_resize_pixels" -> gifResizePixelsSql,
+    "q216_png_pixel_means" -> pngPixelMeansSql,
+    "q217_png_resize_pixels" -> pngResizePixelsSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

@@ -191,6 +191,195 @@ class MultimodalSpec extends SparkSpec {
       original.map(_.payload.toSeq).toSet)
   }
 
+  test("LZW: encode∘decode identity across width bumps, dict reset, KwKwK") {
+    def roundTrip(idx: Array[Int], min: Int): Unit = {
+      val got = Multimodal.lzwDecode(Multimodal.lzwEncode(idx, min), min, idx.length)
+      assert(got != null && got.sameElements(idx),
+        s"round-trip failed: n=${idx.length} min=$min")
+    }
+    roundTrip(Array(0), 8)
+    roundTrip(Array(5, 5), 8)                        // single repeat
+    roundTrip(Array.fill(40)(1), 2)                  // KwKwK chain, small alphabet
+    roundTrip(Array.tabulate(353)(i => (i * 37 + 11) % 256), 8)
+    // 20k pseudorandom symbols: crosses the 512/1024/2048 width bumps
+    // AND the 4096 dictionary reset (CLEAR mid-stream)
+    var s = 12345L
+    val big = Array.fill(20000) {
+      s = (s * 6364136223846793005L + 1442695040888963407L)
+      ((s >>> 33) % 256).toInt
+    }
+    roundTrip(big, 8)
+    // truncated stream → null, not garbage
+    val enc = Multimodal.lzwEncode(big, 8)
+    assert(Multimodal.lzwDecode(enc.take(enc.length / 2), 8, big.length) == null)
+  }
+
+  test("LZW format pin: the emitted bit stream IS the GIF code layout") {
+    // Independent bit-writer: codes [CLEAR=256, 5, 5, EOI=257] at 9
+    // bits, LSB-first — hand-derivable from the GIF89a spec. If our
+    // encoder deviated in packing order or code order, this differs.
+    var acc = 0L; var n = 0
+    val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    for (code <- Seq(256, 5, 5, 257)) {
+      acc |= code.toLong << n; n += 9
+      while (n >= 8) { bytes += (acc & 0xff).toByte; acc >>>= 8; n -= 8 }
+    }
+    if (n > 0) bytes += (acc & 0xff).toByte
+    assert(Multimodal.lzwEncode(Array(5, 5), 8).toSeq == bytes.toSeq)
+  }
+
+  test("GIF cross-validation A: our encoder decodes correctly under the JDK's ImageIO") {
+    val id = 77L; val w = (id % 19 + 4).toInt; val h = (id % 13 + 4).toInt
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.gifWithPixels(id, w, h)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = Multimodal.plantedGifIdx(id, x, y)
+      val expect = 0xff000000 | (Multimodal.gifPaletteR(i) << 16) |
+        (Multimodal.gifPaletteG(i) << 8) | Multimodal.gifPaletteB(i)
+      assert(img.getRGB(x, y) == expect, s"pixel ($x,$y)")
+    }
+  }
+
+  test("GIF cross-validation B: ImageIO's encoder decodes correctly under our parser") {
+    val id = 123L; val w = 9; val h = 7
+    val r = new Array[Byte](256); val g = new Array[Byte](256); val b = new Array[Byte](256)
+    for (i <- 0 until 256) {
+      r(i) = Multimodal.gifPaletteR(i).toByte
+      g(i) = Multimodal.gifPaletteG(i).toByte
+      b(i) = Multimodal.gifPaletteB(i).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, Multimodal.plantedGifIdx(id, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val (gw, gh, sb, sg, sr, n) = Multimodal.gifPixelStats(bos.toByteArray)
+    assert((gw, gh, n) == ((w, h, w.toLong * h)))
+    val pts = for (x <- 0 until w; y <- 0 until h) yield Multimodal.plantedGifIdx(id, x, y)
+    assert(sr == pts.map(i => Multimodal.gifPaletteR(i).toLong).sum)
+    assert(sg == pts.map(i => Multimodal.gifPaletteG(i).toLong).sum)
+    assert(sb == pts.map(i => Multimodal.gifPaletteB(i).toLong).sum)
+    // PER-PIXEL: the JDK writer emits INTERLACED streams by default,
+    // so this also pins our 4-pass de-interlace row mapping exactly
+    // (channel sums alone are row-order invariant and would not)
+    val Some((_, _, _, idx)) = Multimodal.parseGif(bos.toByteArray)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(idx(y * w + x) == Multimodal.plantedGifIdx(id, x, y), s"pixel ($x,$y)")
+  }
+
+  test("gifPixelStats: malformed payloads reject with the sentinel") {
+    val good = Multimodal.gifWithPixels(9L, 6, 5)
+    assert(Multimodal.gifPixelStats(good)._1 == 6)
+    assert(Multimodal.gifPixelStats(good.take(40))._1 == -1)   // truncated in GCT
+    assert(Multimodal.gifPixelStats(good.dropRight(8))._1 == -1) // truncated code stream
+    assert(Multimodal.gifPixelStats("GIF89a".getBytes("US-ASCII"))._1 == -1)
+    assert(Multimodal.gifPixelStats(Multimodal.bmpWithPixels(9L, 6, 5))._1 == -1)
+  }
+
+  test("resizeGifNearest: real LZW decode→remap→re-encode round-trip") {
+    val media = Multimodal.synthesizeGifPixels(docs.limit(25))
+    val resized = Multimodal.decodeGifPixels(
+      Multimodal.resizeGifNearest(media, 8, 6)).collect()
+    assert(resized.length == 25)
+    resized.foreach { st =>
+      val id = st.media_id
+      val w = (id % 19 + 4).toInt; val h = (id % 13 + 4).toInt
+      val pts = for (x <- 0 until 8; y <- 0 until 6)
+        yield Multimodal.plantedGifIdx(id, x * w / 8, y * h / 6)
+      assert(st.width == 8 && st.height == 6 && st.n_px == 48L)
+      assert(st.sum_r == pts.map(i => Multimodal.gifPaletteR(i).toLong).sum, s"sum_r of $id")
+      assert(st.sum_g == pts.map(i => Multimodal.gifPaletteG(i).toLong).sum, s"sum_g of $id")
+      assert(st.sum_b == pts.map(i => Multimodal.gifPaletteB(i).toLong).sum, s"sum_b of $id")
+    }
+    // non-GIF payloads pass through untouched
+    val bmp = Multimodal.synthesizeBmpPixels(docs.limit(4))
+    val through = Multimodal.resizeGifNearest(bmp, 8, 6).collect()
+    assert(through.map(_.payload.toSeq).toSet ==
+      bmp.collect().map(_.payload.toSeq).toSet)
+  }
+
+  test("PNG filters: unfilter∘filter identity for all five types, any prior") {
+    val raw = Array.tabulate(30)(i => ((i * 89 + 7) % 256).toByte)
+    val prior = Array.tabulate(30)(i => ((i * 53 + 131) % 256).toByte)
+    for (ft <- 0 to 4) {
+      val filtered = Multimodal.pngFilterRow(ft, raw, prior)
+      val back = filtered.clone()
+      assert(Multimodal.pngUnfilterRow(ft, back, prior), s"filter $ft")
+      assert(back.sameElements(raw), s"filter $ft round-trip")
+    }
+  }
+
+  test("PNG cross-validation A: our encoder (5-filter cycle) decodes under ImageIO") {
+    val id = 56L; val w = (id % 23 + 4).toInt; val h = (id % 11 + 4).toInt
+    assert(h >= 5, "dims must exercise every filter type")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.pngWithPixels(id, w, h)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = 0xff000000 | (Multimodal.plantedR(id, x, y) << 16) |
+        (Multimodal.plantedG(id, x, y) << 8) | Multimodal.plantedB(id, x, y)
+      assert(img.getRGB(x, y) == expect, s"pixel ($x,$y)")
+    }
+  }
+
+  test("PNG cross-validation B: ImageIO's encoder decodes under our parser") {
+    val id = 88L; val w = 11; val h = 6
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (Multimodal.plantedR(id, x, y) << 16) |
+        (Multimodal.plantedG(id, x, y) << 8) | Multimodal.plantedB(id, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val Some((gw, gh, rgb)) = Multimodal.parsePng(bos.toByteArray)
+    assert(gw == w && gh == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      assert((rgb(o) & 0xff) == Multimodal.plantedR(id, x, y), s"R ($x,$y)")
+      assert((rgb(o + 1) & 0xff) == Multimodal.plantedG(id, x, y), s"G ($x,$y)")
+      assert((rgb(o + 2) & 0xff) == Multimodal.plantedB(id, x, y), s"B ($x,$y)")
+    }
+  }
+
+  test("pngPixelStats: CRC and structure rejects") {
+    val good = Multimodal.pngWithPixels(7L, 9, 6)
+    assert(Multimodal.pngPixelStats(good)._1 == 9)
+    // flip one byte INSIDE the IDAT payload: the chunk CRC must catch it
+    val crcBad = good.clone()
+    crcBad(8 + 25 + 12) = (crcBad(8 + 25 + 12) ^ 0x01).toByte
+    assert(Multimodal.pngPixelStats(crcBad)._1 == -1)
+    assert(Multimodal.pngPixelStats(good.dropRight(6))._1 == -1)   // truncated
+    val deep = good.clone(); deep(8 + 8 + 8) = 16                  // 16-bit depth
+    assert(Multimodal.pngPixelStats(deep)._1 == -1)
+    assert(Multimodal.pngPixelStats(Multimodal.gifWithPixels(7L, 9, 6))._1 == -1)
+  }
+
+  test("resizePngNearest: inflate→unfilter→remap→refilter→deflate round-trip") {
+    val media = Multimodal.synthesizePngPixels(docs.limit(25))
+    val resized = Multimodal.decodePngPixels(
+      Multimodal.resizePngNearest(media, 8, 6)).collect()
+    assert(resized.length == 25)
+    resized.foreach { st =>
+      val id = st.media_id
+      val w = (id % 23 + 4).toInt; val h = (id % 11 + 4).toInt
+      val pts = for (x <- 0 until 8; y <- 0 until 6) yield (x * w / 8, y * h / 6)
+      assert(st.width == 8 && st.height == 6 && st.n_px == 48L)
+      assert(st.sum_r == pts.map { case (sx, sy) =>
+        Multimodal.plantedR(id, sx, sy).toLong }.sum, s"sum_r of $id")
+      assert(st.sum_g == pts.map { case (sx, sy) =>
+        Multimodal.plantedG(id, sx, sy).toLong }.sum, s"sum_g of $id")
+      assert(st.sum_b == pts.map { case (sx, sy) =>
+        Multimodal.plantedB(id, sx, sy).toLong }.sum, s"sum_b of $id")
+    }
+    val gif = Multimodal.synthesizeGifPixels(docs.limit(4))
+    val through = Multimodal.resizePngNearest(gif, 8, 6).collect()
+    assert(through.map(_.payload.toSeq).toSet ==
+      gif.collect().map(_.payload.toSeq).toSet)
+  }
+
   test("resizeStub rewrites dims, preserves magic") {
     val resized = Multimodal.resizeStub(Multimodal.synthesize(docs.limit(5)), 32, 24)
     val meta = Multimodal.decodeHeader(resized).collect()
