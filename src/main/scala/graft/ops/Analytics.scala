@@ -286,6 +286,154 @@ object Analytics {
       |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY cntrycode""".stripMargin
 
+  /** q219 — TPC-H Q17-shaped small-quantity revenue: lines of one
+    * brand whose quantity sits under 20% of their part's average.
+    * The correlated per-part average decorrelates into one bounded
+    * aggregate joined back, and the 0.2·avg cut is the exact integer
+    * cross-multiplication qty·5·count < Σqty — no division, no float
+    * boundary. Plan shape: the brand key set broadcasts into the
+    * lineitem scan; the per-part aggregate (bounded by one brand's
+    * parts) broadcasts back; single fact shuffle for the aggregate. */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        cents(col("l_extendedprice")).as("ep"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("c"), sum(col("q")).as("sq"))
+    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("q") * lit(5L) * col("c") < col("sq"))
+      .agg(sum(col("ep")).as("lost_revenue_fx"), count(lit(1)).as("n_lines"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+      |li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ep
+      |  FROM lineitem JOIN bp ON p_partkey = l_partkey),
+      |pa AS (SELECT l_partkey AS pk, count(*) AS c,
+      |    CAST(sum(q) AS BIGINT) AS sq FROM li GROUP BY 1)
+      |SELECT CAST(sum(ep) AS BIGINT) AS lost_revenue_fx,
+      |  count(*) AS n_lines
+      |FROM li JOIN pa ON pk = l_partkey WHERE q * 5 * c < sq""".stripMargin
+
+  /** q220 — TPC-H Q18-shaped large-volume customers: orders whose
+    * total quantity clears a threshold (the HAVING-subquery-IN
+    * shape), joined back to the customer. Deterministic top-100 by
+    * (quantity desc, order key). Plan shape: ONE fact shuffle for the
+    * per-order sum; the surviving big-order keys are sparse and flow
+    * into a key join; the final top-100 is a TakeOrderedAndProject. */
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 220L)
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(big, col("o_orderkey") === col("okey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val largeOrdersSql: String =
+    """WITH big AS (SELECT l_orderkey AS okey,
+      |    CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 220)
+      |SELECT c_name, o_orderkey, total_qty
+      |FROM orders JOIN big ON o_orderkey = okey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** q221 — TPC-H Q21-shaped waiting suppliers: the EXISTS +
+    * NOT-EXISTS double self-correlation. A supplier "kept the order
+    * waiting" when it shipped a finished order's line 200+ days
+    * after the order date, the order involved ANOTHER supplier
+    * (EXISTS → the multi-supplier semi-join), and NO other supplier
+    * in that order was also late (NOT EXISTS → anti-join against the
+    * late set keyed on the same order with a different supplier).
+    * Adapted dates: this lineitem has no receipt/commit columns, so
+    * lateness is l_shipdate > o_orderdate + 200 days. Plan shape:
+    * the late set is one filtered fact projection; both
+    * correlations are key joins on the order key — never a
+    * cartesian. */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 200 DAYS"))
+      .select(col("l_suppkey").as("sk"), col("l_orderkey").as("ok")).distinct()
+    val multi = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("mok"))
+      .agg(countDistinct(col("l_suppkey")).as("nsup"))
+      .filter(col("nsup") > 1L).select(col("mok"))
+    val cand = late.join(multi, col("ok") === col("mok")).drop("mok")
+    val others = late.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    cand
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH late AS (SELECT DISTINCT l_suppkey AS sk, l_orderkey AS ok
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 200 DAY),
+      |multi AS (SELECT l_orderkey AS mok FROM lineitem
+      |  GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late
+      |JOIN multi ON ok = mok
+      |JOIN supplier ON s_suppkey = sk
+      |WHERE NOT EXISTS (SELECT 1 FROM late l2
+      |  WHERE l2.ok = late.ok AND l2.sk <> late.sk)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** q222 — TPC-H Q15-shaped top supplier: revenue per supplier over
+    * one quarter, keep the row(s) EQUAL to the maximum (the
+    * view-plus-scalar-max shape). The 1-row max broadcasts back over
+    * the bounded per-supplier aggregate; exact fixed-point revenue so
+    * the equality can never float-miss. */
+  def topSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .as("total_revenue_fx"))
+    val mx = rev.agg(max(col("total_revenue_fx")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_fx") === col("mx"))
+      .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_fx"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val topSupplierRevenueSql: String =
+    """WITH rev AS (SELECT l_suppkey AS sk,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |      AS total_revenue_fx
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue_fx
+      |FROM rev JOIN supplier ON s_suppkey = sk
+      |WHERE total_revenue_fx = (SELECT max(total_revenue_fx) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Market-basket brand co-occurrence with lift: for every ordered
     * brand pair, in how many orders do both appear, and the lift
     * n_ab·N / (n_a·n_b) as 1e-6 fixed point by exact integer
@@ -1694,6 +1842,10 @@ object Analytics {
     "q209_flag_priority" -> flagPriority,
     "q210_excess_suppliers" -> excessSuppliers,
     "q213_dormant_customers" -> dormantCustomers,
+    "q219_small_qty_revenue" -> smallQtyRevenue,
+    "q220_large_orders" -> largeOrders,
+    "q221_waiting_suppliers" -> waitingSuppliers,
+    "q222_top_supplier" -> topSupplierRevenue,
     "q135_basket_lift" -> basketLift,
     "q136_value_quartiles" -> valueQuartiles,
     "q137_unpivot_events" -> unpivotEvents,
@@ -1735,6 +1887,10 @@ object Analytics {
     "q209_flag_priority" -> flagPrioritySql,
     "q210_excess_suppliers" -> excessSuppliersSql,
     "q213_dormant_customers" -> dormantCustomersSql,
+    "q219_small_qty_revenue" -> smallQtyRevenueSql,
+    "q220_large_orders" -> largeOrdersSql,
+    "q221_waiting_suppliers" -> waitingSuppliersSql,
+    "q222_top_supplier" -> topSupplierRevenueSql,
     "q135_basket_lift" -> basketLiftSql,
     "q136_value_quartiles" -> valueQuartilesSql,
     "q137_unpivot_events" -> unpivotEventsSql,

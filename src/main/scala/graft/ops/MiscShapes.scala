@@ -510,6 +510,53 @@ object MiscShapes {
       |  bit_xor((doc_id % 2097152) * 131072 + sr) AS fp_r
       |FROM s GROUP BY 1 ORDER BY cohort""".stripMargin
 
+  /** q218 — REAL WAV PCM sample truth (the q207 pattern for audio):
+    * payloads carry planted 16-bit signed little-endian interleaved
+    * frames behind the full RIFF chunk layout (LIST interposed, so
+    * fixed-offset readers fail); the engine walks to fmt+data,
+    * sign-extends every sample, and aggregates sum / energy / peak
+    * while the oracle restates the planted waveform arithmetically.
+    * Truncated data chunks, non-PCM tags, and non-16-bit depths
+    * reject (spec). Map-only; 2 channel groups. */
+  def wavSampleMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeWavSamples(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeWavSamples(media).toDF()
+      .groupBy(col("channels").cast("long").as("channels"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_samples")).as("total_frames"),
+        sum(col("sum_s")).as("tot_sum"),
+        sum(col("sum_sq")).as("tot_sq"),
+        max(col("peak")).as("max_peak"),
+        expr("bit_xor((media_id % 2097152) * 1099511627776 + sum_sq)").as("fp_sq"),
+        expr("bit_xor((media_id % 2097152) * 65536 + peak)").as("fp_peak"))
+      .orderBy(col("channels"))
+  }
+
+  val wavSampleMeansSql: String =
+    """WITH d AS (SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch,
+      |    doc_id % 200 + 50 AS nf
+      |  FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT d.doc_id, ch, nf,
+      |    (d.doc_id*7 + 31*xi.i + 17*xc.c) % 65536 - 32768 AS s
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 249)) AS i) xi
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c) xc
+      |  WHERE xi.i < nf AND xc.c < ch),
+      |agg AS (SELECT doc_id, ch, nf,
+      |    CAST(sum(s) AS BIGINT) AS sum_s,
+      |    CAST(sum(s*s) AS BIGINT) AS sum_sq,
+      |    CAST(max(abs(s)) AS BIGINT) AS peak
+      |  FROM px GROUP BY 1, 2, 3)
+      |SELECT CAST(ch AS BIGINT) AS channels, count(*) AS n,
+      |  CAST(sum(nf) AS BIGINT) AS total_frames,
+      |  CAST(sum(sum_s) AS BIGINT) AS tot_sum,
+      |  CAST(sum(sum_sq) AS BIGINT) AS tot_sq,
+      |  max(peak) AS max_peak,
+      |  bit_xor((doc_id % 2097152) * 1099511627776 + sum_sq) AS fp_sq,
+      |  bit_xor((doc_id % 2097152) * 65536 + peak) AS fp_peak
+      |FROM agg GROUP BY 1 ORDER BY channels""".stripMargin
+
   // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
   // dtype-sensitive compare would flag against Spark's int64.
   val mediaDecodeSql: String =
@@ -563,6 +610,7 @@ object MiscShapes {
     "q215_gif_resize_pixels" -> gifResizePixels,
     "q216_png_pixel_means" -> pngPixelMeans,
     "q217_png_resize_pixels" -> pngResizePixels,
+    "q218_wav_sample_means" -> wavSampleMeans,
     "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
@@ -579,5 +627,6 @@ object MiscShapes {
     "q215_gif_resize_pixels" -> gifResizePixelsSql,
     "q216_png_pixel_means" -> pngPixelMeansSql,
     "q217_png_resize_pixels" -> pngResizePixelsSql,
+    "q218_wav_sample_means" -> wavSampleMeansSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

@@ -210,6 +210,106 @@ object Multimodal {
   }
 
   // ----------------------------------------------------------------
+  // Real WAV PCM sample truth (round-13): WAV's "pixel layer" is the
+  // raw 16-bit little-endian PCM frame stream — no entropy coding —
+  // so sample-level truth is a planted waveform recovered by the
+  // RIFF walk plus signed LE16 sample arithmetic.
+  // ----------------------------------------------------------------
+
+  /** Planted PCM sample in [-32768, 32767] for frame i, channel c. */
+  private[ops] def plantedSample(id: Long, i: Int, c: Int): Int =
+    ((id * 7L + i * 31L + c * 17L) % 65536L).toInt - 32768
+
+  /** WAV with REAL planted samples (interleaved frames, LE16), the
+    * same chunk layout as [[wavPayload]] incl. the interposed LIST. */
+  private[ops] def wavWithSamples(id: Long, sampleRate: Int, channels: Int,
+      nSamples: Int): Array[Byte] = {
+    val base = wavPayload(sampleRate, channels, nSamples)
+    // data payload sits at the fixed tail: last nSamples·channels·2 bytes
+    val dataLen = nSamples * channels * 2
+    val off = base.length - dataLen
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) {
+        val s = plantedSample(id, i, c)
+        val o = off + (i * channels + c) * 2
+        base(o) = s.toByte; base(o + 1) = (s >> 8).toByte
+        c += 1
+      }
+      i += 1
+    }
+    base
+  }
+
+  /** Sample-bearing WAV media table (the q218 input). */
+  def synthesizeWavSamples(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "audio", wavWithSamples(id, rates((id % 5).toInt),
+        ((id / 2) % 2 + 1).toInt, (id % 200 + 50).toInt))
+    }
+  }
+
+  case class SampleStats(media_id: Long, sample_rate: Int, channels: Int,
+    n_samples: Long, sum_s: Long, sum_sq: Long, peak: Long)
+
+  /** Walk the RIFF chunks to fmt + data and aggregate the REAL PCM
+    * samples: signed 16-bit little-endian, interleaved channels. The
+    * all-(-1) sentinel on: bad magic, non-PCM format tag, bit depth
+    * ≠ 16, or a data chunk shorter than its declared length (the
+    * truncated-frame case). */
+  private[ops] def wavSampleStats(p: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val none = (-1, -1, -1L, -1L, -1L, -1L)
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+      none
+    else {
+      var i = 12
+      var sr = -1; var ch = -1; var bits = -1; var fmtTag = -1
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= p.length && (sr < 0 || dataOff < 0)) {
+        val size = rLe32(p, i + 4)
+        val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' '
+        val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a'
+        if (isFmt && i + 8 + 16 <= p.length) {
+          fmtTag = rLe16(p, i + 8)
+          ch = rLe16(p, i + 10)
+          sr = rLe32(p, i + 12)
+          bits = rLe16(p, i + 22)
+        } else if (isData) { dataOff = i + 8; dataLen = size }
+        i += 8 + size + (size & 1)
+      }
+      if (sr <= 0 || ch <= 0 || fmtTag != 1 || bits != 16 || dataOff < 0 ||
+          dataOff + dataLen > p.length || dataLen % (ch * 2) != 0) none
+      else {
+        var sum = 0L; var sq = 0L; var peak = 0L
+        var o = dataOff
+        val end = dataOff + dataLen
+        while (o < end) {
+          val s = (rLe16(p, o) << 16) >> 16 // sign-extend
+          sum += s; sq += s.toLong * s
+          val a = math.abs(s.toLong); if (a > peak) peak = a
+          o += 2
+        }
+        (sr, ch, dataLen.toLong / (ch * 2), sum, sq, peak)
+      }
+    }
+  }
+
+  /** WAV sample-level decode — map-only, the q207 shape for audio. */
+  def decodeWavSamples(media: Dataset[MediaRow]): Dataset[SampleStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (sr, ch, n, sum, sq, peak) = wavSampleStats(r.payload)
+        SampleStats(r.media_id, sr, ch, n, sum, sq, peak)
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
   // Real video (ISO BMFF / MP4) headers (synthesis side)
   // ----------------------------------------------------------------
 

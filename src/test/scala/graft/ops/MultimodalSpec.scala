@@ -380,6 +380,25 @@ class MultimodalSpec extends SparkSpec {
       gif.collect().map(_.payload.toSeq).toSet)
   }
 
+  test("wavSampleStats: planted PCM recovered through the RIFF walk; rejects") {
+    // id·7 % 65536 = 32697 — the planted run straddles the sign flip
+    val id = 4671L; val sr = 22050; val ch = 2; val nf = 7
+    val p = Multimodal.wavWithSamples(id, sr, ch, nf)
+    val samples = for (i <- 0 until nf; c <- 0 until ch)
+      yield Multimodal.plantedSample(id, i, c).toLong
+    val got = Multimodal.wavSampleStats(p)
+    assert(got == ((sr, ch, nf.toLong, samples.sum,
+      samples.map(s => s * s).sum, samples.map(math.abs).max)))
+    // negative samples must sign-extend (planted fn spans both signs)
+    assert(samples.exists(_ < 0) && samples.exists(_ > 0))
+    // truncated data chunk: declared length no longer fits → reject
+    assert(Multimodal.wavSampleStats(p.dropRight(3))._1 == -1)
+    // 8-bit depth and non-PCM format tag reject
+    val d8 = p.clone(); d8(34) = 8; assert(Multimodal.wavSampleStats(d8)._1 == -1)
+    val alaw = p.clone(); alaw(20) = 6; assert(Multimodal.wavSampleStats(alaw)._1 == -1)
+    assert(Multimodal.wavSampleStats("RIFFxxxx".getBytes("US-ASCII"))._1 == -1)
+  }
+
   test("resizeStub rewrites dims, preserves magic") {
     val resized = Multimodal.resizeStub(Multimodal.synthesize(docs.limit(5)), 32, 24)
     val meta = Multimodal.decodeHeader(resized).collect()
