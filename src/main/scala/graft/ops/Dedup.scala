@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -285,6 +285,33 @@ object Dedup {
       .filter(col("containment_fx") >= tFx)
       .select(col("id_sub"), col("id_sup"), col("containment_fx"))
   }
+
+  /** Corpus-proportional df cap (round-14, VERDICT r13 item 3): a
+    * FIXED `maxDf` knob degenerates as the corpus grows — the
+    * round-13 probe measured a fixed cap keeping 0 surviving pairs at
+    * 4× replication while a corpus-proportional one kept 5,280/13,802
+    * (docs/CONTAINMENT_PROBE_r13.jsonl). "Hot" is relative to corpus
+    * size: boilerplate shared by a fixed FRACTION of documents has df
+    * growing linearly with the corpus, so the cap must too. Computed
+    * from one cheap distinct-id count; fixed-point arithmetic (ceil
+    * via integer div) so Spark and any SQL oracle agree exactly —
+    * `ceil(0.02 * 600)` through doubles is 13, not 12. */
+  def containmentDfCap(shingleSets: DataFrame, dfFrac: Double): Long = {
+    require(dfFrac > 0.0 && dfFrac <= 1.0, "dfFrac must be in (0, 1]")
+    val fx = math.round(dfFrac * 1e6)
+    val n = shingleSets.select(col("id")).distinct().count()
+    math.max(1L, (n * fx + 999999L) / 1000000L)
+  }
+
+  /** [[prefixFilterContainmentCapped]] with the cap DERIVED as a
+    * fraction of corpus size — the production DEFAULT form. The fixed
+    * `maxDf` overload remains for callers that manage their own cap
+    * (e.g. a standing index built under a known budget). Default
+    * fraction 0.16 = the round-12/13 probe's 64-of-400 baseline. */
+  def prefixFilterContainmentByFrac(shingleSets: DataFrame,
+      minContainment: Double, dfFrac: Double = 0.16): DataFrame =
+    prefixFilterContainmentCapped(shingleSets, minContainment,
+      containmentDfCap(shingleSets, dfFrac))
 
   /** MinHash signatures: numHashes md5-string minima per doc.
     * (Portable stand-in for the usual (a·x+b) mod p permutations —
@@ -689,10 +716,6 @@ object Dedup {
     * Tungsten hashes them several times faster than 32-char strings. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, maxHamming: Int = 1): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "multi-index over 4 bands needs maxHamming in [0, 3]")
-    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, at most 64")
-    val bandBits = bits / 4
     val sh = simhashBits(docs, idCol, textCol, bits)
     // conv returns a DECIMAL STRING; above 63 bits it exceeds the
     // signed-long cast range, so wide fingerprints parse as two 32-bit
@@ -702,7 +725,19 @@ object Dedup {
       if (bits <= 32) conv(col("simhash"), 2, 10).cast("long")
       else shiftleft(conv(substring(col("simhash"), 1, bits - 32), 2, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(col("simhash"), bits - 31, 32), 2, 10).cast("long"))
-    val shl = sh.select(col("id"), hlCol.as("hl"))
+    hammingNearDupsPacked(sh.select(col("id"), hlCol.as("hl")), bits, maxHamming)
+  }
+
+  /** The multi-index Hamming pairing itself, over ANY packed-long
+    * fingerprint table (id, hl) — the fingerprint source is
+    * pluggable: text SimHash above, perceptual image dHash
+    * ([[imageNearDups]]). Semantics and plan shape exactly as
+    * documented on [[simhashNearDups]]. */
+  def hammingNearDupsPacked(shl: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "multi-index over 4 bands needs maxHamming in [0, 3]")
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, at most 64")
+    val bandBits = bits / 4
     // One key per size-maxHamming subset of bands (max(m,1): m=0 still
     // needs one full-fingerprint key): key = hl with the subset's
     // bands masked to zero, tagged by the subset's index.
@@ -740,6 +775,20 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
   }
+
+  /** Perceptual image near-dup pairs (round-14, VERDICT r13 item 5):
+    * 64-bit dHash over DECODED pixels (any of the four real codecs —
+    * BMP/GIF/PNG/JPEG) through the identical multi-index banded
+    * Hamming machinery as text SimHash. This is the operator that
+    * catches what exact dedup structurally cannot: the same image
+    * re-encoded in another format or nearest-resized shares not one
+    * payload byte with its original, but hashes within `maxHamming`.
+    * Scale shape is [[simhashNearDups]]'s: fingerprints are one long
+    * per image (the image BYTES never shuffle — decode is map-side),
+    * candidates are bucket-bounded, output pays the one distinct. */
+  def imageNearDups(media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDupsPacked(Multimodal.imageDHashes(media), 64, maxHamming)
 
   /** Scale-path SimHash near-dups: 64-bit fingerprints in 4×16-bit
     * bands — 2^16 band keyspace instead of the 32-bit form's 2^8, so
@@ -1004,18 +1053,27 @@ object Dedup {
       baseIndex: Option[DataFrame] = None): DataFrame = {
     // Delta-side shingle arrays and bands each feed ≥2 consumers —
     // persist both, release via materializeAndFree on the way out.
+    // DISK_ONLY (round-14, mirroring the q69 recipe fix): the shingle
+    // arrays are a full text-sized copy of the delta, and with a
+    // derived base index THREE such frames are simultaneously live —
+    // on heap that was 10× GC amplification in a long-lived JVM
+    // (q70's 36 s driver vs 3.3 s local signature); on disk they cost
+    // one serialized write each and the heap stays for shuffles.
     // Keyed bands: the extra skey column rides along unused through the
     // index join (which selects b/key/id) and gives the within-delta
     // capped candidate path sorted-neighborhood semantics.
-    val dSets = docShingleArrays(wordBigrams(delta, idCol, textCol)).persist()
-    val dBands = lshBandsFromArraysKeyed(dSets, numHashes, bandSize).persist()
+    val dSets = docShingleArrays(wordBigrams(delta, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val dBands = lshBandsFromArraysKeyed(dSets, numHashes, bandSize)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // With a PROVIDED index (production), the base corpus is scanned
     // only for verification, pruned to candidate ids. Without one
     // (the gate form), shingle the base ONCE and derive both the
     // index and the verification sets from the persisted arrays —
     // re-shingling for verification doubled this operator's cost.
     val derivedBSets = if (baseIndex.isEmpty)
-      Some(docShingleArrays(wordBigrams(base, idCol, textCol)).persist())
+      Some(docShingleArrays(wordBigrams(base, idCol, textCol))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     else None
     val bIdx = baseIndex.getOrElse(
       lshBandsFromArrays(derivedBSets.get, numHashes, bandSize))

@@ -91,6 +91,40 @@ object DedupShapes {
        |WHERE (inter * 1000000) // sa.sz >= 500000
        |ORDER BY id_sub, id_sup""".stripMargin
 
+  /** q226 — the containment join under the CORPUS-PROPORTIONAL cap
+    * (round-14, VERDICT r13 item 3: the production DEFAULT — a fixed
+    * `maxDf` kept 0 pairs at 4× replication in the round-13 probe
+    * while a fraction-of-corpus cap kept 5,280). dfFrac = 0.079 is
+    * measured to BIND at both gate scales while keeping survivors
+    * (sf0.01: cap 40 over 500 sampled docs — 18 shingles dropped, 51
+    * pairs; sf0.1: cap 79 over 1000 — 1 shingle dropped, 23 pairs;
+    * fractions below ~0.08 start killing the sf0.01 pairs, above
+    * stop binding at sf0.1 where max df = 80), and the oracle
+    * RESTATES the cap derivation itself:
+    * `(count(DISTINCT id) * 79000 + 999999) // 1000000` —
+    * fixed-point ceil on both engines, because double `ceil` is off
+    * by one at exact multiples (`ceil(0.02·600)` = 13 through
+    * doubles, not 12). */
+  def containmentPairsFrac(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterContainmentByFrac(
+        Dedup.wordBigrams(docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text"),
+        0.5, 0.079)
+      .orderBy(col("id_sub"), col("id_sup"))
+
+  val containmentPairsFracSql: String =
+    s"""WITH ${shingleSql("WHERE doc_id < 1000")},
+       |cap AS (SELECT greatest(1, (count(DISTINCT id) * 79000 + 999999) // 1000000) AS max_df FROM sh),
+       |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |kept AS (SELECT s.id, s.sh FROM sh s JOIN dfreq d ON d.sh = s.sh
+       |  WHERE d.df <= (SELECT max_df FROM cap)),
+       |inter AS (SELECT a.id AS id_sub, b.id AS id_sup, count(*) AS inter
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.id != b.id GROUP BY 1, 2)
+       |SELECT id_sub, id_sup,
+       |  CAST((inter * 1000000) // sa.sz AS BIGINT) AS containment_fx
+       |FROM inter JOIN sz sa ON sa.id = id_sub
+       |WHERE (inter * 1000000) // sa.sz >= 500000
+       |ORDER BY id_sub, id_sup""".stripMargin
+
   /** MinHash+LSH candidates verified by exact Jaccard — the certified
     * shingle→minhash→band→bucket-join pipeline (8 hashes, 4 bands). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -618,6 +652,7 @@ object DedupShapes {
     "q122_prefix_jaccard" -> prefixJaccard,
     "q202_containment_pairs" -> containmentPairs,
     "q211_containment_capped" -> containmentPairsCapped,
+    "q226_containment_frac" -> containmentPairsFrac,
     "q31_minhash_lsh" -> minhashLsh,
     "q32_simhash_buckets" -> simhashBuckets,
     "q44_simhash_neardups" -> simhashNearDups,
@@ -636,6 +671,7 @@ object DedupShapes {
     "q122_prefix_jaccard" -> jaccardPairsSql,
     "q202_containment_pairs" -> containmentPairsSql,
     "q211_containment_capped" -> containmentPairsCappedSql,
+    "q226_containment_frac" -> containmentPairsFracSql,
     "q31_minhash_lsh" -> minhashLshSql,
     "q32_simhash_buckets" -> simhashBucketsSql,
     "q44_simhash_neardups" -> simhashNearDupsSql,

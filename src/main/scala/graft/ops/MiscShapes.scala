@@ -557,6 +557,172 @@ object MiscShapes {
       |  bit_xor((doc_id % 2097152) * 65536 + peak) AS fp_peak
       |FROM agg GROUP BY 1 ORDER BY channels""".stripMargin
 
+  /** q225 — REAL FLAC sample truth (round-14, VERDICT r13 item 6 —
+    * q218's pattern for the compressed-audio container): payloads are
+    * complete FLACs whose frames carry a planted CONSTANT subframe
+    * (16 samples per channel of one planted value) and a planted
+    * VERBATIM waveform; the engine walks the bit-packed frame
+    * headers, verifies CRC-8 and CRC-16, decodes both subframe
+    * types, and aggregates sum / energy / peak while the oracle
+    * restates the waveform arithmetically (the constant frame as a
+    * weight-16 contribution). Map-only; 2 channel groups. */
+  def flacSampleMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeFlacSamples(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeFlacSamples(media).toDF()
+      .groupBy(col("channels").cast("long").as("channels"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_samples")).as("total_frames"),
+        sum(col("sum_s")).as("tot_sum"),
+        sum(col("sum_sq")).as("tot_sq"),
+        max(col("peak")).as("max_peak"),
+        expr("bit_xor((media_id % 2097152) * 1099511627776 + sum_sq)").as("fp_sq"),
+        expr("bit_xor((media_id % 2097152) * 65536 + peak)").as("fp_peak"))
+      .orderBy(col("channels"))
+  }
+
+  val flacSampleMeansSql: String =
+    """WITH d AS (SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch,
+      |    doc_id % 100 + 20 AS nv
+      |  FROM documents WHERE doc_id < 4000),
+      |con AS (SELECT doc_id, ch, 16 AS w,
+      |    (doc_id*11 + 23*xc.c) % 65536 - 32768 AS s
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c) xc
+      |  WHERE xc.c < ch),
+      |verb AS (SELECT doc_id, ch, 1 AS w,
+      |    (doc_id*7 + 31*xi.i + 17*xc.c) % 65536 - 32768 AS s
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 118)) AS i) xi
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c) xc
+      |  WHERE xi.i < nv AND xc.c < ch),
+      |samples AS (SELECT * FROM con UNION ALL SELECT * FROM verb),
+      |agg AS (SELECT s.doc_id, s.ch, d.nv,
+      |    CAST(sum(w*s.s) AS BIGINT) AS sum_s,
+      |    CAST(sum(w*s.s*s.s) AS BIGINT) AS sum_sq,
+      |    CAST(max(abs(s.s)) AS BIGINT) AS peak
+      |  FROM samples s JOIN d ON d.doc_id = s.doc_id GROUP BY 1, 2, 3)
+      |SELECT CAST(ch AS BIGINT) AS channels, count(*) AS n,
+      |  CAST(sum(16 + nv) AS BIGINT) AS total_frames,
+      |  CAST(sum(sum_s) AS BIGINT) AS tot_sum,
+      |  CAST(sum(sum_sq) AS BIGINT) AS tot_sq,
+      |  max(peak) AS max_peak,
+      |  bit_xor((doc_id % 2097152) * 1099511627776 + sum_sq) AS fp_sq,
+      |  bit_xor((doc_id % 2097152) * 65536 + peak) AS fp_peak
+      |FROM agg GROUP BY 1 ORDER BY channels""".stripMargin
+
+  /** q223 — REAL JPEG truth (round-14, VERDICT r13 item 4 — the last
+    * codec): payloads are complete baseline JFIFs whose QUANTIZED
+    * coefficients are planted per-block functions. JPEG is lossy at
+    * the DCT step but its entropy layer is not, so the engine decodes
+    * the real Huffman/RLE/DC-differential stream and recovers the
+    * planted values EXACTLY, and the oracle restates them
+    * arithmetically (no IDCT in the gate — pixel truth is pinned in
+    * MultimodalSpec by DC-exactness, an IDCT reference, and ImageIO
+    * cross-validation both directions). Three statistics: ΣDC (the
+    * prediction chain), Σ(b+1)·DC (block order), Σ k·AC (zigzag
+    * placement). Map-only; 13 width groups. */
+  def jpegCoefMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeJpegPixels(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeJpegCoefs(media).toDF()
+      .groupBy(col("width").cast("long").as("width"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_blocks")).as("nb_total"),
+        sum(col("sum_dc")).as("tot_dc"),
+        sum(col("bw_dc")).as("tot_bw_dc"),
+        sum(col("wsum_ac")).as("tot_wac"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_dc)").as("fp_dc"),
+        expr("bit_xor((media_id % 2097152) * 131072 + wsum_ac)").as("fp_ac"))
+      .orderBy(col("width"))
+  }
+
+  val jpegCoefMeansSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 13 + 9 AS w, doc_id % 11 + 6 AS h
+      |    FROM documents WHERE doc_id < 4000),
+      |blk AS (SELECT doc_id, w, bs.b AS b
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) bs
+      |  WHERE bs.b < ((w+7)//8) * ((h+7)//8)),
+      |c AS (SELECT doc_id, w, b,
+      |    (doc_id + 17*b) % 101 - 50 AS dc,
+      |    ((doc_id*3 + 7*b) % 19 - 9) * 5 + ((doc_id + 13*b) % 7 - 3) * 29
+      |      + ((doc_id + b) % 5 - 2) * 63 AS wac
+      |  FROM blk),
+      |s AS (SELECT doc_id, w, count(*) AS nb,
+      |    CAST(sum(dc) AS BIGINT) AS sdc,
+      |    CAST(sum((b+1)*dc) AS BIGINT) AS bdc,
+      |    CAST(sum(wac) AS BIGINT) AS swac
+      |  FROM c GROUP BY 1, 2)
+      |SELECT w AS width, count(*) AS n,
+      |  CAST(sum(nb) AS BIGINT) AS nb_total,
+      |  CAST(sum(sdc) AS BIGINT) AS tot_dc,
+      |  CAST(sum(bdc) AS BIGINT) AS tot_bw_dc,
+      |  CAST(sum(swac) AS BIGINT) AS tot_wac,
+      |  bit_xor((doc_id % 2097152) * 131072 + sdc) AS fp_dc,
+      |  bit_xor((doc_id % 2097152) * 131072 + swac) AS fp_ac
+      |FROM s GROUP BY 1 ORDER BY width""".stripMargin
+
+  /** q224 — perceptual image NEAR-dup dedup (round-14, VERDICT r13
+    * item 5): four payloads per doc share planted pixel content — BMP
+    * original, the SAME pixels as PNG (byte-disjoint re-encode),
+    * the original through the REAL resizeBmpNearest (2× — the
+    * nearest index maps compose exactly), and a one-sample-inverted
+    * near-dup twin. The engine decodes each through its real codec,
+    * dHashes the pixels, and runs the multi-index banded Hamming
+    * search; the oracle restates the ENTIRE construction — sample
+    * grid, luma, comparison bits, band join, Hamming filter —
+    * arithmetically from the planted functions. Format/resize
+    * duplicates land at Hamming 0, perturbed twins at 0–4 (≤ 3
+    * searchable, identically on both engines by the same pigeonhole
+    * keys). Grouped by variant pair. */
+  def imageNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.synthesizePerceptualCorpus(
+      docs(s, dir).filter(col("doc_id") < 2000))
+    Dedup.imageNearDups(corpus, maxHamming = 3)
+      .groupBy((col("id_a") % 4).as("va"), (col("id_b") % 4).as("vb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hamming")).as("tot_hamming"),
+        expr("bit_xor((id_a % 2097152) * 8192 + (id_b % 1024) * 8 + hamming)").as("fp"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val imageNearDupPairsSql: String =
+    """WITH d AS (SELECT doc_id AS id, doc_id % 21 + 4 AS w, doc_id % 17 + 4 AS h
+      |    FROM documents WHERE doc_id < 2000),
+      |samp AS (SELECT id, w, h, vs.v, xs.x, ys.y,
+      |    CASE WHEN vs.v = 2 THEN (2*xs.x*w) // 18 ELSE (xs.x*w) // 9 END AS sx,
+      |    CASE WHEN vs.v = 2 THEN (2*ys.y*h) // 16 ELSE (ys.y*h) // 8 END AS sy
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS v) vs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys),
+      |gray AS (SELECT id, v, x, y,
+      |    CASE WHEN v = 3 AND sx = (4*w) // 9 AND sy = (3*h) // 8 THEN
+      |      (299*(255 - (id*5 + 3*sx + 17*sy) % 256)
+      |       + 587*(255 - (id*3 + 11*sx + 5*sy) % 256)
+      |       + 114*(255 - (id + 7*sx + 13*sy) % 256)) // 1000
+      |    ELSE
+      |      (299*((id*5 + 3*sx + 17*sy) % 256)
+      |       + 587*((id*3 + 11*sx + 5*sy) % 256)
+      |       + 114*((id + 7*sx + 13*sy) % 256)) // 1000 END AS g
+      |  FROM samp),
+      |bits AS (SELECT a.id, a.v, a.y*8 + a.x AS pos,
+      |    CASE WHEN b.g > a.g THEN '1' ELSE '0' END AS bit
+      |  FROM gray a JOIN gray b ON b.id = a.id AND b.v = a.v
+      |    AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hash AS (SELECT id*4 + v AS mid, string_agg(bit, '' ORDER BY pos) AS hs
+      |  FROM bits GROUP BY id, v),
+      |band AS (SELECT mid, hs, bs.b, substr(hs, bs.b*16 + 1, 16) AS key
+      |  FROM hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+      |cand AS (SELECT DISTINCT a.mid AS id_a, b.mid AS id_b,
+      |    CAST(hamming(a.hs, b.hs) AS BIGINT) AS hamming
+      |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.mid < b.mid
+      |  WHERE hamming(a.hs, b.hs) <= 3)
+      |SELECT id_a % 4 AS va, id_b % 4 AS vb, count(*) AS n_pairs,
+      |  CAST(sum(hamming) AS BIGINT) AS tot_hamming,
+      |  bit_xor((id_a % 2097152) * 8192 + (id_b % 1024) * 8 + hamming) AS fp
+      |FROM cand GROUP BY 1, 2 ORDER BY va, vb""".stripMargin
+
   // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
   // dtype-sensitive compare would flag against Spark's int64.
   val mediaDecodeSql: String =
@@ -611,6 +777,9 @@ object MiscShapes {
     "q216_png_pixel_means" -> pngPixelMeans,
     "q217_png_resize_pixels" -> pngResizePixels,
     "q218_wav_sample_means" -> wavSampleMeans,
+    "q223_jpeg_coef_means" -> jpegCoefMeans,
+    "q224_image_near_dups" -> imageNearDupPairs,
+    "q225_flac_sample_means" -> flacSampleMeans,
     "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
@@ -628,5 +797,8 @@ object MiscShapes {
     "q216_png_pixel_means" -> pngPixelMeansSql,
     "q217_png_resize_pixels" -> pngResizePixelsSql,
     "q218_wav_sample_means" -> wavSampleMeansSql,
+    "q223_jpeg_coef_means" -> jpegCoefMeansSql,
+    "q224_image_near_dups" -> imageNearDupPairsSql,
+    "q225_flac_sample_means" -> flacSampleMeansSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

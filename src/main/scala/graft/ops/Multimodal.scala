@@ -18,15 +18,17 @@ import org.apache.spark.sql.functions._
   * BMFF (MP4) box walk to mvhd/tkhd. Pure byte arithmetic throughout,
   * no codec dependency.
   * PIXEL-level decode and a real nearest-neighbor resize are
-  * implemented for three image formats (round-13): BMP (raw 24bpp
-  * array walk — stride, padding, row order), GIF (a hand-built
-  * GIF-variant LZW codec in BOTH directions plus 4-pass
-  * de-interlacing), and PNG (CRC-verified chunk walk, zlib via the
-  * JDK's public java.util.zip, all five filter types both
-  * directions). The GIF and PNG codecs are cross-validated per-pixel
+  * implemented for all four image formats: BMP (raw 24bpp array walk
+  * — stride, padding, row order), GIF (a hand-built GIF-variant LZW
+  * codec in BOTH directions plus 4-pass de-interlacing), PNG
+  * (CRC-verified chunk walk, zlib via the JDK's public
+  * java.util.zip, all five filter types both directions), and — as
+  * of round-14, retiring the last simulation point — baseline
+  * grayscale JPEG (canonical Huffman + zigzag RLE + DC prediction +
+  * RSTn restarts both directions, separable double-precision
+  * IDCT/FDCT). The GIF/PNG/JPEG codecs are cross-validated per-pixel
   * against the JDK's independent ImageIO coders in both directions.
-  * `resizeStub` remains the clearly-marked simulation point for JPEG
-  * only (DCT entropy coding). Everything else — schema, typed
+  * Everything else — schema, typed
   * Dataset batching via mapPartitions (the Scala analogue of
   * mapInPandas batch processing), partition-preserving feature
   * extraction, downstream reuse of features in the Similarity ops —
@@ -271,6 +273,10 @@ object Multimodal {
       var dataOff = -1; var dataLen = -1
       while (i + 8 <= p.length && (sr < 0 || dataOff < 0)) {
         val size = rLe32(p, i + 4)
+        // A corrupt chunk size with the top bit set reads negative here;
+        // advancing by it would step backward (or not at all) and spin the
+        // executor forever. Corrupt payload → sentinel, not a hang.
+        if (size < 0) return none
         val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' '
         val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a'
         if (isFmt && i + 8 + 16 <= p.length) {
@@ -294,6 +300,256 @@ object Multimodal {
           o += 2
         }
         (sr, ch, dataLen.toLong / (ch * 2), sum, sq, peak)
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Real FLAC sample truth (round-14, VERDICT r13 item 6 — extending
+  // q218's WAV pattern to the compressed-audio container): FLAC
+  // frames with CONSTANT and VERBATIM subframes, both directions, in
+  // pure bit arithmetic — 14-bit sync walk, bit-packed frame header
+  // (block-size/rate/channel/sample-size codes, UTF-8-coded frame
+  // number), CRC-8-verified headers (poly 0x07) and CRC-16-verified
+  // frames (poly 0x8005) — a single flipped byte anywhere rejects.
+  // Not a full codec by design: LPC/fixed-prediction subframes and
+  // Rice residuals return the sentinel (the honest boundary, like
+  // progressive JPEG).
+  // ----------------------------------------------------------------
+
+  private[ops] def flacCrc8(data: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0; var i = from
+    while (i < until) {
+      crc ^= data(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[ops] def flacCrc16(data: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0; var i = from
+    while (i < until) {
+      crc ^= (data(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private final class MsbBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var n = 0
+    def put(v: Long, len: Int): Unit = {
+      acc = (acc << len) | (v & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        out.write(((acc >>> (n - 8)) & 0xff).toInt)
+        n -= 8; acc &= (1L << n) - 1
+      }
+    }
+    def flushZero(): Unit = if (n > 0) put(0L, 8 - n)
+  }
+
+  private final class MsbBitReader(p: Array[Byte], var pos: Int) {
+    private var acc = 0L; private var n = 0
+    var ok = true
+    def bits(k: Int): Long = {
+      while (n < k) {
+        if (pos >= p.length) { ok = false; return 0L }
+        acc = (acc << 8) | (p(pos) & 0xffL); n += 8; pos += 1
+      }
+      val v = (acc >>> (n - k)) & ((1L << k) - 1)
+      n -= k; acc &= (1L << n) - 1
+      v
+    }
+    def alignOk(): Boolean = { val r = n == 0 || (acc == 0L); n = 0; acc = 0L; r }
+  }
+
+  /** One FLAC frame: header (block size code 7 → explicit 16-bit,
+    * rate from STREAMINFO, independent channels, 16-bit samples,
+    * UTF-8 frame number, CRC-8) + one subframe per channel (CONSTANT
+    * = the channel's single value, VERBATIM = the channel's literal
+    * samples) + CRC-16. */
+  private[ops] def flacFrame(frameNo: Int, samplesPerChannel: Array[Array[Int]],
+      constant: Boolean): Array[Byte] = {
+    val n = samplesPerChannel(0).length
+    val ch = samplesPerChannel.length
+    val hdr = new Array[Byte](7)
+    hdr(0) = 0xff.toByte; hdr(1) = 0xf8.toByte
+    hdr(2) = 0x70 // block size code 7 (16-bit follows), rate code 0 (STREAMINFO)
+    hdr(3) = (((ch - 1) << 4) | (4 << 1)).toByte // independent, bps code 4 = 16-bit
+    hdr(4) = frameNo.toByte // UTF-8 single byte (frameNo < 128)
+    hdr(5) = ((n - 1) >> 8).toByte; hdr(6) = (n - 1).toByte
+    val out = new java.io.ByteArrayOutputStream(n * ch * 2 + 16)
+    out.write(hdr, 0, 7)
+    out.write(flacCrc8(hdr, 0, 7))
+    val bw = new MsbBitWriter(out)
+    var c = 0
+    while (c < ch) {
+      if (constant) {
+        bw.put(0x00, 8) // pad 0, type 000000 = CONSTANT, wasted 0
+        bw.put(samplesPerChannel(c)(0).toLong, 16)
+      } else {
+        bw.put(0x02, 8) // pad 0, type 000001 = VERBATIM, wasted 0
+        var i = 0
+        while (i < n) { bw.put(samplesPerChannel(c)(i).toLong, 16); i += 1 }
+      }
+      c += 1
+    }
+    bw.flushZero()
+    val body = out.toByteArray
+    val crc = flacCrc16(body, 0, body.length)
+    body ++ Array[Byte]((crc >> 8).toByte, crc.toByte)
+  }
+
+  // Planted FLAC waveforms (the q225 gate restates these):
+  private[ops] def flacConstVal(id: Long, c: Int): Int =
+    ((id * 11 + 23L * c) % 65536).toInt - 32768
+  private[ops] def flacVerbVal(id: Long, c: Int, i: Int): Int =
+    ((id * 7 + 31L * i + 17L * c) % 65536).toInt - 32768
+
+  /** A complete REAL FLAC: STREAMINFO + a CONSTANT frame (16 samples
+    * per channel, one planted value each) + a VERBATIM frame (a
+    * planted per-sample waveform). Rates/channels cycle like the WAV
+    * corpus. */
+  private[ops] def flacWithSamples(id: Long): Array[Byte] = {
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val sr = rates((id % 5).toInt)
+    val ch = ((id / 2) % 2 + 1).toInt
+    val nv = (id % 100 + 20).toInt
+    val const = Array.tabulate(ch, 16)((c, _) => flacConstVal(id, c))
+    val verb = Array.tabulate(ch, nv)((c, i) => flacVerbVal(id, c, i))
+    flacHeader(sr, ch, 16, (16 + nv).toLong) ++
+      flacFrame(0, const, constant = true) ++
+      flacFrame(1, verb, constant = false)
+  }
+
+  def synthesizeFlacSamples(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "audio", flacWithSamples(id))
+    }
+  }
+
+  /** Decode a constant/verbatim FLAC back to sample statistics:
+    * (sample_rate, channels, per-channel sample count, Σs, Σs²,
+    * peak), or the all-(-1) sentinel on bad magic, non-16-bit
+    * streams, unsupported subframe types, CRC-8/CRC-16 mismatches,
+    * truncation, or a frame-total that contradicts STREAMINFO. */
+  private[ops] def flacSampleStats(p: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val none = (-1, -1, -1L, -1L, -1L, -1L)
+    if (p.length < 42 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C')
+      return none
+    // metadata walk to the end (the sniffAudio structure), pulling
+    // STREAMINFO's bit-packed fields
+    var i = 4
+    var sr = -1; var ch = -1; var bps = -1; var total = -1L
+    var last = false
+    while (!last && i + 4 <= p.length) {
+      val flag = u8(p(i)); val typ = flag & 0x7f
+      last = (flag & 0x80) != 0
+      val len = (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+      if (typ == 0 && len >= 34 && i + 4 + len <= p.length) {
+        var packed = 0L
+        var k = 0
+        while (k < 8) { packed = (packed << 8) | u8(p(i + 4 + 10 + k)); k += 1 }
+        sr = (packed >>> 44).toInt
+        ch = ((packed >>> 41) & 0x7).toInt + 1
+        bps = ((packed >>> 36) & 0x1f).toInt + 1
+        total = packed & 0xfffffffffL
+      }
+      i += 4 + len
+    }
+    if (sr <= 0 || ch <= 0 || bps != 16 || total < 0 || i > p.length) return none
+    var sum = 0L; var sq = 0L; var peak = 0L; var got = 0L
+    while (i < p.length) {
+      val start = i
+      if (i + 8 > p.length || u8(p(i)) != 0xff || (u8(p(i + 1)) & 0xfe) != 0xf8)
+        return none
+      val bsCode = u8(p(i + 2)) >> 4; val srCode = u8(p(i + 2)) & 0x0f
+      val chAssign = u8(p(i + 3)) >> 4; val bpsCode = (u8(p(i + 3)) >> 1) & 0x7
+      if (chAssign > 7 || chAssign + 1 != ch) return none
+      if (bpsCode != 0 && bpsCode != 4) return none // 16-bit only
+      i += 4
+      // UTF-8-coded frame number: leading ones of the first byte =
+      // continuation byte count
+      val fb = u8(p(i)); i += 1
+      var cont = 0
+      if (fb >= 0x80) {
+        var mask = 0x40
+        cont = 1
+        while (cont < 7 && (fb & mask) != 0) { cont += 1; mask >>= 1 }
+        cont -= 1
+        if (cont < 1) return none
+      }
+      i += cont
+      var blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => -1 // 6/7 read below; 0 reserved
+      }
+      if (bsCode == 6) { if (i >= p.length) return none; blockSize = u8(p(i)) + 1; i += 1 }
+      else if (bsCode == 7) {
+        if (i + 1 >= p.length) return none
+        blockSize = (u8(p(i)) << 8 | u8(p(i + 1))) + 1; i += 2
+      } else if (blockSize < 0) return none
+      if (srCode == 12) i += 1 else if (srCode == 13 || srCode == 14) i += 2
+      if (i >= p.length) return none
+      if (u8(p(i)) != flacCrc8(p, start, i)) return none
+      i += 1
+      val br = new MsbBitReader(p, i)
+      var c = 0
+      while (c < ch) {
+        val sub = br.bits(8)
+        if (!br.ok || (sub & 0x80) != 0 || (sub & 1) != 0) return none
+        val typ = ((sub >> 1) & 0x3f).toInt
+        if (typ == 0) { // CONSTANT
+          val v = ((br.bits(16).toInt << 16) >> 16)
+          if (!br.ok) return none
+          sum += v.toLong * blockSize
+          sq += v.toLong * v * blockSize
+          val a = math.abs(v.toLong); if (a > peak) peak = a
+        } else if (typ == 1) { // VERBATIM
+          var k = 0
+          while (k < blockSize) {
+            val v = ((br.bits(16).toInt << 16) >> 16)
+            if (!br.ok) return none
+            sum += v; sq += v.toLong * v
+            val a = math.abs(v.toLong); if (a > peak) peak = a
+            k += 1
+          }
+        } else return none // fixed/LPC: outside the honest subset
+        c += 1
+      }
+      if (!br.alignOk()) return none
+      i = br.pos
+      if (i + 2 > p.length) return none
+      val crc = (u8(p(i)) << 8) | u8(p(i + 1))
+      if (crc != flacCrc16(p, start, i)) return none
+      i += 2
+      got += blockSize
+    }
+    if (got != total) return none
+    (sr, ch, got, sum, sq, peak)
+  }
+
+  /** FLAC sample-level decode — map-only, the q218 shape for the
+    * compressed container. */
+  def decodeFlacSamples(media: Dataset[MediaRow]): Dataset[SampleStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (sr, ch, n, sum, sq, peak) = flacSampleStats(r.payload)
+        SampleStats(r.media_id, sr, ch, n, sum, sq, peak)
       }
     }
   }
@@ -517,7 +773,10 @@ object Multimodal {
           sr = rLe32(p, i + 12)
           bits = rLe16(p, i + 22)
         } else if (isData) dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // chunks are word-aligned; advance in Long so a 4 GiB-ish corrupt
+        // size can't wrap Int into a zero/backward step (infinite loop)
+        val next = i.toLong + 8L + size + (size & 1L)
+        i = if (next > p.length) p.length else next.toInt
       }
       if (sr > 0 && ch > 0 && bits > 0 && dataLen >= 0)
         ("wav", sr, ch, bits, dataLen / (ch * (bits / 8)))
@@ -673,10 +932,14 @@ object Multimodal {
       val planes = rLe16(p, 26); val bpp = rLe16(p, 28)
       val compression = rLe32(p, 30)
       val h = math.abs(hRaw)
-      val stride = ((w * 3 + 3) / 4) * 4
+      // stride in Long: w ≈ 2^30 overflows w*3 in Int to a NEGATIVE
+      // stride, which would pass the length guard below and then index
+      // the array at negative offsets (task failure, not the sentinel)
+      val strideL = (w.toLong * 3 + 3) / 4 * 4
+      val stride = strideL.toInt
       if (dibSize < 40 || w <= 0 || h == 0 || planes != 1 || bpp != 24 ||
-          compression != 0 || off < 54 ||
-          p.length < off.toLong + stride.toLong * h) none
+          compression != 0 || off < 54 || strideL > Int.MaxValue ||
+          p.length < off.toLong + strideL * h) none
       else {
         var sb = 0L; var sg = 0L; var sr = 0L
         var r = 0
@@ -816,10 +1079,11 @@ object Multimodal {
   private[ops] def gifPaletteG(i: Int): Int = (3 * i) % 256
   private[ops] def gifPaletteB(i: Int): Int = (5 * i) % 256
 
-  /** A complete REAL GIF89a: logical screen descriptor, 256-entry
-    * global color table, image descriptor, LZW-compressed pixel
-    * indices in ≤255-byte sub-blocks, trailer. */
-  private[ops] def gifWithPixels(id: Long, w: Int, h: Int): Array[Byte] = {
+  /** A complete REAL GIF89a from explicit pixel indices: logical
+    * screen descriptor, 256-entry global color table, image
+    * descriptor, LZW-compressed pixel indices in ≤255-byte
+    * sub-blocks, trailer. */
+  private[ops] def gifFromIndices(w: Int, h: Int, indices: Array[Int]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(w * h + 800)
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(le16(w)); out.write(le16(h))
@@ -832,13 +1096,6 @@ object Multimodal {
     out.write(0x2c) // image descriptor
     out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
     out.write(0) // no local table, not interlaced
-    val indices = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { indices(y * w + x) = plantedGifIdx(id, x, y); x += 1 }
-      y += 1
-    }
     out.write(8) // LZW min code size
     val lzw = lzwEncode(indices, 8)
     var off = 0
@@ -849,6 +1106,19 @@ object Multimodal {
     out.write(0)    // block terminator
     out.write(0x3b) // trailer
     out.toByteArray
+  }
+
+  /** The q214 media payload: `gifFromIndices` over the planted
+    * per-pixel index function. */
+  private[ops] def gifWithPixels(id: Long, w: Int, h: Int): Array[Byte] = {
+    val indices = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { indices(y * w + x) = plantedGifIdx(id, x, y); x += 1 }
+      y += 1
+    }
+    gifFromIndices(w, h, indices)
   }
 
   /** Pixel-bearing GIF media table (the q214/q215 input): dims are
@@ -1034,8 +1304,7 @@ object Multimodal {
   // CRC32 verification, all five filter types in both directions,
   // scanline reconstruction — is implemented here in byte
   // arithmetic. Cross-validated per-pixel against ImageIO's
-  // independent PNG codec in both directions. With GIF and PNG real,
-  // resizeStub stands only for JPEG (DCT).
+  // independent PNG codec in both directions.
   // ----------------------------------------------------------------
 
   /** Apply PNG filter `ft` to one raw RGB8 scanline (encode side).
@@ -1178,9 +1447,16 @@ object Multimodal {
       i += 12 + len
     }
     if (w <= 0 || h <= 0 || idat.size == 0) return None
+    // overflow/bloat guard (same class as the BMP stride fix): a corrupt
+    // IHDR with w ≈ 2^30 would overflow (w*3+1)*h in Int — or pass as a
+    // huge positive and allocate gigabytes before inflate fails. Deflate
+    // expands at most ~1032:1, so scanline bytes beyond that bound (or
+    // Int.MaxValue) cannot be legitimate for this IDAT payload.
+    val expectL = (w.toLong * 3 + 1) * h
+    if (expectL > Int.MaxValue || expectL > idat.size.toLong * 1032 + 4096) return None
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val expect = (w * 3 + 1) * h
+    val expect = expectL.toInt
     val scan = new Array[Byte](expect)
     var got = 0
     try {
@@ -1332,23 +1608,747 @@ object Multimodal {
     }
   }
 
-  /** STUB resize — a real implementation decodes, scales, re-encodes;
-    * the deterministic fake rewrites the header dims and truncates the
-    * body proportionally (keeps the plumbing — payload in, payload
-    * out, map-only — honest). Round-13: for 24bpp BMP the real thing
-    * exists ([[resizeBmpNearest]]), as do real GIF
-    * ([[resizeGifNearest]], hand-built LZW) and PNG
-    * ([[resizePngNearest]], JDK zlib + hand filter arithmetic)
-    * round-trips; this stub remains only for JPEG (DCT). */
-  def resizeStub(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
-    import media.sparkSession.implicits._
-    media.map { r =>
-      val body = r.payload.drop(8)
-      val keep = math.max(1, body.length / 2)
-      val header = Array[Byte]('G', 'R', 'F', 'T',
-        (newW >> 8).toByte, newW.toByte, (newH >> 8).toByte, newH.toByte)
-      r.copy(payload = header ++ body.take(keep))
+  // ----------------------------------------------------------------
+  // Real JPEG truth (round-14, VERDICT r13 item 4 — the last codec,
+  // retiring resizeStub entirely): baseline sequential 8-bit JFIF,
+  // one component (grayscale), BOTH directions in pure bit/double
+  // arithmetic — canonical Huffman coding (decode tables built from
+  // the file's own DHT segments, never assumed), zigzag run-length
+  // AC coding with EOB/ZRL, DC differential prediction with RSTn
+  // restart handling, 0xFF00 byte unstuffing, dequantize + separable
+  // double-precision IDCT (and FDCT + quantize for the encode side).
+  // JPEG is LOSSY at the DCT+quantize step, so the oracle gate
+  // (q223) plants QUANTIZED COEFFICIENTS directly: entropy coding is
+  // lossless, the decoder recovers the planted values EXACTLY, and
+  // DuckDB restates them arithmetically (the q212 planted-functions
+  // pattern). Pixel-level IDCT truth is pinned in MultimodalSpec by
+  // (a) DC-only blocks whose IDCT is exact integer arithmetic, (b) a
+  // direct-formula IDCT reference, and (c) both-directions ImageIO
+  // cross-validation with the ±1 inter-implementation IDCT tolerance
+  // (IEEE-1180 — two conforming decoders may round a pixel apart).
+  // ----------------------------------------------------------------
+
+  /** Zigzag scan order: natural (row-major) index of the k-th zigzag
+    * element, per ITU T.81 — DQT payloads and entropy-coded AC runs
+    * are both in this order. */
+  private[ops] val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Standard luminance Huffman tables (T.81 Annex K.3): BITS = code
+  // count per length 1..16, HUFFVAL = symbols in canonical order.
+  private val jpegDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val jpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val jpegAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val jpegAcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment (T.81 C.2): per-symbol
+    * (code, length), codes increasing within a length, doubled at
+    * each length step. */
+  private def jpegHuffCodes(bits: Array[Int], vals: Array[Int]): Array[Int] = {
+    // packed as (len << 16) | code, indexed by symbol; 0 = absent
+    val codes = new Array[Int](256)
+    var code = 0; var k = 0; var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        codes(vals(k)) = (len << 16) | code
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1; len += 1
     }
+    codes
+  }
+
+  /** MSB-first entropy bit writer with JPEG byte stuffing (an 0xFF
+    * data byte is followed by 0x00 on the wire); flush pads the last
+    * byte with 1-bits per the spec. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code.toLong & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        val b = ((acc >>> (n - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0)
+        n -= 8; acc &= (1L << n) - 1
+      }
+    }
+    def putSym(packed: Int): Unit = put(packed & 0xffff, packed >>> 16)
+    def flush(): Unit = if (n > 0) { val pad = 8 - n; put((1 << pad) - 1, pad) }
+  }
+
+  private def jpegBitLen(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v)
+
+  /** Encode one component's quantized coefficient blocks (zigzag
+    * order, raster block order) into a complete baseline JFIF file:
+    * SOI, APP0, DQT (zigzag), SOF0, two DHTs (the Annex K luminance
+    * tables), SOS, entropy-coded data, EOI. `restartInterval` > 0
+    * additionally emits DRI and byte-aligned RST0-7 markers every
+    * that many blocks (the decoder's restart path, spec-pinned by
+    * round-trip). */
+  private[ops] def jpegFromBlocks(w: Int, h: Int, blocks: Array[Array[Int]],
+      quantZigzag: Array[Int], restartInterval: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(blocks.length * 32 + 700)
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0x00, 0x01, 0x01,
+      0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00))
+    seg(0xdb, Array[Byte](0x00) ++ quantZigzag.map(_.toByte)) // Pq=0/Tq=0
+    seg(0xc0, Array[Byte](0x08) ++ be16(h) ++ be16(w) ++
+      Array[Byte](0x01, 0x01, 0x11, 0x00)) // 1 component, 1×1 sampling
+    seg(0xc4, Array[Byte](0x00) ++ jpegDcBits.map(_.toByte) ++ jpegDcVals.map(_.toByte))
+    seg(0xc4, Array[Byte](0x10) ++ jpegAcBits.map(_.toByte) ++ jpegAcVals.map(_.toByte))
+    if (restartInterval > 0) seg(0xdd, be16(restartInterval))
+    seg(0xda, Array[Byte](0x01, 0x01, 0x00, 0x00, 0x3f, 0x00))
+    val dcCodes = jpegHuffCodes(jpegDcBits, jpegDcVals)
+    val acCodes = jpegHuffCodes(jpegAcBits, jpegAcVals)
+    var bw = new JpegBitWriter(out)
+    var prevDc = 0
+    var b = 0
+    while (b < blocks.length) {
+      if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+        bw.flush()
+        out.write(0xff); out.write(0xd0 + ((b / restartInterval - 1) % 8))
+        bw = new JpegBitWriter(out)
+        prevDc = 0
+      }
+      val blk = blocks(b)
+      val diff = blk(0) - prevDc; prevDc = blk(0)
+      val s = if (diff == 0) 0 else jpegBitLen(math.abs(diff))
+      bw.putSym(dcCodes(s))
+      if (s > 0) bw.put(if (diff > 0) diff else diff - 1, s)
+      var run = 0; var k = 1
+      while (k < 64) {
+        val v = blk(k)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { bw.putSym(acCodes(0xf0)); run -= 16 } // ZRL
+          val sz = jpegBitLen(math.abs(v))
+          bw.putSym(acCodes((run << 4) | sz))
+          bw.put(if (v > 0) v else v - 1, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.putSym(acCodes(0x00)) // EOB
+      b += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Entropy bit reader: unstuffs 0xFF00, stops (bit() = -1) at any
+    * real marker, leaving it in `marker` for the MCU loop's restart
+    * handling. */
+  private final class JpegBitReader(p: Array[Byte], var pos: Int) {
+    private var acc = 0; private var n = 0
+    var marker: Int = -1
+    def align(): Unit = n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (marker >= 0 || pos >= p.length) return -1
+        var b = p(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) return -1
+          val m = p(pos) & 0xff
+          if (m == 0x00) pos += 1
+          else { marker = m; return -1 }
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var r = 0; var i = 0
+      while (i < k) { val b = bit(); if (b < 0) return -1; r = (r << 1) | b; i += 1 }
+      r
+    }
+  }
+
+  /** Canonical Huffman decoder (T.81 F.2.2.3 DECODE): mincode /
+    * maxcode / valptr per code length, built from a DHT's BITS +
+    * HUFFVAL. */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Int]) {
+    private val mincode = new Array[Int](17)
+    private val maxcode = Array.fill(17)(-1)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k; mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1; l += 1
+      }
+    }
+    def decode(r: JpegBitReader): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val b = r.bit(); if (b < 0) return -1
+        code = (code << 1) | b; l += 1
+        if (maxcode(l) >= mincode(l) && code >= mincode(l) && code <= maxcode(l))
+          return vals(valptr(l) + code - mincode(l))
+      }
+      -1
+    }
+  }
+
+  private def jpegExtend(r: Int, s: Int): Int =
+    if (s == 0) 0 else if (r < (1 << (s - 1))) r - (1 << s) + 1 else r
+
+  /** Parse a baseline sequential 8-bit single-component JFIF down to
+    * (width, height, quant table in zigzag order, quantized
+    * coefficient blocks in zigzag order, raster block order). None on
+    * anything else: progressive/multi-component SOFs, 16-bit quant
+    * tables, truncation, invalid Huffman codes, AC runs past 63.
+    * Handles multiple DQT/DHT tables per segment, APPn/COM skip, DRI
+    * + RSTn restarts (DC predictor reset, byte alignment). */
+  private[ops] def parseJpegBlocks(p: Array[Byte]): Option[(Int, Int, Array[Int], Array[Array[Int]])] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    var i = 2
+    var w = -1; var h = -1; var ri = 0
+    val quants = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4); val acTabs = new Array[JpegHuff](4)
+    var compQuant = 0; var compDc = 0; var compAc = 0
+    while (i + 4 <= p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      val m = p(i + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = rBe16(p, i + 2)
+      if (len < 2 || i + 2 + len > p.length) return None
+      val end = i + 2 + len
+      m match {
+        case 0xdb => // DQT: possibly several tables in one segment
+          var j = i + 4
+          while (j < end) {
+            val pq = (p(j) & 0xff) >> 4; val tq = p(j) & 0x0f
+            if (pq != 0 || tq > 3 || j + 65 > end) return None
+            val q = new Array[Int](64)
+            var k = 0
+            while (k < 64) { q(k) = p(j + 1 + k) & 0xff; k += 1 }
+            quants(tq) = q; j += 65
+          }
+        case 0xc4 => // DHT: possibly several tables in one segment
+          var j = i + 4
+          while (j < end) {
+            val tc = (p(j) & 0xff) >> 4; val th = p(j) & 0x0f
+            if (tc > 1 || th > 3 || j + 17 > end) return None
+            val bits = new Array[Int](16)
+            var nv = 0; var k = 0
+            while (k < 16) { bits(k) = p(j + 1 + k) & 0xff; nv += bits(k); k += 1 }
+            if (j + 17 + nv > end) return None
+            val vals = new Array[Int](nv)
+            k = 0
+            while (k < nv) { vals(k) = p(j + 17 + k) & 0xff; k += 1 }
+            val tab = new JpegHuff(bits, vals)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            j += 17 + nv
+          }
+        case 0xc0 => // SOF0 baseline
+          if (len < 8 || (p(i + 4) & 0xff) != 8) return None
+          h = rBe16(p, i + 5); w = rBe16(p, i + 7)
+          val nf = p(i + 9) & 0xff
+          if (nf != 1 || len < 8 + 3 * nf) return None // single component only
+          compQuant = p(i + 12) & 0x0f
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // extended/progressive/lossless/arithmetic SOFs
+        case 0xdd => // DRI
+          if (len != 4) return None
+          ri = rBe16(p, i + 4)
+        case 0xda => // SOS: entropy-coded data follows the header
+          if (w <= 0 || h <= 0 || (p(i + 4) & 0xff) != 1) return None
+          val td = (p(i + 6) & 0xff) >> 4; val ta = p(i + 6) & 0x0f
+          compDc = td; compAc = ta
+          if ((p(i + 7) & 0xff) != 0 || (p(i + 8) & 0xff) != 63) return None
+          val q = quants(compQuant)
+          val dcT = dcTabs(compDc); val acT = acTabs(compAc)
+          if (q == null || dcT == null || acT == null) return None
+          val bw = (w + 7) / 8; val bh = (h + 7) / 8
+          val nb = bw * bh
+          val blocks = new Array[Array[Int]](nb)
+          val r = new JpegBitReader(p, i + 2 + len)
+          var prevDc = 0
+          var b = 0
+          while (b < nb) {
+            if (ri > 0 && b > 0 && b % ri == 0) {
+              // restart: byte-align, consume RSTn, reset the predictor
+              r.align()
+              if (r.marker < 0) {
+                // reader has not hit the marker yet — pull it
+                if (r.bit() >= 0) return None
+              }
+              if (r.marker < 0xd0 || r.marker > 0xd7) return None
+              r.marker = -1; r.pos += 1 // step past the marker byte
+              prevDc = 0
+            }
+            val blk = new Array[Int](64)
+            val s = dcT.decode(r); if (s < 0 || s > 11) return None
+            val diffBits = if (s == 0) 0 else { val v = r.bits(s); if (v < 0) return None; v }
+            prevDc += jpegExtend(diffBits, s)
+            blk(0) = prevDc
+            var k = 1
+            var done = false
+            while (!done && k < 64) {
+              val sym = acT.decode(r); if (sym < 0) return None
+              val run = sym >> 4; val sz = sym & 0x0f
+              if (sz == 0) {
+                if (run == 15) k += 16 // ZRL
+                else done = true       // EOB
+              } else {
+                k += run
+                if (k > 63) return None
+                val v = r.bits(sz); if (v < 0) return None
+                blk(k) = jpegExtend(v, sz)
+                k += 1
+              }
+            }
+            blocks(b) = blk
+            b += 1
+          }
+          return Some((w, h, q, blocks))
+        case _ => () // APPn / COM / anything else with a length: skip
+      }
+      i = end
+    }
+    None
+  }
+
+  // Separable double-precision DCT-II/III basis: dctCos(x)(u) =
+  // cos((2x+1)·u·π/16), C(0) = 1/√2.
+  private val jpegCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val jpegC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** IDCT of one dequantized block in NATURAL order → 64 spatial
+    * values (no level shift). Direct separable form — the reference
+    * everything else is pinned against. */
+  private[ops] def jpegIdct(f: Array[Double]): Array[Double] = {
+    val t = new Array[Double](64); val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // rows: over horizontal frequency u
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += jpegC(u) * f(v * 8 + u) * jpegCos(x)(u); u += 1 }
+        t(v * 8 + x) = s / 2; x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) { // columns: over vertical frequency v
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += jpegC(vv) * t(vv * 8 + x) * jpegCos(y)(vv); vv += 1 }
+        out(y * 8 + x) = s / 2; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Forward DCT of one level-shifted spatial block (natural order). */
+  private[ops] def jpegFdct(f: Array[Double]): Array[Double] = {
+    val t = new Array[Double](64); val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: spatial x → horizontal frequency u
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += f(y * 8 + x) * jpegCos(x)(u); x += 1 }
+        t(y * 8 + u) = s * jpegC(u) / 2; u += 1
+      }
+      y += 1
+    }
+    var v = 0
+    while (v < 8) { // columns: spatial y → vertical frequency v
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += t(yy * 8 + u) * jpegCos(yy)(v); yy += 1 }
+        out(v * 8 + u) = s * jpegC(v) / 2; u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** Dequantize + de-zigzag + IDCT + level shift + clamp + crop. */
+  private def jpegPixelsOf(w: Int, h: Int, q: Array[Int],
+      blocks: Array[Array[Int]]): Array[Int] = {
+    val bw = (w + 7) / 8
+    val out = new Array[Int](w * h)
+    var b = 0
+    while (b < blocks.length) {
+      val blk = blocks(b)
+      val f = new Array[Double](64)
+      var k = 0
+      while (k < 64) { f(jpegZigzag(k)) = blk(k).toDouble * q(k); k += 1 }
+      val px = jpegIdct(f)
+      val bx = b % bw; val by = b / bw
+      var y = 0
+      while (y < 8) {
+        val gy = by * 8 + y
+        if (gy < h) {
+          var x = 0
+          while (x < 8) {
+            val gx = bx * 8 + x
+            if (gx < w) {
+              val v = math.round(px(y * 8 + x) + 128.0).toInt
+              out(gy * w + gx) = if (v < 0) 0 else if (v > 255) 255 else v
+            }
+            x += 1
+          }
+        }
+        y += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Full pixel decode: Huffman → dequantize → de-zigzag → IDCT →
+    * +128 level shift, clamp, crop edge-block padding. Returns
+    * (width, height, row-major gray pixels). */
+  private[ops] def jpegGrayPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    parseJpegBlocks(p).map { case (w, h, q, blocks) =>
+      (w, h, jpegPixelsOf(w, h, q, blocks))
+    }
+
+  /** Encode gray pixels to baseline JFIF: edge-replicate to 8×8
+    * tiles, level shift, FDCT, quantize (round half away from zero),
+    * Huffman-code. `quantZigzag` defaults to all-ones (near-lossless
+    * — the planted corpora use it so resize round-trips stay within
+    * rounding error). */
+  private[ops] def jpegFromGray(w: Int, h: Int, gray: Array[Int],
+      quantZigzag: Array[Int] = Array.fill(64)(1)): Array[Byte] = {
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val blocks = new Array[Array[Int]](bw * bh)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val f = new Array[Double](64)
+        var y = 0
+        while (y < 8) {
+          val gy = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            val gx = math.min(bx * 8 + x, w - 1)
+            f(y * 8 + x) = gray(gy * w + gx) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val coefs = jpegFdct(f)
+        val blk = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          val c = coefs(jpegZigzag(k)) / quantZigzag(k)
+          val r = math.round(c).toInt
+          // clamp to the baseline category budget (DC ≤ 11, AC ≤ 10)
+          val lim = if (k == 0) 2047 else 1023
+          blk(k) = if (r < -lim) -lim else if (r > lim) lim else r
+          k += 1
+        }
+        blocks(by * bw + bx) = blk
+        bx += 1
+      }
+      by += 1
+    }
+    jpegFromBlocks(w, h, blocks, quantZigzag)
+  }
+
+  // ---- Planted-coefficient corpus (the q223 gate) ----
+
+  /** Planted dims: 9..21 × 6..16 → 2–6 blocks per image, edge blocks
+    * always present (neither dim is a multiple of 8 for most ids). */
+  private[ops] def plantedJpegDims(id: Long): (Int, Int) =
+    ((id % 13 + 9).toInt, (id % 11 + 6).toInt)
+
+  /** Planted QUANTIZED coefficient at zigzag index k of block b:
+    * signed DC (differential chain exercised both directions), three
+    * planted AC positions — early (k=5), mid (k=29: a 23-zero run →
+    * ZRL + run coding), and last (k=63: sometimes nonzero → blocks
+    * that end without an EOB). Values may be 0 (the run-length paths
+    * vary per block). */
+  private[ops] def plantedJpegCoef(id: Long, b: Int, k: Int): Int = k match {
+    case 0 => ((id + 17L * b) % 101).toInt - 50
+    case 5 => ((id * 3 + 7L * b) % 19).toInt - 9
+    case 29 => ((id + 13L * b) % 7).toInt - 3
+    case 63 => ((id + b) % 5).toInt - 2
+    case _ => 0
+  }
+
+  private[ops] def jpegWithCoefficients(id: Long, w: Int, h: Int): Array[Byte] = {
+    val nb = ((w + 7) / 8) * ((h + 7) / 8)
+    val blocks = Array.tabulate(nb) { b =>
+      Array.tabulate(64)(k => plantedJpegCoef(id, b, k))
+    }
+    jpegFromBlocks(w, h, blocks, Array.fill(64)(1))
+  }
+
+  /** Pixel-bearing JPEG media table (the q223 input): complete real
+    * baseline JFIFs whose quantized coefficients are planted
+    * per-block functions. */
+  def synthesizeJpegPixels(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = plantedJpegDims(id)
+      MediaRow(id, "image", jpegWithCoefficients(id, w, h))
+    }
+  }
+
+  case class JpegCoefStats(media_id: Long, width: Int, height: Int,
+      n_blocks: Long, sum_dc: Long, bw_dc: Long, wsum_ac: Long)
+
+  /** Recover the quantized coefficients through the REAL entropy
+    * decode and aggregate exactly-restatable statistics: Σ DC,
+    * block-weighted Σ (b+1)·DC (catches block-order bugs the plain
+    * sum is blind to), and the zigzag-index-weighted AC sum (catches
+    * run-length misplacement). Sentinel on non-baseline payloads. */
+  def decodeJpegCoefs(media: Dataset[MediaRow]): Dataset[JpegCoefStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseJpegBlocks(r.payload) match {
+          case None => JpegCoefStats(r.media_id, -1, -1, -1L, -1L, -1L, -1L)
+          case Some((w, h, _, blocks)) =>
+            var sdc = 0L; var bdc = 0L; var wac = 0L
+            var b = 0
+            while (b < blocks.length) {
+              val blk = blocks(b)
+              sdc += blk(0); bdc += (b + 1).toLong * blk(0)
+              var k = 1
+              while (k < 64) { wac += blk(k).toLong * k; k += 1 }
+              b += 1
+            }
+            JpegCoefStats(r.media_id, w, h, blocks.length.toLong, sdc, bdc, wac)
+        }
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor resize for baseline grayscale JPEGs —
+    * decode through Huffman+IDCT, remap, re-encode through
+    * FDCT+Huffman with the SOURCE file's own quant table (quality
+    * preserved). Lossy by the DCT round-trip (bounded by the quant
+    * step — exact to ±2 gray levels under the all-ones table, spec-
+    * pinned); non-JPEG payloads pass through untouched. Map-only. */
+  def resizeJpegNearest(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[MediaRow] = {
+    require(newW > 0 && newH > 0, "target dims must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        parseJpegBlocks(row.payload) match {
+          case None => row
+          case Some((w, h, q, blocks)) =>
+            val src = jpegPixelsOf(w, h, q, blocks)
+            val dst = new Array[Int](newW * newH)
+            var y = 0
+            while (y < newH) {
+              val sy = y * h / newH
+              var x = 0
+              while (x < newW) {
+                dst(y * newW + x) = src(sy * w + x * w / newW)
+                x += 1
+              }
+              y += 1
+            }
+            row.copy(payload = jpegFromGray(newW, newH, dst, q))
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // Perceptual image hashing (round-14, VERDICT r13 item 5 — the
+  // LLM-pipeline payoff of the real codecs): dHash over DECODED
+  // pixels, any of the four formats, feeding the same multi-index
+  // banded Hamming search text SimHash uses (Dedup.
+  // hammingNearDupsPacked). A re-encoded (format-changed) or
+  // nearest-resized duplicate hashes identically or near-identically
+  // even though its BYTES share nothing with the original — the case
+  // exact dedup and text near-dup are both structurally blind to.
+  // ----------------------------------------------------------------
+
+  /** Full 24bpp BMP pixel decode → (w, h, row-major RGB triples), or
+    * None (same validation set as [[bmpPixelStats]]). */
+  private[ops] def bmpRgb(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val off = rLe32(p, 10)
+    val dibSize = rLe32(p, 14)
+    val w = rLe32(p, 18)
+    val hRaw = rLe32(p, 22)
+    val planes = rLe16(p, 26); val bpp = rLe16(p, 28)
+    val compression = rLe32(p, 30)
+    val h = math.abs(hRaw)
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (dibSize < 40 || w <= 0 || h == 0 || planes != 1 || bpp != 24 ||
+        compression != 0 || off < 54 || strideL > Int.MaxValue ||
+        p.length < off.toLong + strideL * h) return None
+    val stride = strideL.toInt
+    val out = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val y = if (hRaw < 0) r else h - 1 - r // storage row r → image row y
+      var x = 0
+      val base = off + r * stride
+      while (x < w) {
+        val o = (y * w + x) * 3
+        out(o) = p(base + x * 3 + 2)     // R
+        out(o + 1) = p(base + x * 3 + 1) // G
+        out(o + 2) = p(base + x * 3)     // B
+        x += 1
+      }
+      r += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Decode ANY of the four supported image formats to row-major gray
+    * pixels (integer luma: (299·R + 587·G + 114·B) / 1000). */
+  private[ops] def imageGrayAny(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def luma(r: Int, g: Int, b: Int) = (299 * r + 587 * g + 114 * b) / 1000
+    if (p.length < 8) None
+    else if (p(0) == 'B' && p(1) == 'M')
+      bmpRgb(p).map { case (w, h, rgb) =>
+        (w, h, Array.tabulate(w * h)(i =>
+          luma(rgb(i * 3) & 0xff, rgb(i * 3 + 1) & 0xff, rgb(i * 3 + 2) & 0xff)))
+      }
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F')
+      parseGif(p).map { case (w, h, palette, idx) =>
+        (w, h, Array.tabulate(w * h) { i =>
+          val c = palette(idx(i))
+          luma((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+        })
+      }
+    else if ((p(0) & 0xff) == 0x89 && p(1) == 'P')
+      parsePng(p).map { case (w, h, rgb) =>
+        (w, h, Array.tabulate(w * h)(i =>
+          luma(rgb(i * 3) & 0xff, rgb(i * 3 + 1) & 0xff, rgb(i * 3 + 2) & 0xff)))
+      }
+    else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+      jpegGrayPixels(p)
+    else None
+  }
+
+  /** 64-bit difference hash: sample a 9×8 grid by nearest index
+    * (sx = x·w div 9, sy = y·h div 8), bit (y·8+x) — MSB first — set
+    * iff gray(x+1, y) > gray(x, y). Resolution-independent by
+    * construction: a nearest-resized copy samples the same source
+    * pixels whenever the index maps compose (spec-pinned for 2×), so
+    * content survives where bytes don't. */
+  private[ops] def dhash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    var hl = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val g0 = gray(sy * w + x * w / 9)
+        val g1 = gray(sy * w + (x + 1) * w / 9)
+        if (g1 > g0) hl |= 1L << (63 - (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    hl
+  }
+
+  /** Per-image packed dHash table (id, hl) — the fingerprint input of
+    * [[graft.ops.Dedup.hammingNearDupsPacked]]. Map-only; payloads
+    * that decode under none of the four codecs are dropped. */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageGrayAny(r.payload).map { case (w, h, g) => (r.media_id, dhash64(w, h, g)) }
+      }
+    }.toDF("id", "hl")
+  }
+
+  /** The q224 corpus: for every doc, FOUR payloads of the same
+    * planted content — the BMP original, the same pixels re-encoded
+    * as PNG (byte-disjoint, content-identical), the original pushed
+    * through the REAL resizeBmpNearest to 18×16 (the 2× index map
+    * composes exactly, so the dHash samples the same source pixels),
+    * and a perturbed twin with ONE sampled pixel inverted (flips at
+    * most two comparisons per sampling row — a planted NEAR-dup at
+    * Hamming 1–4). media_id = doc_id·4 + variant. */
+  def synthesizePerceptualCorpus(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val base = docs.select(col("doc_id")).as[Long].flatMap { id =>
+      val w = (id % 21 + 4).toInt; val h = (id % 17 + 4).toInt
+      Seq(
+        MediaRow(id * 4, "image", bmpWithPixels(id, w, h)),
+        MediaRow(id * 4 + 1, "image", pngWithPixels(id, w, h)),
+        MediaRow(id * 4 + 3, "image", bmpWithPixelsPerturbed(id, w, h)))
+    }
+    val resized = resizeBmpNearest(
+      base.filter(r => r.media_id % 4 == 0), 18, 16)
+      .map(r => r.copy(media_id = r.media_id + 2))
+    base.union(resized)
+  }
+
+  /** [[bmpWithPixels]] with the dHash sample pixel (4w/9, 3h/8)
+    * inverted on all three channels. */
+  private[ops] def bmpWithPixelsPerturbed(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val body = new Array[Byte](stride * h)
+    val px = 4 * w / 9; val py = 3 * h / 8
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r
+      var x = 0
+      while (x < w) {
+        val o = r * stride + x * 3
+        val inv = x == px && y == py
+        body(o) = (if (inv) 255 - plantedB(id, x, y) else plantedB(id, x, y)).toByte
+        body(o + 1) = (if (inv) 255 - plantedG(id, x, y) else plantedG(id, x, y)).toByte
+        body(o + 2) = (if (inv) 255 - plantedR(id, x, y) else plantedR(id, x, y)).toByte
+        x += 1
+      }
+      r += 1
+    }
+    bmpHeader(w, h, body.length) ++ body
   }
 
   /** Frame sampling for "video" payloads: every k-th 16-byte chunk of

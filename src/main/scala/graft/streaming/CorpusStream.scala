@@ -174,12 +174,17 @@ object CorpusStream {
   /** One micro-batch of the release-gate rollup — named so the replay
     * contract is directly testable (the maskBatch pattern).
     *
-    * The three partial tables land non-atomically, so a per-batch
-    * COMPLETION MARKER (`ok/batch=N`) is created only after all three
-    * writes succeed — and deleted FIRST on a replay rewrite — so a
-    * concurrent `releaseGateFromPartials` never assembles a verdict
-    * from a half-landed batch (round-13 ADVICE: doc sums updated but
-    * token counts stale was previously observable mid-replay). */
+    * The five partial tables (docs/fp/tok/shs/bands) land
+    * non-atomically, so a per-batch COMPLETION MARKER (`ok/batch=N`)
+    * is created only after all five writes succeed — and deleted FIRST
+    * on a replay rewrite. This covers the crash/in-flight FIRST-write
+    * case: a reader never assembles a batch whose initial attempt has
+    * not finished landing. It is NOT a full isolation barrier — a
+    * replay that deletes the marker and starts overwriting between a
+    * reader's `okBatches` listing and its parquet reads can still be
+    * observed mid-rewrite (reader-side TOCTOU); a deployment needing
+    * replay-vs-read isolation should write replays to a fresh attempt
+    * directory and flip the marker to point at it atomically. */
   def rollupBatch(batch: DataFrame, batchId: Long, statsPath: String): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(statsPath)
@@ -215,20 +220,32 @@ object CorpusStream {
   }
 
   /** Batch ids whose completion marker exists — the only batches the
-    * partial readers may consume. */
-  private def okBatches(spark: SparkSession, statsPath: String): Seq[Long] = {
+    * partial readers may consume. None = no `ok/` directory at all,
+    * i.e. a LEGACY layout written before the marker scheme existed
+    * (pre-round-13 rollupBatch never wrote markers); distinguished
+    * from Some(empty) = markers in play but no batch completed yet. */
+  private def okBatches(spark: SparkSession, statsPath: String): Option[Seq[Long]] = {
     val ok = new org.apache.hadoop.fs.Path(s"$statsPath/ok")
     val fs = ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ok)) Seq.empty
-    else fs.listStatus(ok).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+    if (!fs.exists(ok)) None
+    else Some(fs.listStatus(ok).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted)
   }
 
   /** Read one partial table restricted to marker-complete batches,
-    * keeping the hive `batch` partition column via basePath. */
+    * keeping the hive `batch` partition column via basePath. Stats
+    * directories from before the marker scheme (no `ok/` dir) fall
+    * back to every `batch=` directory present — marker discipline
+    * only applies to layouts that have markers. */
   private def readPartials(spark: SparkSession, statsPath: String,
       table: String): DataFrame = {
-    val ids = okBatches(spark, statsPath)
+    val ids = okBatches(spark, statsPath).getOrElse {
+      val dir = new org.apache.hadoop.fs.Path(s"$statsPath/$table")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).sorted
+    }
     require(ids.nonEmpty, s"no completed release-gate batches under $statsPath")
     spark.read.option("basePath", s"$statsPath/$table")
       .parquet(ids.map(b => s"$statsPath/$table/batch=$b"): _*)

@@ -37,7 +37,13 @@ object ContainmentProbe {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     val scales =
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
-    val maxDf = sys.env.get("SPARK_GRAFT_MAX_DF").map(_.toLong).getOrElse(64L)
+    // Round-14 (VERDICT r13 item 3): the cap defaults to CORPUS-
+    // PROPORTIONAL — 0.16 of the doc count, the 64-of-400 baseline the
+    // r12/r13 probes ran — so survivors persist at every scale (the
+    // fixed cap's scale-4 line kept 0 pairs). SPARK_GRAFT_MAX_DF still
+    // pins a fixed cap for reproducing the degenerate behavior.
+    val maxDfEnv = sys.env.get("SPARK_GRAFT_MAX_DF").map(_.toLong)
+    val dfFrac = 0.16
     val t = 0.5
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       "containment-probe")
@@ -89,6 +95,7 @@ object ContainmentProbe {
         d.select(col("id_sub"), col("id_sup")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+      val maxDf = maxDfEnv.getOrElse(Dedup.containmentDfCap(sets, dfFrac))
       val keptSets = sets
         .join(sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf), Seq("sh"))
@@ -105,6 +112,7 @@ object ContainmentProbe {
 
       println(s"""{"metric":"containment_probe","scale":$m,""" +
         s""""docs":${400 * m},"max_df":$maxDf,""" +
+        (if (maxDfEnv.isEmpty) s""""df_frac":$dfFrac,""" else "") +
         s""""cand_exact":$candExact,"cand_capped":$candCapped,""" +
         s""""pairs_exact":${exact.size},"pairs_capped":${capped.size},""" +
         s""""lost":${(exact -- capped).size},"extra":${(capped -- exact).size},""" +

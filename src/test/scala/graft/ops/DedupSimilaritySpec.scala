@@ -878,6 +878,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .subsetOf(exactPairs.map(p => (p._1, p._2))))
   }
 
+  test("containmentDfCap: fixed-point ceil of a corpus fraction; ByFrac ≡ Capped at the derived cap") {
+    import spark.implicits._
+    // fixed-point, NOT double ceil: ceil(0.02 * 600) through doubles is
+    // 13 (0.02*600 = 12.000000000000002); the integer-div form gives 12
+    // — and a SQL oracle restating `(n*20000+999999)//1000000` agrees
+    val n600 = spark.range(600).select(col("id"), lit("x").as("sh"))
+    assert(Dedup.containmentDfCap(n600, 0.02) == 12L)
+    val n601 = spark.range(601).select(col("id"), lit("x").as("sh"))
+    assert(Dedup.containmentDfCap(n601, 0.02) == 13L) // genuine ceil step
+    assert(Dedup.containmentDfCap(n600.limit(3), 0.5) == 2L)
+    assert(Dedup.containmentDfCap(n600.limit(1), 0.001) == 1L) // floor at 1
+    // the frac form is exactly the fixed-cap operator at the derived cap
+    val sets = Dedup.wordBigrams(docs, "doc_id", "text")
+    val cap = Dedup.containmentDfCap(sets, 0.02)
+    val byFrac = Dedup.prefixFilterContainmentByFrac(sets, 0.5, 0.02)
+      .collect().map(_.toSeq).toSet
+    val fixed = Dedup.prefixFilterContainmentCapped(sets, 0.5, cap)
+      .collect().map(_.toSeq).toSet
+    assert(byFrac == fixed)
+    // and at a binding fraction it stays a subset of the exact form
+    val exact = Dedup.prefixFilterContainment(sets, 0.5)
+      .select(col("id_sub"), col("id_sup")).as[(Long, Long)].collect().toSet
+    assert(byFrac.map(p => (p.head.asInstanceOf[Long], p(1).asInstanceOf[Long]))
+      .subsetOf(exact))
+  }
+
   test("prefixFilterContainment ≡ naive all-ordered-pairs on the corpus (zero pruning loss)") {
     val sets = Dedup.wordBigrams(docs, "doc_id", "text")
     val naive = sets.as("a").join(sets.as("b"),

@@ -270,6 +270,49 @@ class MultimodalSpec extends SparkSpec {
       assert(idx(y * w + x) == Multimodal.plantedGifIdx(id, x, y), s"pixel ($x,$y)")
   }
 
+  test("GIF cross-validation C: 64×64 noise crosses the 512+/1024+ code widths, both directions") {
+    // A and B use ≤80-pixel images, so the dictionary never reaches 512
+    // entries and the 9→10/10→11-bit width bumps are only exercised by
+    // SELF round-trips — a matched off-by-one in encoder+decoder
+    // relative to the GIF89a wire format would pass (round-14 ADVICE).
+    // 4096 incompressible pixels force several thousand dictionary
+    // entries through BOTH independent codecs.
+    val w = 64; val h = 64
+    var s = 987654321L
+    val idx = Array.fill(w * h) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toInt
+    }
+    // our encoder → the JDK's independent decoder, per-pixel
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.gifFromIndices(w, h, idx)))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = idx(y * w + x)
+      val expect = 0xff000000 | (Multimodal.gifPaletteR(i) << 16) |
+        (Multimodal.gifPaletteG(i) << 8) | Multimodal.gifPaletteB(i)
+      assert(img.getRGB(x, y) == expect, s"ImageIO pixel ($x,$y)")
+    }
+    // the JDK's independent encoder → our decoder, per-pixel
+    val r = new Array[Byte](256); val g = new Array[Byte](256); val b = new Array[Byte](256)
+    for (i <- 0 until 256) {
+      r(i) = Multimodal.gifPaletteR(i).toByte
+      g(i) = Multimodal.gifPaletteG(i).toByte
+      b(i) = Multimodal.gifPaletteB(i).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val big = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      big.getRaster.setSample(x, y, 0, idx(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(big, "gif", bos))
+    val Some((gw, gh, _, got)) = Multimodal.parseGif(bos.toByteArray)
+    assert(gw == w && gh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y * w + x) == idx(y * w + x), s"our pixel ($x,$y)")
+  }
+
   test("gifPixelStats: malformed payloads reject with the sentinel") {
     val good = Multimodal.gifWithPixels(9L, 6, 5)
     assert(Multimodal.gifPixelStats(good)._1 == 6)
@@ -399,10 +442,245 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavSampleStats("RIFFxxxx".getBytes("US-ASCII"))._1 == -1)
   }
 
-  test("resizeStub rewrites dims, preserves magic") {
-    val resized = Multimodal.resizeStub(Multimodal.synthesize(docs.limit(5)), 32, 24)
-    val meta = Multimodal.decodeHeader(resized).collect()
-    meta.foreach(m => assert(m.width == 32 && m.height == 24))
+  // ---- FLAC (round-14): constant/verbatim frame truth ----
+
+  test("flacSampleStats: planted constant+verbatim frames recovered through CRC'd headers") {
+    for (id <- Seq(0L, 3L, 77L, 1234L)) {
+      val p = Multimodal.flacWithSamples(id)
+      val (sr, ch, n, sum, sq, peak) = Multimodal.flacSampleStats(p)
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      val expCh = ((id / 2) % 2 + 1).toInt
+      val nv = (id % 100 + 20).toInt
+      assert(sr == rates((id % 5).toInt) && ch == expCh && n == 16L + nv)
+      val vals = (0 until expCh).flatMap { c =>
+        Seq.fill(16)(Multimodal.flacConstVal(id, c)) ++
+          (0 until nv).map(i => Multimodal.flacVerbVal(id, c, i))
+      }
+      assert(sum == vals.map(_.toLong).sum, s"id=$id sum")
+      assert(sq == vals.map(v => v.toLong * v).sum, s"id=$id sq")
+      assert(peak == vals.map(v => math.abs(v.toLong)).max, s"id=$id peak")
+    }
+  }
+
+  test("flacSampleStats: CRC flips, truncation, and unsupported subframes reject") {
+    val p = Multimodal.flacWithSamples(9L)
+    assert(Multimodal.flacSampleStats(p)._1 > 0)
+    // flip one byte mid-frame → CRC-16 mismatch, sentinel not garbage
+    val flip = p.clone(); flip(p.length - 10) = (flip(p.length - 10) ^ 0x01).toByte
+    assert(Multimodal.flacSampleStats(flip)._1 == -1)
+    // flip a frame-header byte → CRC-8 catches it before any decode
+    val hdrFlip = p.clone(); hdrFlip(42 + 4) = (hdrFlip(42 + 4) ^ 0x01).toByte
+    assert(Multimodal.flacSampleStats(hdrFlip)._1 == -1)
+    assert(Multimodal.flacSampleStats(p.dropRight(5))._1 == -1) // truncated
+    assert(Multimodal.flacSampleStats(p.take(42))._1 == -1)     // frames missing entirely
+    assert(Multimodal.flacSampleStats(Multimodal.bmpWithPixels(9L, 6, 5))._1 == -1)
+    // rewrite the first subframe header to FIXED order 2 (type 0b001010):
+    // outside the honest constant/verbatim subset → sentinel. The byte
+    // sits right after the 8-byte frame header at offset 42+8; fix the
+    // header CRC path by flipping BOTH the subframe byte and nothing
+    // else — CRC-16 then fails first, which is also a correct reject.
+    val lpc = p.clone(); lpc(42 + 8) = 0x14
+    assert(Multimodal.flacSampleStats(lpc)._1 == -1)
+  }
+
+  // ---- Perceptual image dedup (round-14) ----
+
+  test("dhash64: stable under 2× nearest resize and format re-encode; flips under perturbation") {
+    for (id <- Seq(5L, 42L, 307L)) {
+      val w = (id % 21 + 4).toInt; val h = (id % 17 + 4).toInt
+      val Some((wb, hb, gb)) = Multimodal.imageGrayAny(Multimodal.bmpWithPixels(id, w, h))
+      val hOrig = Multimodal.dhash64(wb, hb, gb)
+      // PNG of the same planted pixels: zero shared bytes, equal hash
+      val Some((wp, hp, gp)) = Multimodal.imageGrayAny(Multimodal.pngWithPixels(id, w, h))
+      assert((wp, hp) == ((w, h)))
+      assert(Multimodal.dhash64(wp, hp, gp) == hOrig, s"png hash id=$id")
+      // 2× nearest resize: index maps compose exactly → identical hash
+      val resized = Multimodal.resizeBmpNearest(
+        Multimodal.synthesizeBmpPixels(docs.filter(col("doc_id") === id)), 18, 16)
+        .collect().head.payload
+      val Some((wr, hr, gr)) = Multimodal.imageGrayAny(resized)
+      assert((wr, hr) == ((18, 16)))
+      assert(Multimodal.dhash64(wr, hr, gr) == hOrig, s"resized hash id=$id")
+      // perturbed twin: at most 2 comparisons per sampling row touch
+      // the inverted pixel → small positive-or-zero Hamming
+      val Some((_, _, gq)) =
+        Multimodal.imageGrayAny(Multimodal.bmpWithPixelsPerturbed(id, w, h))
+      val d = java.lang.Long.bitCount(Multimodal.dhash64(w, h, gq) ^ hOrig)
+      assert(d <= 4, s"perturbed hamming $d for id=$id")
+    }
+    // JPEG payloads decode through the gray path too
+    val (jw, jh) = Multimodal.plantedJpegDims(17L)
+    val Some((gw, gh, _)) =
+      Multimodal.imageGrayAny(Multimodal.jpegWithCoefficients(17L, jw, jh))
+    assert((gw, gh) == ((jw, jh)))
+  }
+
+  test("imageNearDups: format re-encodes and resizes pair at Hamming 0 via the banded search") {
+    val corpus = Multimodal.synthesizePerceptualCorpus(docs.limit(30))
+    val pairs = Dedup.imageNearDups(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val ids = docs.limit(30).select("doc_id").as[Long].collect()
+    ids.foreach { id =>
+      // BMP↔PNG and BMP↔resized are exact-hash pairs, always found
+      assert(pairs.get((id * 4, id * 4 + 1)).contains(0L), s"bmp-png $id")
+      assert(pairs.get((id * 4, id * 4 + 2)).contains(0L), s"bmp-resize $id")
+      assert(pairs.get((id * 4 + 1, id * 4 + 2)).contains(0L), s"png-resize $id")
+      // the perturbed twin pairs whenever its true distance is ≤ 3
+      pairs.get((id * 4, id * 4 + 3)).foreach(d => assert(d >= 0L && d <= 3L))
+    }
+    // at least some perturbed twins must actually land as near-dups
+    assert(ids.count(id => pairs.contains((id * 4, id * 4 + 3))) > 5)
+  }
+
+  // ---- JPEG (round-14): the last codec — entropy layer exact,
+  // pixel layer pinned by DC-exactness + ImageIO ----
+
+  test("JPEG planted coefficients round-trip EXACTLY through Huffman/RLE/DC-prediction") {
+    for (id <- Seq(0L, 7L, 123L, 4095L)) {
+      val (w, h) = Multimodal.plantedJpegDims(id)
+      val Some((gw, gh, _, blocks)) =
+        Multimodal.parseJpegBlocks(Multimodal.jpegWithCoefficients(id, w, h))
+      assert(gw == w && gh == h)
+      assert(blocks.length == ((w + 7) / 8) * ((h + 7) / 8))
+      for (b <- blocks.indices; k <- 0 until 64)
+        assert(blocks(b)(k) == Multimodal.plantedJpegCoef(id, b, k),
+          s"id=$id block=$b k=$k")
+    }
+  }
+
+  test("JPEG restart markers: DRI + RSTn round-trip with DC predictor resets") {
+    // 6 blocks, restart every 2 — the predictor resets mid-image, so a
+    // decoder that ignores RSTn recovers wrong absolute DCs
+    val blocks = Array.tabulate(6) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = 40 * b - 100; blk(5) = b - 2; blk
+    }
+    val p = Multimodal.jpegFromBlocks(16, 24, blocks, Array.fill(64)(1),
+      restartInterval = 2)
+    val Some((_, _, _, got)) = Multimodal.parseJpegBlocks(p)
+    for (b <- 0 until 6; k <- 0 until 64)
+      assert(got(b)(k) == blocks(b)(k), s"block=$b k=$k")
+  }
+
+  test("JPEG malformed payloads reject with None") {
+    val good = Multimodal.jpegWithCoefficients(5L, 12, 10)
+    assert(Multimodal.parseJpegBlocks(good).isDefined)
+    assert(Multimodal.parseJpegBlocks(good.take(good.length / 2)).isEmpty) // truncated entropy
+    assert(Multimodal.parseJpegBlocks(good.take(30)).isEmpty)              // truncated header
+    assert(Multimodal.parseJpegBlocks(Multimodal.bmpWithPixels(5L, 6, 5)).isEmpty)
+    val prog = good.clone() // SOF0 → SOF2 (progressive): unsupported, not garbage
+    val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.parseJpegBlocks(prog).isEmpty)
+  }
+
+  test("JPEG IDCT: matches the direct T.81 double-precision formula; FDCT inverts it") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 5) {
+      val f = Array.fill(64)(rnd.nextInt(401) - 200.0)
+      val got = Multimodal.jpegIdct(f)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          s += cu * cv * f(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        }
+        assert(math.abs(got(y * 8 + x) - s / 4) < 1e-9, s"($x,$y)")
+      }
+      // orthonormal pair: FDCT ∘ IDCT = identity to float precision
+      val back = Multimodal.jpegFdct(got)
+      for (k <- 0 until 64) assert(math.abs(back(k) - f(k)) < 1e-9)
+    }
+  }
+
+  test("JPEG DC-only blocks decode to EXACT integers (pixel truth without rounding slack)") {
+    // one 8×8 block, only DC set, quant(0) = 16: every pixel is
+    // exactly DC·16/8 + 128 = 2·DC + 128 — integer arithmetic, no
+    // tolerance needed
+    for (dc <- Seq(-60, -1, 0, 13, 63)) {
+      val blk = new Array[Int](64); blk(0) = dc
+      val q = Array.fill(64)(1); q(0) = 16
+      val p = Multimodal.jpegFromBlocks(8, 8, Array(blk), q)
+      val Some((_, _, px)) = Multimodal.jpegGrayPixels(p)
+      assert(px.forall(_ == 2 * dc + 128), s"dc=$dc")
+    }
+  }
+
+  test("JPEG pixel round-trip under the all-ones table stays within rounding error") {
+    val w = 23; val h = 17
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(w * h)(rnd.nextInt(256))
+    val smooth = Array.tabulate(w * h)(i => (i % w) * 5 + (i / w) * 3 + 20)
+    for (src <- Seq(noise, smooth)) {
+      val Some((_, _, got)) =
+        Multimodal.jpegGrayPixels(Multimodal.jpegFromGray(w, h, src))
+      // all-ones quant: error is only FDCT-quantize rounding (RMS
+      // ~0.3/pixel by orthonormality); 3 gray levels is a generous lid
+      for (i <- 0 until w * h)
+        assert(math.abs(got(i) - src(i)) <= 3, s"pixel $i: ${got(i)} vs ${src(i)}")
+    }
+  }
+
+  test("JPEG cross-validation A: our encoder decodes correctly under the JDK's ImageIO") {
+    val w = 21; val h = 14
+    val rnd = new scala.util.Random(11)
+    val src = Array.fill(w * h)(rnd.nextInt(256))
+    val bytes = Multimodal.jpegFromGray(w, h, src)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val Some((_, _, ours)) = Multimodal.jpegGrayPixels(bytes)
+    // both decode the SAME coefficients; they may differ only by IDCT
+    // rounding (IEEE-1180: conforming implementations within ±1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val theirs = img.getRaster.getSample(x, y, 0)
+      assert(math.abs(theirs - ours(y * w + x)) <= 1, s"pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG cross-validation B: ImageIO's encoder decodes correctly under our parser") {
+    val w = 19; val h = 13
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(23)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val Some((gw, gh, ours)) = Multimodal.jpegGrayPixels(bytes)
+    assert(gw == w && gh == h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs(ref.getRaster.getSample(x, y, 0) - ours(y * w + x)) <= 1,
+        s"pixel ($x,$y)")
+  }
+
+  test("resizeJpegNearest: real Huffman/IDCT decode → remap → FDCT re-encode round-trip") {
+    val media = Multimodal.synthesizeJpegPixels(docs.limit(20))
+    val originals = media.collect().map(r =>
+      r.media_id -> Multimodal.jpegGrayPixels(r.payload).get).toMap
+    val resized = Multimodal.resizeJpegNearest(media, 8, 6).collect()
+    assert(resized.length == 20)
+    resized.foreach { r =>
+      val (w, h, src) = originals(r.media_id)
+      val Some((gw, gh, got)) = Multimodal.jpegGrayPixels(r.payload)
+      assert(gw == 8 && gh == 6)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val expect = src((y * h / 6) * w + x * w / 8)
+        // one extra FDCT/IDCT round-trip under the preserved all-ones
+        // table: rounding error only
+        assert(math.abs(got(y * 8 + x) - expect) <= 3, s"id=${r.media_id} ($x,$y)")
+      }
+    }
+    // non-JPEG payloads pass through untouched
+    val bmp = Multimodal.synthesizeBmpPixels(docs.limit(4))
+    val through = Multimodal.resizeJpegNearest(bmp, 8, 6).collect()
+    assert(through.map(_.payload.toSeq).toSet ==
+      bmp.collect().map(_.payload.toSeq).toSet)
   }
 
   test("sampleFrames: every k-th 16-byte chunk, explode shape") {

@@ -356,6 +356,29 @@ class CorpusStreamSpec extends SparkSpec {
     assert(afterHalf == batch, "half-landed batch leaked into the verdict")
   }
 
+  test("release-gate partials: legacy layout without ok/ markers still assembles") {
+    // pre-round-13 rollupBatch never wrote completion markers; a stats
+    // directory in that layout (no ok/ dir at all) must fall back to
+    // every batch= directory instead of refusing with "no completed
+    // batches" (round-14 ADVICE: silent breaking change for landed
+    // partials). Marker discipline applies only once ok/ exists.
+    val rows = (1L to 12L).map(i => (i, "s", s"legacy doc number $i"))
+    val full = rows.toDF("doc_id", "source", "text")
+    val stats = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    Seq(rows.take(6), rows.drop(6)).zipWithIndex.foreach { case (b, i) =>
+      CorpusStream.rollupBatch(b.toDF("doc_id", "source", "text"), i.toLong, stats)
+    }
+    // strip the markers → the legacy on-disk shape
+    val fs = new org.apache.hadoop.fs.Path(stats)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stats/ok"), true)
+    val legacy = CorpusStream.releaseGateFromPartials(spark, stats)
+      .collect().map(_.toSeq).toList
+    val batch = graft.ops.CorpusStats.releaseGateOf(full)
+      .collect().map(_.toSeq).toList
+    assert(legacy == batch, "legacy marker-less partials must assemble to the batch verdict")
+  }
+
   test("maskBatch replay: re-running batch N against its own failed output loses nothing") {
     val other = "completely different prose about seven green turtles " +
       "crossing a quiet winter road before dawn light arrives"
