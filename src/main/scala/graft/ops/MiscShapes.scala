@@ -723,6 +723,58 @@ object MiscShapes {
       |  bit_xor((id_a % 2097152) * 8192 + (id_b % 1024) * 8 + hamming) AS fp
       |FROM cand GROUP BY 1, 2 ORDER BY va, vb""".stripMargin
 
+  /** q227 — baseline COLOR JPEG (round-14, beyond the verdict list):
+    * payloads are complete three-component 4:4:4 YCbCr JFIFs with
+    * per-component planted quantized coefficients; the engine decodes
+    * the INTERLEAVED scan (per-MCU Y/Cb/Cr block order, three
+    * independent DC predictor chains) and recovers every coefficient
+    * exactly. The component-weighted Σ(c+1)·DC catches component
+    * order and predictor cross-talk the plain sum is blind to.
+    * Chroma-subsampled (4:2:0/4:2:2) decode + box upsampling +
+    * YCbCr→RGB is the same parser, cross-validated against ImageIO's
+    * own color encoder in MultimodalSpec. */
+  def jpegColorCoefMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeJpegColor(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeJpegColorCoefs(media).toDF()
+      .groupBy(col("width").cast("long").as("width"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_blocks")).as("nb_total"),
+        sum(col("sum_dc")).as("tot_dc"),
+        sum(col("cw_dc")).as("tot_cw_dc"),
+        sum(col("wsum_ac")).as("tot_wac"),
+        expr("bit_xor((media_id % 2097152) * 131072 + sum_dc)").as("fp_dc"),
+        expr("bit_xor((media_id % 2097152) * 131072 + wsum_ac)").as("fp_ac"))
+      .orderBy(col("width"))
+  }
+
+  val jpegColorCoefMeansSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 13 + 9 AS w, doc_id % 11 + 6 AS h
+      |    FROM documents WHERE doc_id < 4000),
+      |blk AS (SELECT doc_id, w, cs.c, bs.b, doc_id + 37*(cs.c+1) AS sid
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) cs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b) bs
+      |  WHERE bs.b < ((w+7)//8) * ((h+7)//8)),
+      |v AS (SELECT doc_id, w, c, b,
+      |    (sid + 17*b) % 101 - 50 AS dc,
+      |    ((sid*3 + 7*b) % 19 - 9) * 5 + ((sid + 13*b) % 7 - 3) * 29
+      |      + ((sid + b) % 5 - 2) * 63 AS wac
+      |  FROM blk),
+      |s AS (SELECT doc_id, w, count(*) AS nb,
+      |    CAST(sum(dc) AS BIGINT) AS sdc,
+      |    CAST(sum((c+1)*dc) AS BIGINT) AS cdc,
+      |    CAST(sum(wac) AS BIGINT) AS swac
+      |  FROM v GROUP BY 1, 2)
+      |SELECT w AS width, count(*) AS n,
+      |  CAST(sum(nb) AS BIGINT) AS nb_total,
+      |  CAST(sum(sdc) AS BIGINT) AS tot_dc,
+      |  CAST(sum(cdc) AS BIGINT) AS tot_cw_dc,
+      |  CAST(sum(swac) AS BIGINT) AS tot_wac,
+      |  bit_xor((doc_id % 2097152) * 131072 + sdc) AS fp_dc,
+      |  bit_xor((doc_id % 2097152) * 131072 + swac) AS fp_ac
+      |FROM s GROUP BY 1 ORDER BY width""".stripMargin
+
   // CAST(sum) AS BIGINT: DuckDB sums INTEGER into HUGEINT, which the
   // dtype-sensitive compare would flag against Spark's int64.
   val mediaDecodeSql: String =
@@ -780,6 +832,7 @@ object MiscShapes {
     "q223_jpeg_coef_means" -> jpegCoefMeans,
     "q224_image_near_dups" -> imageNearDupPairs,
     "q225_flac_sample_means" -> flacSampleMeans,
+    "q227_jpeg_color_coefs" -> jpegColorCoefMeans,
     "q58_jwt_verify" -> jwtVerify)
 
   def oracles: Map[String, String] = Map(
@@ -800,5 +853,6 @@ object MiscShapes {
     "q223_jpeg_coef_means" -> jpegCoefMeansSql,
     "q224_image_near_dups" -> imageNearDupPairsSql,
     "q225_flac_sample_means" -> flacSampleMeansSql,
+    "q227_jpeg_color_coefs" -> jpegColorCoefMeansSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

@@ -1831,20 +1831,57 @@ object Multimodal {
   private def jpegExtend(r: Int, s: Int): Int =
     if (s == 0) 0 else if (r < (1 << (s - 1))) r - (1 << s) + 1 else r
 
-  /** Parse a baseline sequential 8-bit single-component JFIF down to
-    * (width, height, quant table in zigzag order, quantized
-    * coefficient blocks in zigzag order, raster block order). None on
-    * anything else: progressive/multi-component SOFs, 16-bit quant
+  /** One decoded JPEG component: sampling factors, its quant table
+    * (zigzag order), and its quantized coefficient blocks (zigzag
+    * order) over the PADDED grid — `blocksW`×`blocksH` covers full
+    * MCUs; pixel assembly crops. */
+  private[ops] final case class JpegComp(hs: Int, vs: Int, quant: Array[Int],
+      blocksW: Int, blocksH: Int, blocks: Array[Array[Int]])
+
+  /** Decode one 8×8 block's coefficients (zigzag order). Returns the
+    * new DC predictor, or Int.MinValue on a malformed stream. */
+  private def jpegDecodeBlock(r: JpegBitReader, dcT: JpegHuff, acT: JpegHuff,
+      prevDc: Int, blk: Array[Int]): Int = {
+    val s = dcT.decode(r); if (s < 0 || s > 11) return Int.MinValue
+    val diffBits = if (s == 0) 0 else { val v = r.bits(s); if (v < 0) return Int.MinValue; v }
+    val dc = prevDc + jpegExtend(diffBits, s)
+    blk(0) = dc
+    var k = 1
+    while (k < 64) {
+      val sym = acT.decode(r); if (sym < 0) return Int.MinValue
+      val run = sym >> 4; val sz = sym & 0x0f
+      if (sz == 0) {
+        if (run == 15) k += 16 // ZRL
+        else return dc         // EOB
+      } else {
+        k += run
+        if (k > 63) return Int.MinValue
+        val v = r.bits(sz); if (v < 0) return Int.MinValue
+        blk(k) = jpegExtend(v, sz)
+        k += 1
+      }
+    }
+    dc
+  }
+
+  /** Parse a baseline sequential 8-bit JFIF — one component
+    * (grayscale) or three (YCbCr), any 1–2 sampling factors (4:4:4,
+    * 4:2:2, 4:4:0, 4:2:0), interleaved or single-component scan —
+    * down to (width, height, components with their quantized
+    * coefficient blocks). None on anything else:
+    * progressive/extended/lossless/arithmetic SOFs, 16-bit quant
     * tables, truncation, invalid Huffman codes, AC runs past 63.
     * Handles multiple DQT/DHT tables per segment, APPn/COM skip, DRI
-    * + RSTn restarts (DC predictor reset, byte alignment). */
-  private[ops] def parseJpegBlocks(p: Array[Byte]): Option[(Int, Int, Array[Int], Array[Array[Int]])] = {
+    * + RSTn restarts (all DC predictors reset, byte alignment). */
+  private[ops] def parseJpegComponents(p: Array[Byte]): Option[(Int, Int, Array[JpegComp])] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
     var i = 2
     var w = -1; var h = -1; var ri = 0
     val quants = new Array[Array[Int]](4)
     val dcTabs = new Array[JpegHuff](4); val acTabs = new Array[JpegHuff](4)
-    var compQuant = 0; var compDc = 0; var compAc = 0
+    var nf = 0
+    val compId = new Array[Int](3); val compHs = new Array[Int](3)
+    val compVs = new Array[Int](3); val compTq = new Array[Int](3)
     while (i + 4 <= p.length) {
       if ((p(i) & 0xff) != 0xff) return None
       val m = p(i + 1) & 0xff
@@ -1882,9 +1919,18 @@ object Multimodal {
         case 0xc0 => // SOF0 baseline
           if (len < 8 || (p(i + 4) & 0xff) != 8) return None
           h = rBe16(p, i + 5); w = rBe16(p, i + 7)
-          val nf = p(i + 9) & 0xff
-          if (nf != 1 || len < 8 + 3 * nf) return None // single component only
-          compQuant = p(i + 12) & 0x0f
+          nf = p(i + 9) & 0xff
+          if ((nf != 1 && nf != 3) || len < 8 + 3 * nf) return None
+          var c = 0
+          while (c < nf) {
+            compId(c) = p(i + 10 + 3 * c) & 0xff
+            val samp = p(i + 11 + 3 * c) & 0xff
+            compHs(c) = samp >> 4; compVs(c) = samp & 0x0f
+            compTq(c) = p(i + 12 + 3 * c) & 0x0f
+            if (compHs(c) < 1 || compHs(c) > 2 || compVs(c) < 1 || compVs(c) > 2 ||
+                compTq(c) > 3) return None
+            c += 1
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           return None // extended/progressive/lossless/arithmetic SOFs
@@ -1892,62 +1938,113 @@ object Multimodal {
           if (len != 4) return None
           ri = rBe16(p, i + 4)
         case 0xda => // SOS: entropy-coded data follows the header
-          if (w <= 0 || h <= 0 || (p(i + 4) & 0xff) != 1) return None
-          val td = (p(i + 6) & 0xff) >> 4; val ta = p(i + 6) & 0x0f
-          compDc = td; compAc = ta
-          if ((p(i + 7) & 0xff) != 0 || (p(i + 8) & 0xff) != 63) return None
-          val q = quants(compQuant)
-          val dcT = dcTabs(compDc); val acT = acTabs(compAc)
-          if (q == null || dcT == null || acT == null) return None
-          val bw = (w + 7) / 8; val bh = (h + 7) / 8
-          val nb = bw * bh
-          val blocks = new Array[Array[Int]](nb)
-          val r = new JpegBitReader(p, i + 2 + len)
-          var prevDc = 0
-          var b = 0
-          while (b < nb) {
-            if (ri > 0 && b > 0 && b % ri == 0) {
-              // restart: byte-align, consume RSTn, reset the predictor
-              r.align()
-              if (r.marker < 0) {
-                // reader has not hit the marker yet — pull it
-                if (r.bit() >= 0) return None
-              }
-              if (r.marker < 0xd0 || r.marker > 0xd7) return None
-              r.marker = -1; r.pos += 1 // step past the marker byte
-              prevDc = 0
-            }
-            val blk = new Array[Int](64)
-            val s = dcT.decode(r); if (s < 0 || s > 11) return None
-            val diffBits = if (s == 0) 0 else { val v = r.bits(s); if (v < 0) return None; v }
-            prevDc += jpegExtend(diffBits, s)
-            blk(0) = prevDc
-            var k = 1
-            var done = false
-            while (!done && k < 64) {
-              val sym = acT.decode(r); if (sym < 0) return None
-              val run = sym >> 4; val sz = sym & 0x0f
-              if (sz == 0) {
-                if (run == 15) k += 16 // ZRL
-                else done = true       // EOB
-              } else {
-                k += run
-                if (k > 63) return None
-                val v = r.bits(sz); if (v < 0) return None
-                blk(k) = jpegExtend(v, sz)
-                k += 1
-              }
-            }
-            blocks(b) = blk
-            b += 1
+          val ns = p(i + 4) & 0xff
+          if (w <= 0 || h <= 0 || nf == 0 || ns != nf) return None
+          // per-scan-component: map scan ids to SOF components, pull tables
+          val scanDc = new Array[JpegHuff](nf); val scanAc = new Array[JpegHuff](nf)
+          val order = new Array[Int](nf)
+          var sc = 0
+          while (sc < nf) {
+            val cid = p(i + 5 + 2 * sc) & 0xff
+            val tt = p(i + 6 + 2 * sc) & 0xff
+            val ci = compId.indexOf(cid)
+            if (ci < 0 || ci >= nf) return None
+            order(sc) = ci
+            scanDc(sc) = dcTabs(tt >> 4); scanAc(sc) = acTabs(tt & 0x0f)
+            if (scanDc(sc) == null || scanAc(sc) == null) return None
+            sc += 1
           }
-          return Some((w, h, q, blocks))
+          val ssOff = i + 5 + 2 * nf
+          if ((p(ssOff) & 0xff) != 0 || (p(ssOff + 1) & 0xff) != 63) return None
+          val hmax = (0 until nf).map(compHs).max
+          val vmax = (0 until nf).map(compVs).max
+          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          // padded per-component grids; non-interleaved single-component
+          // scans (ns == 1) use the component's own ceil-grid, no MCU
+          // padding beyond the 8-multiple
+          val comps = new Array[JpegComp](nf)
+          var c = 0
+          while (c < nf) {
+            val q = quants(compTq(c)); if (q == null) return None
+            val (bwC, bhC) =
+              if (nf == 1) (((w + 7) / 8, (h + 7) / 8))
+              else ((mcusX * compHs(c), mcusY * compVs(c)))
+            comps(c) = JpegComp(compHs(c), compVs(c), q, bwC, bhC,
+              Array.fill(bwC * bhC)(null: Array[Int]))
+            c += 1
+          }
+          val r = new JpegBitReader(p, i + 2 + len)
+          val prevDc = new Array[Int](nf)
+          def restart(): Boolean = {
+            r.align()
+            if (r.marker < 0 && r.bit() >= 0) return false
+            if (r.marker < 0xd0 || r.marker > 0xd7) return false
+            r.marker = -1; r.pos += 1
+            java.util.Arrays.fill(prevDc, 0)
+            true
+          }
+          if (nf == 1) {
+            val comp = comps(0)
+            val nb = comp.blocksW * comp.blocksH
+            var b = 0
+            while (b < nb) {
+              if (ri > 0 && b > 0 && b % ri == 0 && !restart()) return None
+              val blk = new Array[Int](64)
+              val dc = jpegDecodeBlock(r, scanDc(0), scanAc(0), prevDc(0), blk)
+              if (dc == Int.MinValue) return None
+              prevDc(0) = dc
+              comp.blocks(b) = blk
+              b += 1
+            }
+          } else {
+            // interleaved: per MCU, each component contributes its
+            // vs×hs blocks in raster order within the MCU
+            var mcu = 0
+            val nMcus = mcusX * mcusY
+            while (mcu < nMcus) {
+              if (ri > 0 && mcu > 0 && mcu % ri == 0 && !restart()) return None
+              val mx = mcu % mcusX; val my = mcu / mcusX
+              var sc2 = 0
+              while (sc2 < nf) {
+                val ci = order(sc2)
+                val comp = comps(ci)
+                var by = 0
+                while (by < comp.vs) {
+                  var bx = 0
+                  while (bx < comp.hs) {
+                    val blk = new Array[Int](64)
+                    val dc = jpegDecodeBlock(r, scanDc(sc2), scanAc(sc2), prevDc(ci), blk)
+                    if (dc == Int.MinValue) return None
+                    prevDc(ci) = dc
+                    comp.blocks((my * comp.vs + by) * comp.blocksW + (mx * comp.hs + bx)) = blk
+                    bx += 1
+                  }
+                  by += 1
+                }
+                sc2 += 1
+              }
+              mcu += 1
+            }
+          }
+          return Some((w, h, comps))
         case _ => () // APPn / COM / anything else with a length: skip
       }
       i = end
     }
     None
   }
+
+  /** Single-component adapter (the q223 gate path): (width, height,
+    * quant table, blocks) of a baseline GRAYSCALE JFIF; None for
+    * color payloads — callers wanting any baseline JFIF use
+    * [[parseJpegComponents]] / [[jpegRgb]]. */
+  private[ops] def parseJpegBlocks(p: Array[Byte]): Option[(Int, Int, Array[Int], Array[Array[Int]])] =
+    parseJpegComponents(p) match {
+      case Some((w, h, comps)) if comps.length == 1 =>
+        Some((w, h, comps(0).quant, comps(0).blocks))
+      case _ => None
+    }
 
   // Separable double-precision DCT-II/III basis: dctCos(x)(u) =
   // cos((2x+1)·u·π/16), C(0) = 1/√2.
@@ -2051,6 +2148,202 @@ object Multimodal {
     parseJpegBlocks(p).map { case (w, h, q, blocks) =>
       (w, h, jpegPixelsOf(w, h, q, blocks))
     }
+
+  /** IDCT one component into its full padded plane (level-shifted,
+    * clamped 0–255). */
+  private def jpegPlaneOf(comp: JpegComp): Array[Int] = {
+    val pw = comp.blocksW * 8
+    val out = new Array[Int](pw * comp.blocksH * 8)
+    var b = 0
+    while (b < comp.blocks.length) {
+      val blk = comp.blocks(b)
+      val f = new Array[Double](64)
+      var k = 0
+      while (k < 64) { f(jpegZigzag(k)) = blk(k).toDouble * comp.quant(k); k += 1 }
+      val px = jpegIdct(f)
+      val bx = b % comp.blocksW; val by = b / comp.blocksW
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val v = math.round(px(y * 8 + x) + 128.0).toInt
+          out((by * 8 + y) * pw + bx * 8 + x) =
+            if (v < 0) 0 else if (v > 255) 255 else v
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Full COLOR decode of any baseline JFIF (gray or YCbCr at any
+    * supported sampling): per-component IDCT planes, box chroma
+    * upsampling (cx = x·hs div hmax — the nearest map), JFIF
+    * YCbCr→RGB (R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) −
+    * 0.714136·(Cr−128), B = Y + 1.772·(Cb−128)), rounded and
+    * clamped. Returns row-major RGB triples. */
+  private[ops] def jpegRgb(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseJpegComponents(p).map { case (w, h, comps) =>
+      val planes = comps.map(jpegPlaneOf)
+      val out = new Array[Byte](w * h * 3)
+      if (comps.length == 1) {
+        val pw = comps(0).blocksW * 8
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = planes(0)(y * pw + x).toByte
+            val o = (y * w + x) * 3
+            out(o) = v; out(o + 1) = v; out(o + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val hmax = comps.map(_.hs).max; val vmax = comps.map(_.vs).max
+        val pws = comps.map(_.blocksW * 8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def samp(c: Int): Int =
+              planes(c)((y * comps(c).vs / vmax) * pws(c) + x * comps(c).hs / hmax)
+            val yy = samp(0).toDouble
+            val cb = samp(1) - 128.0; val cr = samp(2) - 128.0
+            def clamp(d: Double): Byte = {
+              val v = math.round(d).toInt
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            }
+            val o = (y * w + x) * 3
+            out(o) = clamp(yy + 1.402 * cr)
+            out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+            out(o + 2) = clamp(yy + 1.772 * cb)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (w, h, out)
+    }
+
+  /** Encode three components' quantized coefficient blocks (4:4:4,
+    * zigzag order, raster block order per component) into a complete
+    * baseline COLOR JFIF: one DQT shared by all three, the Annex K
+    * luminance Huffman pair shared by all three (legal — table ids
+    * are per-scan-component), interleaved SOS. The color twin of
+    * [[jpegFromBlocks]] for the q227 planted-coefficient gate. */
+  private[ops] def jpegColorFromBlocks(w: Int, h: Int,
+      compBlocks: Array[Array[Array[Int]]], quantZigzag: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(compBlocks(0).length * 96 + 700)
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0x00, 0x01, 0x01,
+      0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00))
+    seg(0xdb, Array[Byte](0x00) ++ quantZigzag.map(_.toByte))
+    seg(0xc0, Array[Byte](0x08) ++ be16(h) ++ be16(w) ++ Array[Byte](0x03,
+      0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)) // 3 comps, 1×1 each
+    seg(0xc4, Array[Byte](0x00) ++ jpegDcBits.map(_.toByte) ++ jpegDcVals.map(_.toByte))
+    seg(0xc4, Array[Byte](0x10) ++ jpegAcBits.map(_.toByte) ++ jpegAcVals.map(_.toByte))
+    seg(0xda, Array[Byte](0x03, 0x01, 0x00, 0x02, 0x00, 0x03, 0x00, 0x00, 0x3f, 0x00))
+    val dcCodes = jpegHuffCodes(jpegDcBits, jpegDcVals)
+    val acCodes = jpegHuffCodes(jpegAcBits, jpegAcVals)
+    val bw = new JpegBitWriter(out)
+    val prevDc = new Array[Int](3)
+    def putBlock(blk: Array[Int], c: Int): Unit = {
+      val diff = blk(0) - prevDc(c); prevDc(c) = blk(0)
+      val s = if (diff == 0) 0 else jpegBitLen(math.abs(diff))
+      bw.putSym(dcCodes(s))
+      if (s > 0) bw.put(if (diff > 0) diff else diff - 1, s)
+      var run = 0; var k = 1
+      while (k < 64) {
+        val v = blk(k)
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { bw.putSym(acCodes(0xf0)); run -= 16 }
+          val sz = jpegBitLen(math.abs(v))
+          bw.putSym(acCodes((run << 4) | sz))
+          bw.put(if (v > 0) v else v - 1, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.putSym(acCodes(0x00))
+    }
+    var b = 0
+    while (b < compBlocks(0).length) { // 4:4:4 interleave: Y, Cb, Cr per MCU
+      var c = 0
+      while (c < 3) { putBlock(compBlocks(c)(b), c); c += 1 }
+      b += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  /** Planted color-JPEG quantized coefficient: the grayscale planted
+    * function shifted per component so every channel exercises its
+    * own DC chain. */
+  private[ops] def plantedJpegColorCoef(id: Long, c: Int, b: Int, k: Int): Int =
+    plantedJpegCoef(id + 37L * (c + 1), b, k)
+
+  private[ops] def jpegColorWithCoefficients(id: Long, w: Int, h: Int): Array[Byte] = {
+    val nb = ((w + 7) / 8) * ((h + 7) / 8)
+    val comps = Array.tabulate(3) { c =>
+      Array.tabulate(nb)(b => Array.tabulate(64)(k => plantedJpegColorCoef(id, c, b, k)))
+    }
+    jpegColorFromBlocks(w, h, comps, Array.fill(64)(1))
+  }
+
+  /** Color-JPEG media table (the q227 input). */
+  def synthesizeJpegColor(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = plantedJpegDims(id)
+      MediaRow(id, "image", jpegColorWithCoefficients(id, w, h))
+    }
+  }
+
+  case class JpegColorCoefStats(media_id: Long, width: Int, height: Int,
+      n_blocks: Long, sum_dc: Long, cw_dc: Long, wsum_ac: Long)
+
+  /** Per-image coefficient statistics over ALL components of a color
+    * JFIF: ΣDC, the component-weighted Σ(c+1)·DC (catches component
+    * order / predictor cross-talk), and the zigzag-weighted AC sum —
+    * exactly restatable, the q223 scheme widened to the interleaved
+    * decode. */
+  def decodeJpegColorCoefs(media: Dataset[MediaRow]): Dataset[JpegColorCoefStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseJpegComponents(r.payload) match {
+          case None => JpegColorCoefStats(r.media_id, -1, -1, -1L, -1L, -1L, -1L)
+          case Some((w, h, comps)) =>
+            var sdc = 0L; var cdc = 0L; var wac = 0L; var nb = 0L
+            var c = 0
+            while (c < comps.length) {
+              val blocks = comps(c).blocks
+              var b = 0
+              while (b < blocks.length) {
+                val blk = blocks(b)
+                sdc += blk(0); cdc += (c + 1).toLong * blk(0)
+                var k = 1
+                while (k < 64) { wac += blk(k).toLong * k; k += 1 }
+                b += 1
+              }
+              nb += blocks.length
+              c += 1
+            }
+            JpegColorCoefStats(r.media_id, w, h, nb, sdc, cdc, wac)
+        }
+      }
+    }
+  }
 
   /** Encode gray pixels to baseline JFIF: edge-replicate to 8×8
     * tiles, level shift, FDCT, quantize (round half away from zero),
@@ -2266,7 +2559,10 @@ object Multimodal {
           luma(rgb(i * 3) & 0xff, rgb(i * 3 + 1) & 0xff, rgb(i * 3 + 2) & 0xff)))
       }
     else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
-      jpegGrayPixels(p)
+      jpegRgb(p).map { case (w, h, rgb) =>
+        (w, h, Array.tabulate(w * h)(i =>
+          luma(rgb(i * 3) & 0xff, rgb(i * 3 + 1) & 0xff, rgb(i * 3 + 2) & 0xff)))
+      }
     else None
   }
 

@@ -659,6 +659,71 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x,$y)")
   }
 
+  test("color JPEG: planted per-component coefficients round-trip the interleaved scan exactly") {
+    for (id <- Seq(2L, 58L, 901L)) {
+      val (w, h) = Multimodal.plantedJpegDims(id)
+      val Some((gw, gh, comps)) =
+        Multimodal.parseJpegComponents(Multimodal.jpegColorWithCoefficients(id, w, h))
+      assert(gw == w && gh == h && comps.length == 3)
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      for (c <- 0 until 3) {
+        assert(comps(c).hs == 1 && comps(c).vs == 1)
+        assert(comps(c).blocks.length == nb)
+        for (b <- 0 until nb; k <- 0 until 64)
+          assert(comps(c).blocks(b)(k) == Multimodal.plantedJpegColorCoef(id, c, b, k),
+            s"id=$id c=$c b=$b k=$k")
+      }
+      // the single-component adapter must NOT accept color payloads
+      assert(Multimodal.parseJpegBlocks(
+        Multimodal.jpegColorWithCoefficients(id, w, h)).isEmpty)
+    }
+  }
+
+  test("color JPEG cross-validation A: our 4:4:4 encoder decodes correctly under ImageIO") {
+    val id = 77L; val w = 16; val h = 16
+    val bytes = Multimodal.jpegColorWithCoefficients(id, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val Some((_, _, ours)) = Multimodal.jpegRgb(bytes)
+    // same coefficients, both ±1 IDCT rounding, plus YCbCr→RGB
+    // rounding on each side → ≤ 2 per channel
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(math.abs(((t >> 16) & 0xff) - (ours(o) & 0xff)) <= 2, s"R ($x,$y)")
+      assert(math.abs(((t >> 8) & 0xff) - (ours(o + 1) & 0xff)) <= 2, s"G ($x,$y)")
+      assert(math.abs((t & 0xff) - (ours(o + 2) & 0xff)) <= 2, s"B ($x,$y)")
+    }
+  }
+
+  test("color JPEG cross-validation B: ImageIO's 4:2:0 encoder decodes under our parser") {
+    // a gentle gradient: chroma varies slowly, so the box-vs-fancy
+    // upsampling difference between decoders stays within a few levels
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (0xff << 24) | ((40 + 3 * x) << 16) | ((60 + 2 * y) << 8) | (90 + x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val Some((gw, gh, comps)) = Multimodal.parseJpegComponents(bytes)
+    assert(gw == w && gh == h && comps.length == 3)
+    // the JDK writer subsamples chroma by default — the parser must
+    // see mixed sampling factors, not assume 4:4:4
+    assert(comps(0).hs * comps(0).vs > comps(1).hs * comps(1).vs,
+      s"expected subsampled chroma, got Y ${comps(0).hs}x${comps(0).vs} C ${comps(1).hs}x${comps(1).vs}")
+    val Some((_, _, ours)) = Multimodal.jpegRgb(bytes)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(math.abs(((t >> 16) & 0xff) - (ours(o) & 0xff)) <= 8, s"R ($x,$y)")
+      assert(math.abs(((t >> 8) & 0xff) - (ours(o + 1) & 0xff)) <= 8, s"G ($x,$y)")
+      assert(math.abs((t & 0xff) - (ours(o + 2) & 0xff)) <= 8, s"B ($x,$y)")
+    }
+  }
+
   test("resizeJpegNearest: real Huffman/IDCT decode → remap → FDCT re-encode round-trip") {
     val media = Multimodal.synthesizeJpegPixels(docs.limit(20))
     val originals = media.collect().map(r =>
