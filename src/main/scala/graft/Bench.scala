@@ -70,7 +70,11 @@ object Bench {
     // recipe_family_sec separately below) keeps the headline total's
     // round-over-round delta readable.
     val recipeFamily = Seq(
-      "q59_corpus_pipeline", "q69_training_recipe", "q99_curation_recipe")
+      "q59_corpus_pipeline", "q69_training_recipe", "q99_curation_recipe",
+      // round-15: q102 joins the family pin — its 24-iteration GD loop
+      // shares the family's GC-pressure signature (VERDICT r14), so it
+      // runs on the young JVM and counts in recipe_family_sec.
+      "q102_quality_probe")
     val names = {
       val sorted = SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.exists(n.startsWith)))
@@ -331,11 +335,22 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Per-query GC in the DRIVER-CAPTURED line (round-15, VERDICT r14
+    // item 1b): the full gc_queries map lives in bench_out.json, but the
+    // committed BENCH_r*.json only sees this compact line — carry the
+    // recipe family plus the top-5 GC burners so a family spike is
+    // attributable per-query in the round artifact itself (~8 entries,
+    // still well under the tail-capture buffer).
+    val gcCompactKeys = (recipeFamily.filter(results.toMap.contains) ++
+      names.sortBy(n => -gcByQuery(n)).take(5)).distinct
+    val gcCompact = gcCompactKeys
+      .map(n => "\"" + n + "\":" + (math.round(gcByQuery(n) * 1000) / 1000.0))
+      .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,""" +
         s""""n_queries":${results.size},"cold_total_sec":$cold,""" +
         s""""recipe_family_sec":$recipeFamilySec,""" +
-        s""""gc_sec_total":$gcTotal,""" +
+        s""""gc_sec_total":$gcTotal,"gc_queries":$gcCompact,""" +
         s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
         s""""high_load_at_start":$highLoad,"quiesce_waited":$quiesceWaited,""" +
         s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,""" +

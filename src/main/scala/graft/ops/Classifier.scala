@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Distributed quality-classifier distillation — the fastText-style
@@ -146,7 +147,11 @@ object Classifier {
     * included, transitively), not just the final scores. Converges to
     * ~0.97 train accuracy on this corpus (majority class is 0.554). */
   def qualityProbeGate(s: SparkSession, dir: String): DataFrame = {
-    val feats = featurize(docs(s, dir), "doc_id", "text").persist()
+    // DISK_ONLY (r15, VERDICT r14 item 1): 24 GD iterations re-scan this
+    // frame; at MEMORY level its deserialized feature arrays were resident
+    // heap for the whole loop — the q102 GC-pressure signature.
+    val feats = featurize(docs(s, dir), "doc_id", "text")
+      .persist(StorageLevel.DISK_ONLY)
     try {
       val w = train(feats)
       predict(feats, "doc_id", w).orderBy(col("doc_id"))

@@ -254,7 +254,11 @@ object CorpusPipeline {
     // list and release the cache before returning (same hygiene +
     // final-plan shape as trainingRecipe: one broadcast semi-join over
     // the raw corpus, nothing recomputed, nothing leaked).
-    val ex = exactStage(gated, idCol, textCol, cfg.exactByFingerprint).persist()
+    // DISK_ONLY (round-15, VERDICT r14 item 1): the survivors carry
+    // full text — at MEMORY level this frame was the q59 GC-pressure
+    // suspect (same class as the q69/q70 fixes).
+    val ex = exactStage(gated, idCol, textCol, cfg.exactByFingerprint)
+      .persist(StorageLevel.DISK_ONLY)
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket)
     val keep = graft.PlanCapture.checkpoint(

@@ -610,6 +610,58 @@ object MiscShapes {
       |  bit_xor((doc_id % 2097152) * 65536 + peak) AS fp_peak
       |FROM agg GROUP BY 1 ORDER BY channels""".stripMargin
 
+  /** q228 — FLAC LPC/fixed-prediction + Rice sample truth (round-15,
+    * VERDICT r14 item 2): payloads are complete FLACs whose frames
+    * carry FIXED subframes (order cycling 0-4, Rice partition order
+    * cycling 0-2) and an LPC subframe (order 2, coefs [3,-1],
+    * shift 1) — the encoding real-world FLAC actually uses. The
+    * encoder computes true predictor residuals from the planted
+    * linear-ramp-plus-wiggle waveform and Rice-codes them; the engine
+    * walks the frame headers, verifies CRC-8/CRC-16, decodes unary/
+    * zigzag residuals and re-runs the predictor, and must recover the
+    * samples EXACTLY, while the oracle restates the waveform in
+    * closed form. Map-only; 2 channel groups. */
+  def flacPredSampleMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeFlacPredSamples(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeFlacSamples(media).toDF()
+      .groupBy(col("channels").cast("long").as("channels"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("sum_s")).as("tot_sum"),
+        sum(col("sum_sq")).as("tot_sq"),
+        max(col("peak")).as("max_peak"),
+        expr("bit_xor((media_id % 2097152) * 1099511627776 + sum_sq)").as("fp_sq"),
+        expr("bit_xor((media_id % 2097152) * 65536 + peak)").as("fp_peak"))
+      .orderBy(col("channels"))
+  }
+
+  val flacPredSampleMeansSql: String =
+    """WITH d AS (SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch,
+      |    doc_id % 104 + 16 AS nv
+      |  FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT d.doc_id, ch, nv,
+      |    (doc_id*13 + 29*xc.c) % 20000 - 10000
+      |      + ((doc_id*3 + 11*xc.c) % 9 - 4) * xi.i
+      |      + ((doc_id + 5*xi.i + 3*xc.c) % 7 - 3) AS s
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 150)) AS i) xi
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS c) xc
+      |  WHERE xi.i < 32 + nv AND xc.c < ch),
+      |agg AS (SELECT doc_id, ch, nv,
+      |    CAST(sum(s) AS BIGINT) AS sum_s,
+      |    CAST(sum(s*s) AS BIGINT) AS sum_sq,
+      |    CAST(max(abs(s)) AS BIGINT) AS peak
+      |  FROM px GROUP BY 1, 2, 3)
+      |SELECT CAST(ch AS BIGINT) AS channels, count(*) AS n,
+      |  CAST(sum(32 + nv) AS BIGINT) AS total_samples,
+      |  CAST(sum(sum_s) AS BIGINT) AS tot_sum,
+      |  CAST(sum(sum_sq) AS BIGINT) AS tot_sq,
+      |  max(peak) AS max_peak,
+      |  bit_xor((doc_id % 2097152) * 1099511627776 + sum_sq) AS fp_sq,
+      |  bit_xor((doc_id % 2097152) * 65536 + peak) AS fp_peak
+      |FROM agg GROUP BY 1 ORDER BY channels""".stripMargin
+
   /** q223 — REAL JPEG truth (round-14, VERDICT r13 item 4 — the last
     * codec): payloads are complete baseline JFIFs whose QUANTIZED
     * coefficients are planted per-block functions. JPEG is lossy at
@@ -723,6 +775,111 @@ object MiscShapes {
       |  bit_xor((id_a % 2097152) * 8192 + (id_b % 1024) * 8 + hamming) AS fp
       |FROM cand GROUP BY 1, 2 ORDER BY va, vb""".stripMargin
 
+  /** q229 — perceptual AUDIO near-dup dedup (round-15, VERDICT r14
+    * item 3 — the audio leg of the multimodal-dedup story): four
+    * clips per doc share planted waveform content — WAV original,
+    * the SAME samples as FLAC (byte-disjoint lossless re-encode), a
+    * 2× nearest-upsampled WAV (window-aligned, so every window
+    * energy exactly doubles and all comparison bits hold), and a
+    * one-window-muted near-dup twin (flips ≤ 2 bits). The engine
+    * decodes each through its real codec, computes the 64-bit
+    * windowed-energy delta hash, and runs the multi-index banded
+    * Hamming search; the oracle restates the ENTIRE construction —
+    * samples, window map, energies, comparison bits, band join,
+    * Hamming filter — arithmetically. Grouped by variant pair. */
+  def audioNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.synthesizeAudioPerceptualCorpus(
+      docs(s, dir).filter(col("doc_id") < 2000))
+    Dedup.audioNearDups(corpus, maxHamming = 3)
+      .groupBy((col("id_a") % 4).as("va"), (col("id_b") % 4).as("vb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hamming")).as("tot_hamming"),
+        expr("bit_xor((id_a % 2097152) * 8192 + (id_b % 1024) * 8 + hamming)").as("fp"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val audioNearDupPairsSql: String =
+    """WITH d AS (SELECT doc_id AS id, 65*(doc_id % 4 + 2) AS n,
+      |    doc_id % 63 + 1 AS wz
+      |  FROM documents WHERE doc_id < 2000),
+      |samp AS (SELECT id, n, vs.v, xi.i,
+      |    CASE WHEN vs.v = 2 THEN (id*31 + 17*(xi.i//2)) % 4001 - 2000
+      |         WHEN vs.v = 3 AND (xi.i*65)//n = wz THEN 0
+      |         ELSE (id*31 + 17*xi.i) % 4001 - 2000 END AS s,
+      |    CASE WHEN vs.v = 2 THEN (xi.i*65)//(2*n)
+      |         ELSE (xi.i*65)//n END AS w
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS v) vs
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 649)) AS i) xi
+      |  WHERE xi.i < CASE WHEN vs.v = 2 THEN 2*n ELSE n END),
+      |ws AS (SELECT id, v, w, CAST(sum(abs(s)) AS BIGINT) AS e
+      |  FROM samp GROUP BY 1, 2, 3),
+      |bits AS (SELECT a.id, a.v, a.w AS pos,
+      |    CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+      |  FROM ws a JOIN ws b ON b.id = a.id AND b.v = a.v AND b.w = a.w + 1
+      |  WHERE a.w < 64),
+      |hash AS (SELECT id*4 + v AS mid, string_agg(bit, '' ORDER BY pos) AS hs
+      |  FROM bits GROUP BY id, v),
+      |band AS (SELECT mid, hs, bs.b, substr(hs, bs.b*16 + 1, 16) AS key
+      |  FROM hash CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+      |cand AS (SELECT DISTINCT a.mid AS id_a, b.mid AS id_b,
+      |    CAST(hamming(a.hs, b.hs) AS BIGINT) AS hamming
+      |  FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.mid < b.mid
+      |  WHERE hamming(a.hs, b.hs) <= 3)
+      |SELECT id_a % 4 AS va, id_b % 4 AS vb, count(*) AS n_pairs,
+      |  CAST(sum(hamming) AS BIGINT) AS tot_hamming,
+      |  bit_xor((id_a % 2097152) * 8192 + (id_b % 1024) * 8 + hamming) AS fp
+      |FROM cand GROUP BY 1, 2 ORDER BY va, vb""".stripMargin
+
+  /** q230 — MP4 stored-raw SAMPLE truth (round-15, VERDICT r14 item
+    * 5 — the last header-only modality gets payload truth): payloads
+    * are complete MP4s whose frame geometry is declared by a real
+    * stbl/stsz box (uniform sample size + count, inside
+    * moov/trak/mdia/minf) and whose mdat carries exactly that many
+    * planted raw frame bytes. The engine walks the box tree,
+    * cross-checks declared geometry against the actual mdat extent
+    * (truncated mdat rejects — spec-pinned), and aggregates the
+    * frames; Σ(f+1)·b pins frame ORDER. The oracle restates the
+    * planted bytes arithmetically. Map-only; grouped by frame size
+    * residue. */
+  def mp4SampleMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeMp4Samples(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeMp4Samples(media).toDF()
+      .groupBy((col("frame_size") % 7).cast("long").as("fs_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("sum_b")).as("tot_sum"),
+        sum(col("fw_sum")).as("tot_fw"),
+        max(col("peak")).as("max_peak"),
+        expr("bit_xor((media_id % 2097152) * 16777216 + sum_b)").as("fp_sum"),
+        expr("bit_xor((media_id % 2097152) * 512 + peak)").as("fp_peak"))
+      .orderBy(col("fs_bucket"))
+  }
+
+  val mp4SampleMeansSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 49 + 16 AS fs, doc_id % 30 + 4 AS nf
+      |  FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT d.doc_id, fs, nf,
+      |    xf.f, (doc_id*7 + 13*xf.f + 5*xk.k) % 256 AS b
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 33)) AS f) xf
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS k) xk
+      |  WHERE xf.f < nf AND xk.k < fs),
+      |agg AS (SELECT doc_id, fs, nf,
+      |    CAST(sum(b) AS BIGINT) AS sum_b,
+      |    CAST(sum((f+1)*b) AS BIGINT) AS fw_sum,
+      |    CAST(max(b) AS BIGINT) AS peak
+      |  FROM px GROUP BY 1, 2, 3)
+      |SELECT CAST(fs % 7 AS BIGINT) AS fs_bucket, count(*) AS n,
+      |  CAST(sum(nf) AS BIGINT) AS total_frames,
+      |  CAST(sum(sum_b) AS BIGINT) AS tot_sum,
+      |  CAST(sum(fw_sum) AS BIGINT) AS tot_fw,
+      |  max(peak) AS max_peak,
+      |  bit_xor((doc_id % 2097152) * 16777216 + sum_b) AS fp_sum,
+      |  bit_xor((doc_id % 2097152) * 512 + peak) AS fp_peak
+      |FROM agg GROUP BY 1 ORDER BY fs_bucket""".stripMargin
+
   /** q227 — baseline COLOR JPEG (round-14, beyond the verdict list):
     * payloads are complete three-component 4:4:4 YCbCr JFIFs with
     * per-component planted quantized coefficients; the engine decodes
@@ -832,6 +989,9 @@ object MiscShapes {
     "q223_jpeg_coef_means" -> jpegCoefMeans,
     "q224_image_near_dups" -> imageNearDupPairs,
     "q225_flac_sample_means" -> flacSampleMeans,
+    "q228_flac_pred_samples" -> flacPredSampleMeans,
+    "q229_audio_near_dups" -> audioNearDupPairs,
+    "q230_mp4_sample_means" -> mp4SampleMeans,
     "q227_jpeg_color_coefs" -> jpegColorCoefMeans,
     "q58_jwt_verify" -> jwtVerify)
 
@@ -853,6 +1013,9 @@ object MiscShapes {
     "q223_jpeg_coef_means" -> jpegCoefMeansSql,
     "q224_image_near_dups" -> imageNearDupPairsSql,
     "q225_flac_sample_means" -> flacSampleMeansSql,
+    "q228_flac_pred_samples" -> flacPredSampleMeansSql,
+    "q229_audio_near_dups" -> audioNearDupPairsSql,
+    "q230_mp4_sample_means" -> mp4SampleMeansSql,
     "q227_jpeg_color_coefs" -> jpegColorCoefMeansSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

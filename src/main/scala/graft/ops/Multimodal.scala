@@ -312,9 +312,12 @@ object Multimodal {
   // (block-size/rate/channel/sample-size codes, UTF-8-coded frame
   // number), CRC-8-verified headers (poly 0x07) and CRC-16-verified
   // frames (poly 0x8005) — a single flipped byte anywhere rejects.
-  // Not a full codec by design: LPC/fixed-prediction subframes and
-  // Rice residuals return the sentinel (the honest boundary, like
-  // progressive JPEG).
+  // Round-15 (VERDICT r14 item 2) extends the honest subset to
+  // FIXED-prediction orders 0-4 and LPC subframes with Rice/Rice2
+  // partitioned residuals (incl. escape partitions) — the encoding
+  // ~100% of real-world FLAC uses. Remaining sentinel rejects:
+  // wasted-bits subframes, non-16-bit streams, stereo decorrelation
+  // (left/right/mid-side channel assignments), negative LPC shifts.
   // ----------------------------------------------------------------
 
   private[ops] def flacCrc8(data: Array[Byte], from: Int, until: Int): Int = {
@@ -410,6 +413,136 @@ object Multimodal {
     body ++ Array[Byte]((crc >> 8).toByte, crc.toByte)
   }
 
+  /** Smallest Rice parameter keeping every unary quotient ≤ 15 —
+    * any valid parameter decodes identically; this one keeps planted
+    * streams compact without an optimal-partition search. */
+  private def riceParamFor(resid: Array[Int], from: Int, until: Int): Int = {
+    var maxU = 0L
+    var i = from
+    while (i < until) {
+      val r = resid(i)
+      val u = (r.toLong << 1) ^ (r.toLong >> 63)
+      if (u > maxU) maxU = u
+      i += 1
+    }
+    var p = 0
+    while (p < 14 && (maxU >>> p) > 15) p += 1
+    p
+  }
+
+  /** One FLAC frame whose subframes are FIXED (order 0-4) or LPC
+    * (coefs/precision/shift given), residuals Rice-coded with
+    * `partOrder` partitions (method 0, 4-bit params). The encode twin
+    * of the round-15 decoder extension: residuals are computed from
+    * the planted samples with the same predictor the decoder applies,
+    * so decode must recover the samples EXACTLY. `escape` forces the
+    * verbatim-residual escape path (param 15 + 5-bit raw width) for
+    * the spec's coverage of that branch. */
+  private[ops] def flacPredFrame(frameNo: Int, samplesPerChannel: Array[Array[Int]],
+      order: Int, lpc: Option[(Array[Int], Int, Int)] = None,
+      partOrder: Int = 0, escape: Boolean = false): Array[Byte] = {
+    val n = samplesPerChannel(0).length
+    val ch = samplesPerChannel.length
+    val nparts = 1 << partOrder
+    require(n % nparts == 0 && n / nparts > order,
+      s"flacPredFrame: blockSize $n incompatible with partOrder $partOrder / order $order")
+    val hdr = new Array[Byte](7)
+    hdr(0) = 0xff.toByte; hdr(1) = 0xf8.toByte
+    hdr(2) = 0x70 // block size code 7 (16-bit follows), rate from STREAMINFO
+    hdr(3) = (((ch - 1) << 4) | (4 << 1)).toByte // independent, 16-bit
+    hdr(4) = frameNo.toByte
+    hdr(5) = ((n - 1) >> 8).toByte; hdr(6) = (n - 1).toByte
+    val out = new java.io.ByteArrayOutputStream(n * ch * 2 + 32)
+    out.write(hdr, 0, 7)
+    out.write(flacCrc8(hdr, 0, 7))
+    val bw = new MsbBitWriter(out)
+    var c = 0
+    while (c < ch) {
+      val s = samplesPerChannel(c)
+      lpc match {
+        case Some((coefs, prec, shift)) =>
+          require(coefs.length == order && shift >= 0 && prec >= 2 && prec <= 14)
+          bw.put((0x20L | (order - 1)) << 1, 8) // type 1ooooo, wasted 0
+        case None =>
+          require(order >= 0 && order <= 4)
+          bw.put((8L + order) << 1, 8) // type 001ooo, wasted 0
+      }
+      var k = 0
+      while (k < order) { bw.put(s(k).toLong, 16); k += 1 }
+      lpc.foreach { case (coefs, prec, shift) =>
+        bw.put((prec - 1).toLong, 4)
+        bw.put(shift.toLong, 5)
+        coefs.foreach(cf => bw.put(cf.toLong, prec))
+      }
+      // residuals from the true predictor over the real samples
+      val resid = new Array[Int](n)
+      k = order
+      while (k < n) {
+        val pred: Long = lpc match {
+          case Some((coefs, _, shift)) =>
+            var acc = 0L; var j = 0
+            while (j < order) { acc += coefs(j).toLong * s(k - 1 - j); j += 1 }
+            acc >> shift
+          case None => order match {
+            case 0 => 0L
+            case 1 => s(k - 1).toLong
+            case 2 => 2L * s(k - 1) - s(k - 2)
+            case 3 => 3L * s(k - 1) - 3L * s(k - 2) + s(k - 3)
+            case _ => 4L * s(k - 1) - 6L * s(k - 2) + 4L * s(k - 3) - s(k - 4)
+          }
+        }
+        val r = s(k) - pred
+        require(r >= Int.MinValue.toLong && r <= Int.MaxValue.toLong)
+        resid(k) = r.toInt
+        k += 1
+      }
+      bw.put(0L, 2) // residual method 0: 4-bit Rice
+      bw.put(partOrder.toLong, 4)
+      val per = n / nparts
+      var part = 0
+      while (part < nparts) {
+        val from = if (part == 0) order else part * per
+        val until = (part + 1) * per
+        if (escape) {
+          bw.put(15L, 4) // escape param
+          // raw width: enough bits for every residual in the partition
+          var maxBits = 1
+          var i = from
+          while (i < until) {
+            val r = resid(i)
+            var b = 1
+            while (b < 31 && (r < -(1 << (b - 1)) || r >= (1 << (b - 1)))) b += 1
+            if (b > maxBits) maxBits = b
+            i += 1
+          }
+          bw.put(maxBits.toLong, 5)
+          i = from
+          while (i < until) { bw.put(resid(i).toLong, maxBits); i += 1 }
+        } else {
+          val p = riceParamFor(resid, from, until)
+          bw.put(p.toLong, 4)
+          var i = from
+          while (i < until) {
+            val r = resid(i)
+            val u = (r.toLong << 1) ^ (r.toLong >> 63) // zigzag
+            val q = (u >>> p).toInt
+            var z = 0
+            while (z < q) { bw.put(0L, 1); z += 1 }
+            bw.put(1L, 1)
+            if (p > 0) bw.put(u, p)
+            i += 1
+          }
+        }
+        part += 1
+      }
+      c += 1
+    }
+    bw.flushZero()
+    val body = out.toByteArray
+    val crc = flacCrc16(body, 0, body.length)
+    body ++ Array[Byte]((crc >> 8).toByte, crc.toByte)
+  }
+
   // Planted FLAC waveforms (the q225 gate restates these):
   private[ops] def flacConstVal(id: Long, c: Int): Int =
     ((id * 11 + 23L * c) % 65536).toInt - 32768
@@ -439,13 +572,64 @@ object Multimodal {
     }
   }
 
+  /** Planted predictive waveform (the q228 gate restates this): a
+    * per-channel linear ramp plus a period-7 wiggle, so FIXED
+    * residuals of every order 0-4 stay small while the samples remain
+    * a closed form the oracle can state per (id, channel, i). `i` is
+    * GLOBAL across the stream's two frames (frame 0 covers 0-31). */
+  private[ops] def flacPredVal(id: Long, c: Int, i: Int): Int = {
+    val base = ((id * 13 + 29L * c) % 20000).toInt - 10000
+    val slope = ((id * 3 + 11L * c) % 9).toInt - 4
+    val wig = ((id + 5L * i + 3L * c) % 7).toInt - 3
+    base + slope * i + wig
+  }
+
+  /** A complete REAL FLAC exercising the round-15 predictive decode:
+    * STREAMINFO + a FIXED frame (order id%5, Rice partition order
+    * id%3 over 32 samples) + an LPC frame (order 2, coefs [3,-1],
+    * shift 1, 16-119 samples). Rates/channels cycle like the q225
+    * corpus; every stream CRC-verifies and must decode to exactly
+    * the planted [[flacPredVal]] waveform. */
+  private[ops] def flacWithPredSamples(id: Long): Array[Byte] = {
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val sr = rates((id % 5).toInt)
+    val ch = ((id / 2) % 2 + 1).toInt
+    val nv = (id % 104 + 16).toInt
+    val fixedOrder = (id % 5).toInt
+    val partOrder = (id % 3).toInt
+    val f0 = Array.tabulate(ch, 32)((c, i) => flacPredVal(id, c, i))
+    val f1 = Array.tabulate(ch, nv)((c, i) => flacPredVal(id, c, 32 + i))
+    flacHeader(sr, ch, 16, (32 + nv).toLong) ++
+      flacPredFrame(0, f0, fixedOrder, None, partOrder) ++
+      flacPredFrame(1, f1, 2, Some((Array(3, -1), 4, 1)), 0)
+  }
+
+  def synthesizeFlacPredSamples(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "audio", flacWithPredSamples(id))
+    }
+  }
+
   /** Decode a constant/verbatim FLAC back to sample statistics:
     * (sample_rate, channels, per-channel sample count, Σs, Σs²,
     * peak), or the all-(-1) sentinel on bad magic, non-16-bit
     * streams, unsupported subframe types, CRC-8/CRC-16 mismatches,
     * truncation, or a frame-total that contradicts STREAMINFO. */
-  private[ops] def flacSampleStats(p: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
-    val none = (-1, -1, -1L, -1L, -1L, -1L)
+  private[ops] def flacSampleStats(p: Array[Byte]): (Int, Int, Long, Long, Long, Long) =
+    flacSampleStatsFull(p)._1
+
+  /** Channel-0 PCM samples in stream order (frame concatenation), or
+    * null on any reject — the audio-fingerprint feed (round-15). */
+  private[ops] def flacChannel0Samples(p: Array[Byte]): Array[Int] = {
+    val (st, ch0) = flacSampleStatsFull(p)
+    if (st._1 < 0) null else ch0
+  }
+
+  private def flacSampleStatsFull(p: Array[Byte]): ((Int, Int, Long, Long, Long, Long), Array[Int]) = {
+    val noneCh0: Array[Int] = null
+    val none = ((-1, -1, -1L, -1L, -1L, -1L), noneCh0)
+    val ch0 = new scala.collection.mutable.ArrayBuilder.ofInt
     if (p.length < 42 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C')
       return none
     // metadata walk to the end (the sniffAudio structure), pulling
@@ -518,6 +702,7 @@ object Multimodal {
           sum += v.toLong * blockSize
           sq += v.toLong * v * blockSize
           val a = math.abs(v.toLong); if (a > peak) peak = a
+          if (c == 0) { var k = 0; while (k < blockSize) { ch0 += v; k += 1 } }
         } else if (typ == 1) { // VERBATIM
           var k = 0
           while (k < blockSize) {
@@ -525,9 +710,119 @@ object Multimodal {
             if (!br.ok) return none
             sum += v; sq += v.toLong * v
             val a = math.abs(v.toLong); if (a > peak) peak = a
+            if (c == 0) ch0 += v
             k += 1
           }
-        } else return none // fixed/LPC: outside the honest subset
+        } else if ((typ >= 8 && typ <= 12) || typ >= 32) {
+          // FIXED (type 001ooo, order 0-4) or LPC (type 1ooooo,
+          // order = ooooo+1): warmup samples, predictor parameters
+          // (LPC only), then a Rice-coded residual section (round-15,
+          // VERDICT r14 item 2 — real-world FLAC is ~100% LPC/Rice).
+          val order = if (typ >= 32) (typ & 0x1f) + 1 else typ - 8
+          if (order > blockSize) return none
+          val smp = new Array[Int](blockSize)
+          var k = 0
+          while (k < order) {
+            smp(k) = ((br.bits(16).toInt << 16) >> 16)
+            if (!br.ok) return none
+            k += 1
+          }
+          var coefs: Array[Int] = null; var shift = 0
+          if (typ >= 32) {
+            val precM1 = br.bits(4).toInt
+            if (!br.ok || precM1 == 15) return none // 1111 invalid per spec
+            val prec = precM1 + 1
+            shift = ((br.bits(5).toInt << 27) >> 27) // signed 5-bit
+            if (!br.ok || shift < 0) return none // negative shift deprecated
+            coefs = new Array[Int](order)
+            var j = 0
+            while (j < order) {
+              coefs(j) = ((br.bits(prec).toInt << (32 - prec)) >> (32 - prec))
+              if (!br.ok) return none
+              j += 1
+            }
+          }
+          // residual: 2-bit method (0 = 4-bit Rice, 1 = 5-bit Rice2),
+          // 4-bit partition order; partition p of 2^po holds
+          // blockSize/2^po residuals (minus the warmup in partition 0);
+          // param == escape ⇒ 5-bit raw width, unencoded residuals
+          val method = br.bits(2).toInt
+          if (!br.ok || method > 1) return none
+          val pbits = if (method == 0) 4 else 5
+          val esc = if (method == 0) 15 else 31
+          val po = br.bits(4).toInt
+          if (!br.ok) return none
+          val nparts = 1 << po
+          if (blockSize % nparts != 0) return none
+          val per = blockSize / nparts
+          if (per <= order && nparts > 1) return none
+          if (nparts == 1 && per < order) return none
+          var idx = order
+          var part = 0
+          while (part < nparts) {
+            val cnt = if (part == 0) per - order else per
+            if (cnt < 0) return none
+            val pr = br.bits(pbits).toInt
+            if (!br.ok) return none
+            if (pr == esc) {
+              val rawBits = br.bits(5).toInt
+              if (!br.ok) return none
+              var t = 0
+              while (t < cnt) {
+                val r =
+                  if (rawBits == 0) 0
+                  else ((br.bits(rawBits).toInt << (32 - rawBits)) >> (32 - rawBits))
+                if (!br.ok) return none
+                smp(idx) = r; idx += 1; t += 1
+              }
+            } else {
+              var t = 0
+              while (t < cnt) {
+                var q = 0
+                while (br.ok && br.bits(1) == 0L) {
+                  q += 1
+                  if (q > (1 << 20)) return none // adversarial unary run
+                }
+                if (!br.ok) return none
+                val rem = if (pr == 0) 0L else br.bits(pr)
+                if (!br.ok) return none
+                val u = (q.toLong << pr) | rem
+                smp(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // zigzag decode
+                idx += 1; t += 1
+              }
+            }
+            part += 1
+          }
+          // reconstruct in place: smp(k) holds the residual until the
+          // predictor (over already-reconstructed history) is added
+          k = order
+          while (k < blockSize) {
+            val pred: Long =
+              if (coefs != null) {
+                var acc = 0L; var j = 0
+                while (j < order) { acc += coefs(j).toLong * smp(k - 1 - j); j += 1 }
+                acc >> shift // arithmetic shift per spec
+              } else order match {
+                case 0 => 0L
+                case 1 => smp(k - 1).toLong
+                case 2 => 2L * smp(k - 1) - smp(k - 2)
+                case 3 => 3L * smp(k - 1) - 3L * smp(k - 2) + smp(k - 3)
+                case _ => 4L * smp(k - 1) - 6L * smp(k - 2) + 4L * smp(k - 3) - smp(k - 4)
+              }
+            val v = pred + smp(k)
+            if (v < -32768 || v > 32767) return none // 16-bit stream invariant
+            smp(k) = v.toInt
+            k += 1
+          }
+          k = 0
+          while (k < blockSize) {
+            val v = smp(k)
+            sum += v; sq += v.toLong * v
+            val a = math.abs(v.toLong); if (a > peak) peak = a
+            k += 1
+          }
+          if (c == 0) ch0 ++= smp
+        } else return none // reserved subframe types
         c += 1
       }
       if (!br.alignOk()) return none
@@ -539,7 +834,7 @@ object Multimodal {
       got += blockSize
     }
     if (got != total) return none
-    (sr, ch, got, sum, sq, peak)
+    ((sr, ch, got, sum, sq, peak), ch0.result())
   }
 
   /** FLAC sample-level decode — map-only, the q218 shape for the
@@ -551,6 +846,125 @@ object Multimodal {
         val (sr, ch, n, sum, sq, peak) = flacSampleStats(r.payload)
         SampleStats(r.media_id, sr, ch, n, sum, sq, peak)
       }
+    }
+  }
+
+  /** Channel-0 PCM samples of a 16-bit WAV (every `ch`-th LE16 frame
+    * value), or null on any reject — the audio-fingerprint feed. */
+  private[ops] def wavChannel0Samples(p: Array[Byte]): Array[Int] = {
+    val (sr, ch, n, _, _, _) = wavSampleStats(p)
+    if (sr < 0) return null
+    // re-walk to the data chunk (cheap header walk; the stats pass
+    // already validated structure and bounds)
+    var i = 12
+    var dataOff = -1
+    while (i + 8 <= p.length && dataOff < 0) {
+      val size = rLe32(p, i + 4)
+      if (size < 0) return null
+      if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a')
+        dataOff = i + 8
+      else i += 8 + size + (size & 1)
+    }
+    val out = new Array[Int](n.toInt)
+    var k = 0
+    while (k < out.length) {
+      out(k) = (rLe16(p, dataOff + k * ch * 2) << 16) >> 16
+      k += 1
+    }
+    out
+  }
+
+  // ----------------------------------------------------------------
+  // Perceptual AUDIO fingerprint (round-15, VERDICT r14 item 3 —
+  // completing the multimodal-dedup story: text SimHash q44, image
+  // dHash q224, audio here). 64-bit windowed-energy delta hash over
+  // DECODED channel-0 PCM: the clip is cut into 65 equal windows
+  // (window of sample i = ⌊i·65/n⌋), per-window energy = Σ|s|, and
+  // bit j = energy(j+1) > energy(j) — dHash's gradient-sign idea on
+  // the time axis. Like dHash, the comparison structure is invariant
+  // to exactly the perturbations a duplicate clip undergoes: lossless
+  // WAV↔FLAC re-encode (same samples), uniform volume scaling
+  // (energies scale together), and nearest-neighbor resampling when
+  // windows align (each window's samples duplicate together, so every
+  // energy doubles). One long per clip; the audio BYTES never shuffle.
+  // ----------------------------------------------------------------
+
+  /** 64-bit windowed-energy fingerprint, or None on undecodable audio
+    * or clips shorter than the window count. Bit j sits at 63-j (MSB
+    * first), matching dhash64's packing so the shared multi-index
+    * band machinery and its oracle restatement line up. */
+  private[ops] def audioFp64(p: Array[Byte], nWindows: Int = 65): Option[Long] = {
+    val samples =
+      if (p.length >= 4 && p(0) == 'R' && p(1) == 'I') wavChannel0Samples(p)
+      else flacChannel0Samples(p)
+    if (samples == null || samples.length < nWindows) return None
+    val n = samples.length
+    val e = new Array[Long](nWindows)
+    var i = 0
+    while (i < n) {
+      e((i.toLong * nWindows / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var hl = 0L
+    var j = 0
+    while (j < nWindows - 1) {
+      if (e(j + 1) > e(j)) hl |= 1L << (63 - j)
+      j += 1
+    }
+    Some(hl)
+  }
+
+  /** (id, hl) fingerprint table for [[graft.ops.Dedup.audioNearDups]].
+    * Map-only; payloads never shuffle, undecodable clips drop. */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => audioFp64(r.payload).map(hl => (r.media_id, hl)))
+    }.toDF("id", "hl")
+  }
+
+  /** Planted audio waveform for the q229 corpus (the gate restates
+    * this): a period-4001 pseudo-random amplitude walk. */
+  private[ops] def audioPlantedVal(id: Long, i: Int): Int =
+    ((id * 31 + 17L * i) % 4001).toInt - 2000
+
+  /** Mono 16-bit WAV around arbitrary samples (the [[wavWithSamples]]
+    * container with a caller-supplied waveform). */
+  private[ops] def wavFromSamples(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val base = wavPayload(sampleRate, 1, samples.length)
+    val off = base.length - samples.length * 2
+    var i = 0
+    while (i < samples.length) {
+      base(off + 2 * i) = samples(i).toByte
+      base(off + 2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    base
+  }
+
+  /** Perceptual-audio corpus: four clips per doc sharing planted
+    * content — WAV original (65·(id%4+2) samples, window-aligned),
+    * the SAME samples as FLAC (byte-disjoint lossless re-encode), a
+    * 2× nearest-upsampled WAV (each sample doubled — windows align by
+    * construction, so every window energy exactly doubles), and a
+    * near-dup twin with one window muted (flips ≤ 2 fingerprint
+    * bits). media_id = doc_id·4 + variant. */
+  def synthesizeAudioPerceptualCorpus(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].flatMap { id =>
+      val n = 65 * ((id % 4).toInt + 2)
+      val wz = (id % 63).toInt + 1
+      val s0 = Array.tabulate(n)(i => audioPlantedVal(id, i))
+      val s2 = Array.tabulate(2 * n)(i => audioPlantedVal(id, i / 2))
+      val s3 = Array.tabulate(n)(i =>
+        if (i.toLong * 65 / n == wz) 0 else audioPlantedVal(id, i))
+      Seq(
+        MediaRow(id * 4, "audio", wavFromSamples(16000, s0)),
+        MediaRow(id * 4 + 1, "audio",
+          flacHeader(16000, 1, 16, n.toLong) ++
+            flacFrame(0, Array(s0), constant = false)),
+        MediaRow(id * 4 + 2, "audio", wavFromSamples(16000, s2)),
+        MediaRow(id * 4 + 3, "audio", wavFromSamples(16000, s3)))
     }
   }
 
@@ -665,6 +1079,147 @@ object Multimodal {
     }
     walk(0, p.length)
     if (ts > 0 && dur >= 0 && w > 0 && h > 0) ("mp4", ts, dur, w, h) else none
+  }
+
+  // ----------------------------------------------------------------
+  // MP4 SAMPLE truth (round-15, VERDICT r14 item 5 — the last
+  // header-only modality gets payload truth): a stored-raw video
+  // track whose frame geometry is DECLARED the real way — an stbl/
+  // stsz box (uniform sample size + sample count) inside
+  // moov/trak/mdia/minf — and whose mdat carries exactly
+  // sample_size·sample_count planted frame bytes. No codec needed
+  // (the track is stored raw, like an rtp/raw-video or mjpeg-shaped
+  // mdat); the decoder cross-checks the DECLARED sample table
+  // against the ACTUAL mdat extent, so a truncated or padded mdat
+  // rejects rather than decoding garbage.
+  // ----------------------------------------------------------------
+
+  /** Planted raw-frame byte (unsigned) for frame f, offset k. */
+  private[ops] def mp4FrameByte(id: Long, f: Int, k: Int): Int =
+    ((id * 7 + 13L * f + 5L * k) % 256).toInt
+
+  /** Complete MP4 with a stored-raw sample table: ftyp + moov(mvhd +
+    * trak(tkhd + mdia(minf(stbl(stsz))))) + mdat of `nf` frames of
+    * `fs` bytes. */
+  private[ops] def mp4WithSamples(id: Long): Array[Byte] = {
+    val clocks = Array(600, 1000, 90000)
+    val ts = clocks((id % 3).toInt)
+    val dur = (id % 300 + 30) * ts.toLong / 10
+    val w = (id % 640 + 16).toInt; val h = (id % 480 + 16).toInt
+    val fs = (id % 49 + 16).toInt
+    val nf = (id % 30 + 4).toInt
+    val stsz = box("stsz", Array[Byte](0, 0, 0, 0) ++ // version 0, flags
+      be32(fs) ++ be32(nf)) // uniform sample_size, sample_count
+    val stbl = box("stbl", stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val mdat = new Array[Byte](fs * nf)
+    var f = 0
+    while (f < nf) {
+      var k = 0
+      while (k < fs) { mdat(f * fs + k) = mp4FrameByte(id, f, k).toByte; k += 1 }
+      f += 1
+    }
+    // splice mdia into the trak of the standard header: rebuild the
+    // tree so tkhd and mdia are siblings inside trak, as in real files
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isomiso2mp41".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur.toInt) ++
+      be32(0x00010000) ++ be16(0x0100) ++
+      new Array[Byte](2 + 8 + 36 + 24) ++ be32(2))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+      be32(dur.toInt) ++ new Array[Byte](8) ++
+      be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      identityMatrix ++ be32(w << 16) ++ be32(h << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia)) ++ box("mdat", mdat)
+  }
+
+  def synthesizeMp4Samples(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "video", mp4WithSamples(id))
+    }
+  }
+
+  case class VideoSampleStats(media_id: Long, frame_size: Int, n_frames: Int,
+      sum_b: Long, fw_sum: Long, peak: Long)
+
+  /** Walk the box tree to stsz (declared frame geometry) and mdat
+    * (actual payload), cross-check them, and aggregate the raw frame
+    * bytes: Σb, the frame-weighted Σ(f+1)·b (pins frame ORDER — a
+    * shuffled or off-by-one mdat read flips it), and the peak byte.
+    * Sentinel (-1s) on: missing/ambiguous stsz or mdat, non-uniform
+    * sample size (per-sample tables are outside the stored-raw
+    * subset), or an mdat whose extent ≠ sample_size·sample_count
+    * (the truncated-mdat case). */
+  private[ops] def mp4SampleStats(p: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val none = (-1, -1, -1L, -1L, -1L)
+    if (p.length < 12 || p(4) != 'f' || p(5) != 't' || p(6) != 'y' || p(7) != 'p')
+      return none
+    var fs = -1; var nf = -1
+    var mdatOff = -1; var mdatLen = -1
+    var bad = false
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end && !bad) {
+        var size = (rBe32(p, i).toLong) & 0xffffffffL
+        val hdr = if (size == 1L) 16 else 8
+        if (size == 1L && i + 16 <= end) {
+          val hi = rBe32(p, i + 8).toLong & 0xffffffffL
+          val lo = rBe32(p, i + 12).toLong & 0xffffffffL
+          size = if (hi == 0) lo else Long.MaxValue
+        }
+        if (size < hdr || i + size > end) { bad = true; return }
+        val t = new String(p, i + 4, 4, "US-ASCII")
+        t match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(i + hdr, (i + size).toInt)
+          case "stsz" if i + hdr + 12 <= end && p(i + hdr) == 0 =>
+            if (fs >= 0) { bad = true; return } // two sample tables: ambiguous
+            fs = rBe32(p, i + hdr + 4)
+            nf = rBe32(p, i + hdr + 8)
+          case "mdat" =>
+            if (mdatOff >= 0) { bad = true; return } // two mdats: ambiguous
+            mdatOff = i + hdr; mdatLen = (size - hdr).toInt
+          case _ => ()
+        }
+        i += size.toInt
+      }
+    }
+    walk(0, p.length)
+    // fs == 0 would mean a per-sample size table (not stored-raw uniform)
+    if (bad || fs <= 0 || nf <= 0 || mdatOff < 0) return none
+    if (mdatLen.toLong != fs.toLong * nf) return none // truncated/padded mdat
+    var sum = 0L; var fw = 0L; var peak = 0L
+    var f = 0
+    while (f < nf) {
+      var fsum = 0L
+      var k = 0
+      while (k < fs) {
+        val b = p(mdatOff + f * fs + k) & 0xff
+        fsum += b
+        if (b > peak) peak = b
+        k += 1
+      }
+      sum += fsum
+      fw += (f + 1).toLong * fsum
+      f += 1
+    }
+    (fs, nf, sum, fw, peak)
+  }
+
+  /** MP4 raw-frame sample decode — map-only, the q218 shape for the
+    * video container. */
+  def decodeMp4Samples(media: Dataset[MediaRow]): Dataset[VideoSampleStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (fs, nf, sum, fw, peak) = mp4SampleStats(r.payload)
+        VideoSampleStats(r.media_id, fs, nf, sum, fw, peak)
+      }
+    }
   }
 
   /** Video header decode — the q206 surface; map-only like the image
@@ -1746,6 +2301,10 @@ object Multimodal {
       val blk = blocks(b)
       val diff = blk(0) - prevDc; prevDc = blk(0)
       val s = if (diff == 0) 0 else jpegBitLen(math.abs(diff))
+      // Annex-K tables cover DC categories 0-11 and AC 1-10; a larger
+      // coefficient would look up an absent symbol (len-0 code) and
+      // emit an undecodable stream silently — fail loudly instead.
+      require(s <= 11, s"jpegFromBlocks: DC diff $diff exceeds category 11")
       bw.putSym(dcCodes(s))
       if (s > 0) bw.put(if (diff > 0) diff else diff - 1, s)
       var run = 0; var k = 1
@@ -1755,6 +2314,7 @@ object Multimodal {
         else {
           while (run > 15) { bw.putSym(acCodes(0xf0)); run -= 16 } // ZRL
           val sz = jpegBitLen(math.abs(v))
+          require(sz <= 10, s"jpegFromBlocks: AC coeff $v exceeds category 10")
           bw.putSym(acCodes((run << 4) | sz))
           bw.put(if (v > 0) v else v - 1, sz)
           run = 0
@@ -1940,6 +2500,10 @@ object Multimodal {
         case 0xda => // SOS: entropy-coded data follows the header
           val ns = p(i + 4) & 0xff
           if (w <= 0 || h <= 0 || nf == 0 || ns != nf) return None
+          // scan header is len(2) + ns(1) + 2 bytes/component + Ss/Se/AhAl(3);
+          // a shorter declared len would read component ids and Ss/Se from
+          // past the segment (or past the buffer on a tail segment)
+          if (len < 2 + 1 + 2 * ns + 3) return None
           // per-scan-component: map scan ids to SOF components, pull tables
           val scanDc = new Array[JpegHuff](nf); val scanAc = new Array[JpegHuff](nf)
           val order = new Array[Int](nf)
@@ -2258,6 +2822,9 @@ object Multimodal {
     def putBlock(blk: Array[Int], c: Int): Unit = {
       val diff = blk(0) - prevDc(c); prevDc(c) = blk(0)
       val s = if (diff == 0) 0 else jpegBitLen(math.abs(diff))
+      // same Annex-K category budget guard as jpegFromBlocks: an
+      // out-of-range coefficient must fail loudly, not pack a len-0 code
+      require(s <= 11, s"jpegColorFromBlocks: DC diff $diff exceeds category 11")
       bw.putSym(dcCodes(s))
       if (s > 0) bw.put(if (diff > 0) diff else diff - 1, s)
       var run = 0; var k = 1
@@ -2267,6 +2834,7 @@ object Multimodal {
         else {
           while (run > 15) { bw.putSym(acCodes(0xf0)); run -= 16 }
           val sz = jpegBitLen(math.abs(v))
+          require(sz <= 10, s"jpegColorFromBlocks: AC coeff $v exceeds category 10")
           bw.putSym(acCodes((run << 4) | sz))
           bw.put(if (v > 0) v else v - 1, sz)
           run = 0

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions.row_number
@@ -1475,7 +1476,7 @@ object TextAnalysis {
     // cache is released: the round-5 form re-tokenized the corpus four
     // times (c12 agg, c1 agg, vocab count, scoring join), which is the
     // term that dominates at 100×.
-    val cached = arrDf.persist()
+    val cached = arrDf.persist(StorageLevel.DISK_ONLY) // text-sized token arrays (r15 GC audit)
     val c12 = graft.PlanCapture.checkpoint(
       bgOf(cached).groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12")), "bigram-c12")

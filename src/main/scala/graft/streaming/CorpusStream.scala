@@ -190,6 +190,12 @@ object CorpusStream {
     val fs = new org.apache.hadoop.fs.Path(statsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$statsPath/ok/batch=$batchId")
+    // Create ok/ itself EAGERLY, before any table write: on a fresh
+    // layout a crash (or concurrent read) during batch 0 must leave an
+    // empty ok/ dir — "markers in play, nothing complete" — not a
+    // missing one, which readPartials would treat as a pre-marker
+    // legacy layout and consume the half-landed batch as complete.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$statsPath/ok"))
     if (fs.exists(marker)) fs.delete(marker, true)
     val perDoc = CorpusStats.releasePerDoc(batch)
     perDoc

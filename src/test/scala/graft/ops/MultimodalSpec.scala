@@ -474,13 +474,174 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.flacSampleStats(p.dropRight(5))._1 == -1) // truncated
     assert(Multimodal.flacSampleStats(p.take(42))._1 == -1)     // frames missing entirely
     assert(Multimodal.flacSampleStats(Multimodal.bmpWithPixels(9L, 6, 5))._1 == -1)
-    // rewrite the first subframe header to FIXED order 2 (type 0b001010):
-    // outside the honest constant/verbatim subset → sentinel. The byte
-    // sits right after the 8-byte frame header at offset 42+8; fix the
-    // header CRC path by flipping BOTH the subframe byte and nothing
-    // else — CRC-16 then fails first, which is also a correct reject.
+    // rewrite the first subframe header byte in place (to FIXED order 2,
+    // type 0b001010) WITHOUT re-encoding the stream: since round 15 the
+    // decoder understands FIXED subframes, but the tampered byte breaks
+    // the frame CRC-16, so the stream still rejects — bit-flip safety is
+    // CRC-owned, not type-gate-owned.
     val lpc = p.clone(); lpc(42 + 8) = 0x14
     assert(Multimodal.flacSampleStats(lpc)._1 == -1)
+  }
+
+  // ---- FLAC fixed/LPC + Rice (round-15, VERDICT r14 item 2) ----
+
+  private def predStats(id: Long, ch: Int, n: Int): (Long, Long, Long) = {
+    val vals = for (c <- 0 until ch; i <- 0 until n)
+      yield Multimodal.flacPredVal(id, c, i).toLong
+    (vals.sum, vals.map(v => v * v).sum, vals.map(math.abs).max)
+  }
+
+  test("flacPredFrame: fixed orders 0-4 × Rice partition orders round-trip exactly") {
+    for (id <- Seq(1L, 58L, 913L); order <- 0 to 4; po <- 0 to 2) {
+      val ch = ((id / 2) % 2 + 1).toInt
+      val smp = Array.tabulate(ch, 32)((c, i) => Multimodal.flacPredVal(id, c, i))
+      val p = Multimodal.flacHeader(44100, ch, 16, 32L) ++
+        Multimodal.flacPredFrame(0, smp, order, None, po)
+      val (sr, gotCh, n, sum, sq, peak) = Multimodal.flacSampleStats(p)
+      assert((sr, gotCh, n) == ((44100, ch, 32L)), s"id=$id order=$order po=$po hdr")
+      val (es, eq, ep) = predStats(id, ch, 32)
+      assert((sum, sq, peak) == ((es, eq, ep)), s"id=$id order=$order po=$po stats")
+    }
+  }
+
+  test("flacPredFrame: planted LPC frame (coefs [3,-1] >> 1) round-trips exactly") {
+    for (id <- Seq(2L, 77L, 4440L)) {
+      val ch = ((id / 2) % 2 + 1).toInt
+      val n = (id % 104 + 16).toInt
+      val smp = Array.tabulate(ch, n)((c, i) => Multimodal.flacPredVal(id, c, i))
+      val p = Multimodal.flacHeader(8000, ch, 16, n.toLong) ++
+        Multimodal.flacPredFrame(0, smp, 2, Some((Array(3, -1), 4, 1)), 0)
+      val (_, gotCh, got, sum, sq, peak) = Multimodal.flacSampleStats(p)
+      assert(gotCh == ch && got == n.toLong, s"id=$id hdr")
+      val (es, eq, ep) = predStats(id, ch, n)
+      assert((sum, sq, peak) == ((es, eq, ep)), s"id=$id lpc stats")
+    }
+  }
+
+  test("flacPredFrame: escape (verbatim-residual) partitions round-trip exactly") {
+    val id = 31L
+    val smp = Array.tabulate(1, 32)((c, i) => Multimodal.flacPredVal(id, c, i))
+    val p = Multimodal.flacHeader(16000, 1, 16, 32L) ++
+      Multimodal.flacPredFrame(0, smp, 1, None, 1, escape = true)
+    val (_, _, got, sum, sq, peak) = Multimodal.flacSampleStats(p)
+    assert(got == 32L)
+    val (es, eq, ep) = predStats(id, 1, 32)
+    assert((sum, sq, peak) == ((es, eq, ep)))
+  }
+
+  test("flac pred frames: CRC flips, truncation, and corpus round-trip") {
+    val p = Multimodal.flacWithPredSamples(17L)
+    assert(Multimodal.flacSampleStats(p)._1 > 0)
+    // frame-header byte flip → CRC-8 reject before any residual decode
+    val hdrFlip = p.clone(); hdrFlip(42 + 4) = (hdrFlip(42 + 4) ^ 0x01).toByte
+    assert(Multimodal.flacSampleStats(hdrFlip)._1 == -1)
+    // mid-stream Rice-bits flip → CRC-16 reject, never silent corruption
+    val flip = p.clone(); flip(p.length - 9) = (flip(p.length - 9) ^ 0x40).toByte
+    assert(Multimodal.flacSampleStats(flip)._1 == -1)
+    assert(Multimodal.flacSampleStats(p.dropRight(3))._1 == -1) // truncated mid-frame
+    // the q228 corpus decodes to the planted closed form
+    for (id <- Seq(0L, 9L, 255L, 3999L)) {
+      val ch = ((id / 2) % 2 + 1).toInt
+      val total = 32 + (id % 104 + 16).toInt
+      val (_, gotCh, n, sum, sq, peak) =
+        Multimodal.flacSampleStats(Multimodal.flacWithPredSamples(id))
+      assert(gotCh == ch && n == total.toLong, s"id=$id hdr")
+      val (es, eq, ep) = predStats(id, ch, total)
+      assert((sum, sq, peak) == ((es, eq, ep)), s"id=$id corpus stats")
+    }
+  }
+
+  // ---- Perceptual audio fingerprint (round-15, VERDICT r14 item 3) ----
+
+  test("audioFp64: stable under WAV↔FLAC re-encode, 2× nearest resample, volume scale") {
+    for (id <- Seq(0L, 7L, 131L, 1999L)) {
+      val n = 65 * ((id % 4).toInt + 2)
+      val s0 = Array.tabulate(n)(i => Multimodal.audioPlantedVal(id, i))
+      val wav = Multimodal.wavFromSamples(16000, s0)
+      val fp = Multimodal.audioFp64(wav)
+      assert(fp.isDefined, s"id=$id wav decodes")
+      // lossless FLAC re-encode: zero shared bytes, equal fingerprint
+      val flac = Multimodal.flacHeader(16000, 1, 16, n.toLong) ++
+        Multimodal.flacFrame(0, Array(s0), constant = false)
+      assert(Multimodal.audioFp64(flac) == fp, s"id=$id flac fp")
+      // FLAC with FIXED/Rice encoding of the same samples: same fp too
+      // (any 65-divisible split works; one frame keeps windows trivial)
+      val flacPred = Multimodal.flacHeader(16000, 1, 16, n.toLong) ++
+        Multimodal.flacPredFrame(0, Array(s0), 2, None, 0)
+      assert(Multimodal.audioFp64(flacPred) == fp, s"id=$id flac-pred fp")
+      // 2× nearest upsample: window-aligned → every window energy
+      // doubles → identical comparison bits
+      val s2 = Array.tabulate(2 * n)(i => s0(i / 2))
+      assert(Multimodal.audioFp64(Multimodal.wavFromSamples(16000, s2)) == fp,
+        s"id=$id resampled fp")
+      // uniform volume scale (clamped to 16-bit range by construction)
+      val loud = s0.map(v => v * 2)
+      assert(loud.forall(v => v >= -32768 && v <= 32767))
+      assert(Multimodal.audioFp64(Multimodal.wavFromSamples(16000, loud)) == fp,
+        s"id=$id volume fp")
+      // one muted window: flips at most 2 bits (the two comparisons
+      // that touch the window), so the pair stays Hamming-searchable
+      val wz = (id % 63).toInt + 1
+      val s3 = Array.tabulate(n)(i => if (i.toLong * 65 / n == wz) 0 else s0(i))
+      val fp3 = Multimodal.audioFp64(Multimodal.wavFromSamples(16000, s3))
+      assert(fp3.isDefined)
+      assert(java.lang.Long.bitCount(fp.get ^ fp3.get) <= 2, s"id=$id muted hamming")
+    }
+    // undecodable / too-short clips drop, never hash
+    assert(Multimodal.audioFp64("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.audioFp64(
+      Multimodal.wavFromSamples(8000, Array.fill(10)(5))).isEmpty) // < 65 samples
+  }
+
+  // ---- MP4 stored-raw sample truth (round-15, VERDICT r14 item 5) ----
+
+  test("mp4SampleStats: planted raw frames recovered via stsz/mdat cross-check") {
+    for (id <- Seq(0L, 9L, 333L, 3999L)) {
+      val p = Multimodal.mp4WithSamples(id)
+      val (fs, nf, sum, fw, peak) = Multimodal.mp4SampleStats(p)
+      assert(fs == (id % 49 + 16).toInt && nf == (id % 30 + 4).toInt, s"id=$id geom")
+      val bytes = for (f <- 0 until nf; k <- 0 until fs)
+        yield (f, Multimodal.mp4FrameByte(id, f, k).toLong)
+      assert(sum == bytes.map(_._2).sum, s"id=$id sum")
+      assert(fw == bytes.map { case (f, b) => (f + 1) * b }.sum, s"id=$id fw")
+      assert(peak == bytes.map(_._2).max, s"id=$id peak")
+      // the q206 header surface still reads the same container
+      assert(Multimodal.sniffVideo(p)._1 == "mp4")
+    }
+  }
+
+  test("mp4SampleStats: truncated mdat, padded mdat, and ambiguous tables reject") {
+    val p = Multimodal.mp4WithSamples(42L)
+    assert(Multimodal.mp4SampleStats(p)._1 > 0)
+    // truncated mdat: dropping tail bytes breaks the box-extent walk
+    assert(Multimodal.mp4SampleStats(p.dropRight(7))._1 == -1)
+    // padded mdat: one extra byte appended and the mdat box size
+    // grown to cover it — the walk parses, the stsz cross-check fails
+    val fs = (42L % 49 + 16).toInt; val nf = (42L % 30 + 4).toInt
+    val mdatLen = fs * nf
+    val mdatStart = p.length - mdatLen - 8
+    val padded = p ++ Array[Byte](0)
+    val size2 = 8 + mdatLen + 1
+    padded(mdatStart) = (size2 >> 24).toByte
+    padded(mdatStart + 1) = (size2 >> 16).toByte
+    padded(mdatStart + 2) = (size2 >> 8).toByte
+    padded(mdatStart + 3) = size2.toByte
+    assert(Multimodal.mp4SampleStats(padded)._1 == -1)
+    // a second mdat is ambiguous, not silently summed
+    val twoMdat = p ++ p.slice(mdatStart, p.length)
+    assert(Multimodal.mp4SampleStats(twoMdat)._1 == -1)
+    // per-sample-size table (stsz sample_size = 0) is outside the
+    // stored-raw subset: flip the uniform size field to 0
+    val idx = {
+      // locate "stsz" ascii
+      val pat = "stsz".getBytes("US-ASCII")
+      (0 until p.length - 4).find(i => pat.indices.forall(j => p(i + j) == pat(j))).get
+    }
+    val perSample = p.clone()
+    for (j <- 0 until 4) perSample(idx + 8 + j) = 0 // sample_size := 0
+    assert(Multimodal.mp4SampleStats(perSample)._1 == -1)
+    // non-MP4 payloads reject on the brand check
+    assert(Multimodal.mp4SampleStats(Multimodal.bmpWithPixels(1L, 4, 4))._1 == -1)
   }
 
   // ---- Perceptual image dedup (round-14) ----
