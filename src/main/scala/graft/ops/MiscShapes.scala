@@ -831,6 +831,55 @@ object MiscShapes {
       |  bit_xor((id_a % 2097152) * 8192 + (id_b % 1024) * 8 + hamming) AS fp
       |FROM cand GROUP BY 1, 2 ORDER BY va, vb""".stripMargin
 
+  /** q231 — FLAC STEREO DECORRELATION truth (round-15, beyond the
+    * verdict list — the last named sentinel of the FLAC honest
+    * subset): payloads carry three frames over one continuous planted
+    * L/R pair, one per channel assignment — left-side (L, L−R),
+    * side-right (L−R, R), mid-side ((L+R)>>1, L−R) — with the side
+    * channel at 17 bits per the spec. The engine must read the mixed
+    * per-channel widths and invert each decorrelation EXACTLY
+    * (mid-side recovers L+R as (mid<<1)|(side&1) via shared parity);
+    * the oracle restates the raw L/R waveforms, so any error in the
+    * decorrelation algebra flips the hash. Map-only; 5 rate groups. */
+  def flacStereoSampleMeans(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeFlacStereoSamples(
+      docs(s, dir).filter(col("doc_id") < 4000))
+    Multimodal.decodeFlacSamples(media).toDF()
+      .groupBy(col("sample_rate").cast("long").as("sample_rate"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("sum_s")).as("tot_sum"),
+        sum(col("sum_sq")).as("tot_sq"),
+        max(col("peak")).as("max_peak"),
+        expr("bit_xor((media_id % 2097152) * 1099511627776 + sum_sq)").as("fp_sq"),
+        expr("bit_xor((media_id % 2097152) * 65536 + peak)").as("fp_peak"))
+      .orderBy(col("sample_rate"))
+  }
+
+  val flacStereoSampleMeansSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr
+      |  FROM documents WHERE doc_id < 4000),
+      |px AS (SELECT d.doc_id, sr,
+      |    (doc_id*9 + 7*xi.i) % 60000 - 30000 AS l,
+      |    (doc_id*5 + 11*xi.i) % 60000 - 30000 AS r
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 143)) AS i) xi),
+      |agg AS (SELECT doc_id, sr,
+      |    CAST(sum(l + r) AS BIGINT) AS sum_s,
+      |    CAST(sum(l*l + r*r) AS BIGINT) AS sum_sq,
+      |    CAST(max(greatest(abs(l), abs(r))) AS BIGINT) AS peak
+      |  FROM px GROUP BY 1, 2)
+      |SELECT CAST(sr AS BIGINT) AS sample_rate, count(*) AS n,
+      |  CAST(count(*) * 144 AS BIGINT) AS total_samples,
+      |  CAST(sum(sum_s) AS BIGINT) AS tot_sum,
+      |  CAST(sum(sum_sq) AS BIGINT) AS tot_sq,
+      |  max(peak) AS max_peak,
+      |  bit_xor((doc_id % 2097152) * 1099511627776 + sum_sq) AS fp_sq,
+      |  bit_xor((doc_id % 2097152) * 65536 + peak) AS fp_peak
+      |FROM agg GROUP BY 1 ORDER BY sample_rate""".stripMargin
+
   /** q230 — MP4 stored-raw SAMPLE truth (round-15, VERDICT r14 item
     * 5 — the last header-only modality gets payload truth): payloads
     * are complete MP4s whose frame geometry is declared by a real
@@ -992,6 +1041,7 @@ object MiscShapes {
     "q228_flac_pred_samples" -> flacPredSampleMeans,
     "q229_audio_near_dups" -> audioNearDupPairs,
     "q230_mp4_sample_means" -> mp4SampleMeans,
+    "q231_flac_stereo_samples" -> flacStereoSampleMeans,
     "q227_jpeg_color_coefs" -> jpegColorCoefMeans,
     "q58_jwt_verify" -> jwtVerify)
 
@@ -1016,6 +1066,7 @@ object MiscShapes {
     "q228_flac_pred_samples" -> flacPredSampleMeansSql,
     "q229_audio_near_dups" -> audioNearDupPairsSql,
     "q230_mp4_sample_means" -> mp4SampleMeansSql,
+    "q231_flac_stereo_samples" -> flacStereoSampleMeansSql,
     "q227_jpeg_color_coefs" -> jpegColorCoefMeansSql,
     "q58_jwt_verify" -> jwtVerifySql)
 }

@@ -611,6 +611,72 @@ object Multimodal {
     }
   }
 
+  /** One stereo-DECORRELATED FLAC frame (round-15): channel
+    * assignment 8 = left-side (L, L−R), 9 = side-right (L−R, R),
+    * 10 = mid-side ((L+R)>>1, L−R); the side channel is written at
+    * 17 bits per the spec. VERBATIM subframes — decorrelation is the
+    * thing under test; predictors are the sibling pred frames. */
+  private[ops] def flacStereoFrame(frameNo: Int, left: Array[Int],
+      right: Array[Int], mode: Int): Array[Byte] = {
+    val n = left.length
+    require(mode >= 8 && mode <= 10 && right.length == n)
+    val hdr = new Array[Byte](7)
+    hdr(0) = 0xff.toByte; hdr(1) = 0xf8.toByte
+    hdr(2) = 0x70
+    hdr(3) = ((mode << 4) | (4 << 1)).toByte // decorrelated, 16-bit
+    hdr(4) = frameNo.toByte
+    hdr(5) = ((n - 1) >> 8).toByte; hdr(6) = (n - 1).toByte
+    val out = new java.io.ByteArrayOutputStream(n * 5 + 16)
+    out.write(hdr, 0, 7)
+    out.write(flacCrc8(hdr, 0, 7))
+    val bw = new MsbBitWriter(out)
+    val side = Array.tabulate(n)(i => left(i) - right(i))
+    val (c0, w0, c1, w1) = mode match {
+      case 8 => (left, 16, side, 17)
+      case 9 => (side, 17, right, 16)
+      case _ => (Array.tabulate(n)(i => (left(i) + right(i)) >> 1), 16, side, 17)
+    }
+    for ((arr, w) <- Seq((c0, w0), (c1, w1))) {
+      bw.put(0x02, 8) // VERBATIM
+      var i = 0
+      while (i < n) { bw.put(arr(i).toLong, w); i += 1 }
+    }
+    bw.flushZero()
+    val body = out.toByteArray
+    val crc = flacCrc16(body, 0, body.length)
+    body ++ Array[Byte]((crc >> 8).toByte, crc.toByte)
+  }
+
+  /** Planted stereo waveforms (the q231 gate restates these). */
+  private[ops] def flacStereoL(id: Long, i: Int): Int =
+    ((id * 9 + 7L * i) % 60000).toInt - 30000
+  private[ops] def flacStereoR(id: Long, i: Int): Int =
+    ((id * 5 + 11L * i) % 60000).toInt - 30000
+
+  /** A complete stereo-decorrelated FLAC: STREAMINFO (2 channels) +
+    * three 48-sample frames, one per decorrelation mode (left-side,
+    * side-right, mid-side), over one continuous planted L/R pair
+    * (`i` global across frames). Every mode must invert exactly. */
+  private[ops] def flacWithStereoSamples(id: Long): Array[Byte] = {
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val sr = rates((id % 5).toInt)
+    def seg(f: Int) = (
+      Array.tabulate(48)(i => flacStereoL(id, 48 * f + i)),
+      Array.tabulate(48)(i => flacStereoR(id, 48 * f + i)))
+    val (l0, r0) = seg(0); val (l1, r1) = seg(1); val (l2, r2) = seg(2)
+    flacHeader(sr, 2, 16, 144L) ++
+      flacStereoFrame(0, l0, r0, 8) ++
+      flacStereoFrame(1, l1, r1, 9) ++
+      flacStereoFrame(2, l2, r2, 10)
+  }
+
+  def synthesizeFlacStereoSamples(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, "audio", flacWithStereoSamples(id))
+    }
+  }
+
   /** Decode a constant/verbatim FLAC back to sample statistics:
     * (sample_rate, channels, per-channel sample count, Σs, Σs²,
     * peak), or the all-(-1) sentinel on bad magic, non-16-bit
@@ -660,7 +726,12 @@ object Multimodal {
         return none
       val bsCode = u8(p(i + 2)) >> 4; val srCode = u8(p(i + 2)) & 0x0f
       val chAssign = u8(p(i + 3)) >> 4; val bpsCode = (u8(p(i + 3)) >> 1) & 0x7
-      if (chAssign > 7 || chAssign + 1 != ch) return none
+      // 8/9/10 = left-side / side-right / mid-side stereo decorrelation
+      // (round-15): the SIDE channel carries one extra bit per sample
+      val decor = chAssign >= 8 && chAssign <= 10
+      if (chAssign > 10) return none
+      if (!decor && chAssign + 1 != ch) return none
+      if (decor && ch != 2) return none
       if (bpsCode != 0 && bpsCode != 4) return none // 16-bit only
       i += 4
       // UTF-8-coded frame number: leading ones of the first byte =
@@ -691,88 +762,88 @@ object Multimodal {
       if (u8(p(i)) != flacCrc8(p, start, i)) return none
       i += 1
       val br = new MsbBitReader(p, i)
-      var c = 0
-      while (c < ch) {
+      val bs = blockSize
+      // One subframe at `width` bits/sample (17 for the SIDE channel
+      // of a decorrelated stereo frame) → reconstructed sample array,
+      // or null on malformed content. CONSTANT, VERBATIM, FIXED
+      // orders 0-4, and LPC are the honest subset (round-15, VERDICT
+      // r14 item 2 — real-world FLAC is ~100% LPC/Rice).
+      def subframe(width: Int): Array[Int] = {
+        def sext(v: Long): Int = ((v << (64 - width)) >> (64 - width)).toInt
+        val lo = -(1L << (width - 1)); val hi = (1L << (width - 1)) - 1
         val sub = br.bits(8)
-        if (!br.ok || (sub & 0x80) != 0 || (sub & 1) != 0) return none
+        if (!br.ok || (sub & 0x80) != 0 || (sub & 1) != 0) return null
         val typ = ((sub >> 1) & 0x3f).toInt
+        val smp = new Array[Int](bs)
         if (typ == 0) { // CONSTANT
-          val v = ((br.bits(16).toInt << 16) >> 16)
-          if (!br.ok) return none
-          sum += v.toLong * blockSize
-          sq += v.toLong * v * blockSize
-          val a = math.abs(v.toLong); if (a > peak) peak = a
-          if (c == 0) { var k = 0; while (k < blockSize) { ch0 += v; k += 1 } }
+          val v = sext(br.bits(width))
+          if (!br.ok) return null
+          java.util.Arrays.fill(smp, v)
         } else if (typ == 1) { // VERBATIM
           var k = 0
-          while (k < blockSize) {
-            val v = ((br.bits(16).toInt << 16) >> 16)
-            if (!br.ok) return none
-            sum += v; sq += v.toLong * v
-            val a = math.abs(v.toLong); if (a > peak) peak = a
-            if (c == 0) ch0 += v
+          while (k < bs) {
+            smp(k) = sext(br.bits(width))
+            if (!br.ok) return null
             k += 1
           }
         } else if ((typ >= 8 && typ <= 12) || typ >= 32) {
           // FIXED (type 001ooo, order 0-4) or LPC (type 1ooooo,
           // order = ooooo+1): warmup samples, predictor parameters
-          // (LPC only), then a Rice-coded residual section (round-15,
-          // VERDICT r14 item 2 — real-world FLAC is ~100% LPC/Rice).
+          // (LPC only), then a Rice-coded residual section.
           val order = if (typ >= 32) (typ & 0x1f) + 1 else typ - 8
-          if (order > blockSize) return none
-          val smp = new Array[Int](blockSize)
+          if (order > bs) return null
           var k = 0
           while (k < order) {
-            smp(k) = ((br.bits(16).toInt << 16) >> 16)
-            if (!br.ok) return none
+            smp(k) = sext(br.bits(width))
+            if (!br.ok) return null
             k += 1
           }
           var coefs: Array[Int] = null; var shift = 0
           if (typ >= 32) {
             val precM1 = br.bits(4).toInt
-            if (!br.ok || precM1 == 15) return none // 1111 invalid per spec
+            if (!br.ok || precM1 == 15) return null // 1111 invalid per spec
             val prec = precM1 + 1
             shift = ((br.bits(5).toInt << 27) >> 27) // signed 5-bit
-            if (!br.ok || shift < 0) return none // negative shift deprecated
+            if (!br.ok || shift < 0) return null // negative shift deprecated
             coefs = new Array[Int](order)
             var j = 0
             while (j < order) {
               coefs(j) = ((br.bits(prec).toInt << (32 - prec)) >> (32 - prec))
-              if (!br.ok) return none
+              if (!br.ok) return null
               j += 1
             }
           }
           // residual: 2-bit method (0 = 4-bit Rice, 1 = 5-bit Rice2),
           // 4-bit partition order; partition p of 2^po holds
-          // blockSize/2^po residuals (minus the warmup in partition 0);
+          // bs/2^po residuals (minus the warmup in partition 0);
           // param == escape ⇒ 5-bit raw width, unencoded residuals
           val method = br.bits(2).toInt
-          if (!br.ok || method > 1) return none
+          if (!br.ok || method > 1) return null
           val pbits = if (method == 0) 4 else 5
           val esc = if (method == 0) 15 else 31
           val po = br.bits(4).toInt
-          if (!br.ok) return none
+          if (!br.ok) return null
           val nparts = 1 << po
-          if (blockSize % nparts != 0) return none
-          val per = blockSize / nparts
-          if (per <= order && nparts > 1) return none
-          if (nparts == 1 && per < order) return none
+          if (bs % nparts != 0) return null
+          val per = bs / nparts
+          if (per <= order && nparts > 1) return null
+          if (nparts == 1 && per < order) return null
           var idx = order
           var part = 0
           while (part < nparts) {
             val cnt = if (part == 0) per - order else per
-            if (cnt < 0) return none
+            if (cnt < 0) return null
             val pr = br.bits(pbits).toInt
-            if (!br.ok) return none
+            if (!br.ok) return null
             if (pr == esc) {
               val rawBits = br.bits(5).toInt
-              if (!br.ok) return none
+              if (!br.ok) return null
               var t = 0
               while (t < cnt) {
                 val r =
                   if (rawBits == 0) 0
                   else ((br.bits(rawBits).toInt << (32 - rawBits)) >> (32 - rawBits))
-                if (!br.ok) return none
+                if (!br.ok) return null
                 smp(idx) = r; idx += 1; t += 1
               }
             } else {
@@ -781,11 +852,11 @@ object Multimodal {
                 var q = 0
                 while (br.ok && br.bits(1) == 0L) {
                   q += 1
-                  if (q > (1 << 20)) return none // adversarial unary run
+                  if (q > (1 << 20)) return null // adversarial unary run
                 }
-                if (!br.ok) return none
+                if (!br.ok) return null
                 val rem = if (pr == 0) 0L else br.bits(pr)
-                if (!br.ok) return none
+                if (!br.ok) return null
                 val u = (q.toLong << pr) | rem
                 smp(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // zigzag decode
                 idx += 1; t += 1
@@ -796,7 +867,7 @@ object Multimodal {
           // reconstruct in place: smp(k) holds the residual until the
           // predictor (over already-reconstructed history) is added
           k = order
-          while (k < blockSize) {
+          while (k < bs) {
             val pred: Long =
               if (coefs != null) {
                 var acc = 0L; var j = 0
@@ -810,21 +881,60 @@ object Multimodal {
                 case _ => 4L * smp(k - 1) - 6L * smp(k - 2) + 4L * smp(k - 3) - smp(k - 4)
               }
             val v = pred + smp(k)
-            if (v < -32768 || v > 32767) return none // 16-bit stream invariant
+            if (v < lo || v > hi) return null // width invariant
             smp(k) = v.toInt
             k += 1
           }
-          k = 0
-          while (k < blockSize) {
-            val v = smp(k)
-            sum += v; sq += v.toLong * v
-            val a = math.abs(v.toLong); if (a > peak) peak = a
-            k += 1
-          }
-          if (c == 0) ch0 ++= smp
-        } else return none // reserved subframe types
+        } else return null // reserved subframe types
+        smp
+      }
+      val chans = new Array[Array[Int]](ch)
+      var c = 0
+      while (c < ch) {
+        // SIDE channel width is bps+1: channel 1 for left-side and
+        // mid-side, channel 0 for side-right
+        val width =
+          if (decor && ((chAssign == 9 && c == 0) || (chAssign != 9 && c == 1))) 17
+          else 16
+        val s = subframe(width)
+        if (s == null) return none
+        chans(c) = s
         c += 1
       }
+      if (decor) {
+        // undo the stereo decorrelation EXACTLY: left-side stores
+        // (L, L−R); side-right stores (L−R, R); mid-side stores
+        // ((L+R)>>1, L−R) — L+R is recovered as (mid<<1)|(side&1)
+        // because L+R and L−R share parity. Reconstructed samples
+        // must land back in 16 bits.
+        val a = chans(0); val b = chans(1)
+        var k = 0
+        while (k < bs) {
+          var l = 0L; var r = 0L
+          if (chAssign == 8) { l = a(k); r = a(k).toLong - b(k) }
+          else if (chAssign == 9) { r = b(k); l = b(k).toLong + a(k) }
+          else {
+            val m2 = (a(k).toLong << 1) | (b(k) & 1L)
+            l = (m2 + b(k)) >> 1; r = (m2 - b(k)) >> 1
+          }
+          if (l < -32768 || l > 32767 || r < -32768 || r > 32767) return none
+          a(k) = l.toInt; b(k) = r.toInt
+          k += 1
+        }
+      }
+      c = 0
+      while (c < ch) {
+        val s = chans(c)
+        var k = 0
+        while (k < bs) {
+          val v = s(k)
+          sum += v; sq += v.toLong * v
+          val av = math.abs(v.toLong); if (av > peak) peak = av
+          k += 1
+        }
+        c += 1
+      }
+      ch0 ++= chans(0)
       if (!br.alignOk()) return none
       i = br.pos
       if (i + 2 > p.length) return none

@@ -551,6 +551,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("flacStereoFrame: left-side / side-right / mid-side invert exactly (17-bit side)") {
+    for (id <- Seq(0L, 13L, 501L, 3999L)) {
+      val p = Multimodal.flacWithStereoSamples(id)
+      val (sr, ch, n, sum, sq, peak) = Multimodal.flacSampleStats(p)
+      assert(ch == 2 && n == 144L, s"id=$id hdr")
+      val lr = (0 until 144).flatMap(i =>
+        Seq(Multimodal.flacStereoL(id, i).toLong, Multimodal.flacStereoR(id, i).toLong))
+      assert(sum == lr.sum, s"id=$id sum")
+      assert(sq == lr.map(v => v * v).sum, s"id=$id sq")
+      assert(peak == lr.map(math.abs).max, s"id=$id peak")
+      // channel 0 of the reconstruction is LEFT for every mode
+      val ch0 = Multimodal.flacChannel0Samples(p)
+      assert(ch0.length == 144)
+      assert(ch0.zipWithIndex.forall { case (v, i) =>
+        v == Multimodal.flacStereoL(id, i) }, s"id=$id left channel")
+      // extreme-amplitude pair: side = L−R spans the full 17-bit range
+      val lMax = Array.fill(48)(32767); val rMin = Array.fill(48)(-32768)
+      val px = Multimodal.flacHeader(8000, 2, 16, 48L) ++
+        Multimodal.flacStereoFrame(0, lMax, rMin, 10)
+      val (_, _, nx, sumx, _, peakx) = Multimodal.flacSampleStats(px)
+      assert(nx == 48L && sumx == 48L * (32767 - 32768) && peakx == 32768L)
+      // CRC flip still rejects on decorrelated frames
+      val flip = p.clone(); flip(p.length - 5) = (flip(p.length - 5) ^ 0x10).toByte
+      assert(Multimodal.flacSampleStats(flip)._1 == -1)
+    }
+  }
+
   // ---- Perceptual audio fingerprint (round-15, VERDICT r14 item 3) ----
 
   test("audioFp64: stable under WAV↔FLAC re-encode, 2× nearest resample, volume scale") {
