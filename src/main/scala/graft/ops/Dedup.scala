@@ -808,6 +808,19 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     hammingNearDupsPacked(Multimodal.audioFingerprints(media), 64, maxHamming)
 
+  /** Bucket-capped audio near-dups — the production default at scale:
+    * real audio corpora contain LOW-ENTROPY fingerprint families
+    * (digital silence hashes to 0 everywhere; constant tones collapse
+    * bands), and an uncapped band bucket is quadratic in the family
+    * size. Below the cap the output is IDENTICAL to [[audioNearDups]]
+    * (spec-pinned); above it, oversized buckets contribute
+    * fingerprint-order chain pairs (Manku sorted-table probe), which
+    * keeps each family connected for dedupCorpus. */
+  def audioNearDupsCapped(media: Dataset[Multimodal.MediaRow],
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+    hammingNearDupsPackedCapped(Multimodal.audioFingerprints(media), 64,
+      maxHamming, maxBucket)
+
   /** Scale-path SimHash near-dups: 64-bit fingerprints in 4×16-bit
     * bands — 2^16 band keyspace instead of the 32-bit form's 2^8, so
     * at corpus scale the expected bucket population drops ~256× —
@@ -843,12 +856,30 @@ object Dedup {
       if (bits <= 32) conv(col("simhash"), 2, 10).cast("long")
       else shiftleft(conv(substring(col("simhash"), 1, bits - 32), 2, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(col("simhash"), bits - 31, 32), 2, 10).cast("long"))
+    hammingNearDupsPackedCapped(sh.select(col("id"), hlCol.as("hl")),
+      bits, maxHamming, maxBucket)
+  }
+
+  /** The capped multi-index Hamming pairing itself, over ANY packed-
+    * long fingerprint table (id, hl) — the bucket-capped scale twin of
+    * [[hammingNearDupsPacked]], factored out of simhashNearDupsCapped
+    * (round-15) so non-text fingerprint sources get the same 100 TB
+    * path: a LOW-ENTROPY fingerprint population (digital silence in
+    * audio, flat images) lands whole families in one band bucket, and
+    * without the cap the per-bucket pair transform is quadratic in
+    * that family. Same recall guarantee (4-band pigeonhole, Hamming
+    * ≤ 3) and the same Manku sorted-table probe above the cap. */
+  def hammingNearDupsPackedCapped(shl: DataFrame, bits: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, at most 64")
+    require(maxHamming <= 3, "4-band pigeonhole only guarantees recall for maxHamming <= 3")
+    val bandBits = bits / 4
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("b"),
         shiftright(col("hl"), (3 - b) * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
     }
-    val bands = sh.select(col("id"), hlCol.as("hl"))
+    val bands = shl.select(col("id"), col("hl"))
       .select(col("id"), col("hl"), explode(array(bandCols: _*)).as("_bk"))
       .select(col("id"), col("hl"), col("_bk.b").as("b"), col("_bk.key").as("key"))
     // Members sort by (hl, id) — FINGERPRINT order — so the capped

@@ -803,9 +803,9 @@ object MiscShapes {
       |    doc_id % 63 + 1 AS wz
       |  FROM documents WHERE doc_id < 2000),
       |samp AS (SELECT id, n, vs.v, xi.i,
-      |    CASE WHEN vs.v = 2 THEN (id*31 + 17*(xi.i//2)) % 4001 - 2000
+      |    CASE WHEN vs.v = 2 THEN (id*31 + 17*(xi.i//2) + 13*(xi.i//2)*(xi.i//2)) % 4001 - 2000
       |         WHEN vs.v = 3 AND (xi.i*65)//n = wz THEN 0
-      |         ELSE (id*31 + 17*xi.i) % 4001 - 2000 END AS s,
+      |         ELSE (id*31 + 17*xi.i + 13*xi.i*xi.i) % 4001 - 2000 END AS s,
       |    CASE WHEN vs.v = 2 THEN (xi.i*65)//(2*n)
       |         ELSE (xi.i*65)//n END AS w
       |  FROM d

@@ -1034,9 +1034,16 @@ object Multimodal {
   }
 
   /** Planted audio waveform for the q229 corpus (the gate restates
-    * this): a period-4001 pseudo-random amplitude walk. */
+    * this): a mod-4001 quadratic scramble. The i² term matters for
+    * the BENCH shape, not correctness: a near-linear waveform (the
+    * first draft's id·31 + 17·i) makes window energies monotone over
+    * long runs, so fingerprints collapse to a few hot band values and
+    * the band buckets go quadratic — the exact low-entropy failure
+    * mode audioNearDupsCapped exists for. The quadratic term keeps
+    * the planted corpus in the high-entropy regime the uncapped gate
+    * form expects (q229 went 8.5 s → band-bounded after this). */
   private[ops] def audioPlantedVal(id: Long, i: Int): Int =
-    ((id * 31 + 17L * i) % 4001).toInt - 2000
+    ((id * 31 + 17L * i + 13L * i * i) % 4001).toInt - 2000
 
   /** Mono 16-bit WAV around arbitrary samples (the [[wavWithSamples]]
     * container with a caller-supplied waveform). */

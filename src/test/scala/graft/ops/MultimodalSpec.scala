@@ -620,6 +620,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavFromSamples(8000, Array.fill(10)(5))).isEmpty) // < 65 samples
   }
 
+  test("audioNearDupsCapped: equals uncapped below the cap; silence family stays chained") {
+    val corpus = Multimodal.synthesizeAudioPerceptualCorpus(docs.filter(col("doc_id") < 60))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = pairSet(Dedup.audioNearDups(corpus))
+    assert(exact.nonEmpty)
+    assert(pairSet(Dedup.audioNearDupsCapped(corpus, maxBucket = 256)) == exact)
+    // digital silence: every clip fingerprints to 0 — the low-entropy
+    // family the cap exists for. 40 identical fps under cap 8 must
+    // yield the 39 consecutive chain pairs (connected, linear), not
+    // the 780-pair clique.
+    val silence = spark.createDataset((0L until 40L).map(i =>
+      Multimodal.MediaRow(i, "audio",
+        Multimodal.wavFromSamples(8000, Array.fill(130)(0)))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val sil = pairSet(Dedup.audioNearDupsCapped(silence, maxBucket = 8))
+    assert(sil == (0L until 39L).map(i => (i, i + 1, 0)).toSet)
+    val comps = Dedup.connectedComponents(
+      Dedup.audioNearDupsCapped(silence, maxBucket = 8)).collect()
+    assert(comps.length == 40 && comps.forall(_.getLong(1) == 0L))
+  }
+
   // ---- MP4 stored-raw sample truth (round-15, VERDICT r14 item 5) ----
 
   test("mp4SampleStats: planted raw frames recovered via stsz/mdat cross-check") {
