@@ -315,9 +315,10 @@ object Multimodal {
   // Round-15 (VERDICT r14 item 2) extends the honest subset to
   // FIXED-prediction orders 0-4 and LPC subframes with Rice/Rice2
   // partitioned residuals (incl. escape partitions) — the encoding
-  // ~100% of real-world FLAC uses. Remaining sentinel rejects:
-  // wasted-bits subframes, non-16-bit streams, stereo decorrelation
-  // (left/right/mid-side channel assignments), negative LPC shifts.
+  // ~100% of real-world FLAC uses, plus stereo decorrelation
+  // (left-side/side-right/mid-side, 17-bit side channel) and
+  // wasted-bits subframes. Remaining sentinel rejects: non-16-bit
+  // stream depths and negative LPC shifts.
   // ----------------------------------------------------------------
 
   private[ops] def flacCrc8(data: Array[Byte], from: Int, until: Int): Int = {
@@ -670,6 +671,43 @@ object Multimodal {
       flacStereoFrame(2, l2, r2, 10)
   }
 
+  /** One VERBATIM frame with `wasted` trailing-zero bits factored out
+    * of every sample (the wasted-bits subframe header form) — the
+    * encode twin for the wasted-bits decode path. Every sample must
+    * have its low `wasted` bits zero. */
+  private[ops] def flacWastedFrame(frameNo: Int, samplesPerChannel: Array[Array[Int]],
+      wasted: Int): Array[Byte] = {
+    require(wasted >= 1 && wasted < 16)
+    require(samplesPerChannel.forall(_.forall(v => (v & ((1 << wasted) - 1)) == 0)))
+    val n = samplesPerChannel(0).length
+    val ch = samplesPerChannel.length
+    val hdr = new Array[Byte](7)
+    hdr(0) = 0xff.toByte; hdr(1) = 0xf8.toByte
+    hdr(2) = 0x70
+    hdr(3) = (((ch - 1) << 4) | (4 << 1)).toByte
+    hdr(4) = frameNo.toByte
+    hdr(5) = ((n - 1) >> 8).toByte; hdr(6) = (n - 1).toByte
+    val out = new java.io.ByteArrayOutputStream(n * ch * 2 + 16)
+    out.write(hdr, 0, 7)
+    out.write(flacCrc8(hdr, 0, 7))
+    val bw = new MsbBitWriter(out)
+    var c = 0
+    while (c < ch) {
+      bw.put(0x03, 8) // pad 0, type VERBATIM, wasted flag 1
+      bw.put(1L, wasted) // unary: (wasted-1) zeros then a 1
+      var i = 0
+      while (i < n) {
+        bw.put((samplesPerChannel(c)(i) >> wasted).toLong, 16 - wasted)
+        i += 1
+      }
+      c += 1
+    }
+    bw.flushZero()
+    val body = out.toByteArray
+    val crc = flacCrc16(body, 0, body.length)
+    body ++ Array[Byte]((crc >> 8).toByte, crc.toByte)
+  }
+
   def synthesizeFlacStereoSamples(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
@@ -768,11 +806,24 @@ object Multimodal {
       // or null on malformed content. CONSTANT, VERBATIM, FIXED
       // orders 0-4, and LPC are the honest subset (round-15, VERDICT
       // r14 item 2 — real-world FLAC is ~100% LPC/Rice).
-      def subframe(width: Int): Array[Int] = {
+      def subframe(fullWidth: Int): Array[Int] = {
+        val sub = br.bits(8)
+        if (!br.ok || (sub & 0x80) != 0) return null
+        // wasted-bits flag (round-15 follow-on): unary count k, samples
+        // stored at fullWidth−k and shifted left k on output — encoders
+        // use it when every sample has k trailing zero bits
+        var wasted = 0
+        if ((sub & 1) != 0) {
+          wasted = 1
+          while (br.ok && br.bits(1) == 0L) {
+            wasted += 1
+            if (wasted >= fullWidth) return null
+          }
+          if (!br.ok) return null
+        }
+        val width = fullWidth - wasted
         def sext(v: Long): Int = ((v << (64 - width)) >> (64 - width)).toInt
         val lo = -(1L << (width - 1)); val hi = (1L << (width - 1)) - 1
-        val sub = br.bits(8)
-        if (!br.ok || (sub & 0x80) != 0 || (sub & 1) != 0) return null
         val typ = ((sub >> 1) & 0x3f).toInt
         val smp = new Array[Int](bs)
         if (typ == 0) { // CONSTANT
@@ -886,6 +937,11 @@ object Multimodal {
             k += 1
           }
         } else return null // reserved subframe types
+        if (wasted > 0) {
+          // stored values fit width bits, so v<<k fits fullWidth exactly
+          var k = 0
+          while (k < bs) { smp(k) = smp(k) << wasted; k += 1 }
+        }
         smp
       }
       val chans = new Array[Array[Int]](ch)

@@ -578,6 +578,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("flacWastedFrame: wasted-bits subframes shift back exactly") {
+    for ((id, wasted) <- Seq((3L, 1), (44L, 2), (700L, 4))) {
+      val ch = ((id / 2) % 2 + 1).toInt
+      // low `wasted` bits zeroed by construction: scale planted values
+      val smp = Array.tabulate(ch, 40)((c, i) =>
+        (Multimodal.flacPredVal(id, c, i) >> wasted) << wasted)
+      val p = Multimodal.flacHeader(22050, ch, 16, 40L) ++
+        Multimodal.flacWastedFrame(0, smp, wasted)
+      val (_, gotCh, n, sum, sq, peak) = Multimodal.flacSampleStats(p)
+      assert(gotCh == ch && n == 40L, s"id=$id wasted=$wasted hdr")
+      val vals = smp.flatten.map(_.toLong)
+      assert(sum == vals.sum && sq == vals.map(v => v * v).sum &&
+        peak == vals.map(math.abs).max, s"id=$id wasted=$wasted stats")
+      // CRC still owns bit-flip safety on the wasted path
+      val flip = p.clone(); flip(p.length - 4) = (flip(p.length - 4) ^ 0x02).toByte
+      assert(Multimodal.flacSampleStats(flip)._1 == -1)
+    }
+  }
+
   // ---- Perceptual audio fingerprint (round-15, VERDICT r14 item 3) ----
 
   test("audioFp64: stable under WAV↔FLAC re-encode, 2× nearest resample, volume scale") {
