@@ -441,16 +441,17 @@ object Multimodal {
     * the spec's coverage of that branch. */
   private[ops] def flacPredFrame(frameNo: Int, samplesPerChannel: Array[Array[Int]],
       order: Int, lpc: Option[(Array[Int], Int, Int)] = None,
-      partOrder: Int = 0, escape: Boolean = false): Array[Byte] = {
+      partOrder: Int = 0, escape: Boolean = false, bps: Int = 16): Array[Byte] = {
     val n = samplesPerChannel(0).length
     val ch = samplesPerChannel.length
     val nparts = 1 << partOrder
     require(n % nparts == 0 && n / nparts > order,
       s"flacPredFrame: blockSize $n incompatible with partOrder $partOrder / order $order")
+    val bpsCode = bps match { case 8 => 1; case 16 => 4; case 24 => 6 }
     val hdr = new Array[Byte](7)
     hdr(0) = 0xff.toByte; hdr(1) = 0xf8.toByte
     hdr(2) = 0x70 // block size code 7 (16-bit follows), rate from STREAMINFO
-    hdr(3) = (((ch - 1) << 4) | (4 << 1)).toByte // independent, 16-bit
+    hdr(3) = (((ch - 1) << 4) | (bpsCode << 1)).toByte // independent channels
     hdr(4) = frameNo.toByte
     hdr(5) = ((n - 1) >> 8).toByte; hdr(6) = (n - 1).toByte
     val out = new java.io.ByteArrayOutputStream(n * ch * 2 + 32)
@@ -469,7 +470,7 @@ object Multimodal {
           bw.put((8L + order) << 1, 8) // type 001ooo, wasted 0
       }
       var k = 0
-      while (k < order) { bw.put(s(k).toLong, 16); k += 1 }
+      while (k < order) { bw.put(s(k).toLong, bps); k += 1 }
       lpc.foreach { case (coefs, prec, shift) =>
         bw.put((prec - 1).toLong, 4)
         bw.put(shift.toLong, 5)
@@ -756,7 +757,10 @@ object Multimodal {
       }
       i += 4 + len
     }
-    if (sr <= 0 || ch <= 0 || bps != 16 || total < 0 || i > p.length) return none
+    // 8/16/24-bit streams (round-15 follow-on; 16 was the original
+    // honest subset) — samples fit Int, moments fit Long at any depth
+    if (sr <= 0 || ch <= 0 || (bps != 8 && bps != 16 && bps != 24) ||
+        total < 0 || i > p.length) return none
     var sum = 0L; var sq = 0L; var peak = 0L; var got = 0L
     while (i < p.length) {
       val start = i
@@ -770,7 +774,11 @@ object Multimodal {
       if (chAssign > 10) return none
       if (!decor && chAssign + 1 != ch) return none
       if (decor && ch != 2) return none
-      if (bpsCode != 0 && bpsCode != 4) return none // 16-bit only
+      // frame bps code must agree with STREAMINFO (0 = inherit)
+      val codeBits = bpsCode match {
+        case 0 => bps; case 1 => 8; case 4 => 16; case 6 => 24; case _ => -1
+      }
+      if (codeBits != bps) return none
       i += 4
       // UTF-8-coded frame number: leading ones of the first byte =
       // continuation byte count
@@ -950,8 +958,8 @@ object Multimodal {
         // SIDE channel width is bps+1: channel 1 for left-side and
         // mid-side, channel 0 for side-right
         val width =
-          if (decor && ((chAssign == 9 && c == 0) || (chAssign != 9 && c == 1))) 17
-          else 16
+          if (decor && ((chAssign == 9 && c == 0) || (chAssign != 9 && c == 1))) bps + 1
+          else bps
         val s = subframe(width)
         if (s == null) return none
         chans(c) = s
@@ -973,7 +981,8 @@ object Multimodal {
             val m2 = (a(k).toLong << 1) | (b(k) & 1L)
             l = (m2 + b(k)) >> 1; r = (m2 - b(k)) >> 1
           }
-          if (l < -32768 || l > 32767 || r < -32768 || r > 32767) return none
+          val pcmLo = -(1L << (bps - 1)); val pcmHi = (1L << (bps - 1)) - 1
+          if (l < pcmLo || l > pcmHi || r < pcmLo || r > pcmHi) return none
           a(k) = l.toInt; b(k) = r.toInt
           k += 1
         }

@@ -578,6 +578,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("flac 8- and 24-bit streams decode exactly; bps-code mismatch rejects") {
+    // 24-bit FIXED order 2: full-depth pseudo-random samples
+    val s24 = Array.tabulate(1, 40)((_, i) =>
+      ((3L * 1000003L * (i + 1) + 917L) % 16000000L).toInt - 8000000)
+    val p24 = Multimodal.flacHeader(48000, 1, 24, 40L) ++
+      Multimodal.flacPredFrame(0, s24, 2, None, 0, escape = false, bps = 24)
+    val (_, _, n24, sum24, sq24, peak24) = Multimodal.flacSampleStats(p24)
+    assert(n24 == 40L)
+    assert(sum24 == s24(0).map(_.toLong).sum)
+    assert(sq24 == s24(0).map(v => v.toLong * v).sum)
+    assert(peak24 == s24(0).map(v => math.abs(v.toLong)).max)
+    // 8-bit LPC
+    val s8 = Array.tabulate(1, 40)((c, i) => Multimodal.flacPredVal(5L, c, i) % 120)
+    val p8 = Multimodal.flacHeader(8000, 1, 8, 40L) ++
+      Multimodal.flacPredFrame(0, s8, 2, Some((Array(3, -1), 4, 1)), 0,
+        escape = false, bps = 8)
+    val (_, _, n8, sum8, _, peak8) = Multimodal.flacSampleStats(p8)
+    assert(n8 == 40L && sum8 == s8(0).map(_.toLong).sum &&
+      peak8 == s8(0).map(v => math.abs(v.toLong)).max)
+    // frame bps code disagreeing with STREAMINFO rejects
+    val bad = Multimodal.flacHeader(8000, 1, 16, 40L) ++
+      Multimodal.flacPredFrame(0, s8, 0, None, 0, escape = false, bps = 24)
+    assert(Multimodal.flacSampleStats(bad)._1 == -1)
+    // unsupported depth (12-bit STREAMINFO) rejects
+    assert(Multimodal.flacSampleStats(
+      Multimodal.flacHeader(8000, 1, 12, 0L))._1 == -1)
+  }
+
   test("flacWastedFrame: wasted-bits subframes shift back exactly") {
     for ((id, wasted) <- Seq((3L, 1), (44L, 2), (700L, 4))) {
       val ch = ((id / 2) % 2 + 1).toInt
