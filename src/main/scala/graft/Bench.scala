@@ -92,8 +92,35 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     val gcByQuery = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    // Per-query I/O attribution (round-16, VERDICT r15 item 1a): the
+    // r15 driver artifact showed q59 at 83.3 s with only 9.1 s GC — GC
+    // no longer explained the spike, and the prime suspect became
+    // DISK_ONLY persist I/O on a contended disk. Stamp actual disk
+    // bytes (/proc/self/io read_bytes/write_bytes — storage-layer, not
+    // page-cache reads) and the system-wide iowait delta (/proc/stat)
+    // per query, so a wall-clock outlier is attributable to a NAMED
+    // resource column inside the artifact itself.
+    def procSelfIo(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/io")
+        val m = try src.getLines().map(_.split(":\\s*")).collect {
+          case Array(k, v) => k -> v.trim.toLong
+        }.toMap finally src.close()
+        (m.getOrElse("read_bytes", 0L), m.getOrElse("write_bytes", 0L))
+      } catch { case _: Throwable => (0L, 0L) }
+    def iowaitJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")(5).toLong).getOrElse(0L)
+        finally src.close()
+      } catch { case _: Throwable => 0L }
+    // (readMB, writeMB, iowaitSec) summed over every rep of the query
+    val ioByQuery = scala.collection.mutable
+      .Map.empty[String, (Double, Double, Double)].withDefaultValue((0.0, 0.0, 0.0))
     def run(name: String): Double = {
       val g0 = gcMillis()
+      val (r0, w0) = procSelfIo(); val iw0 = iowaitJiffies()
       val t0 = System.nanoTime()
       val dt =
         try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -114,6 +141,12 @@ object Bench {
       System.gc()
       // attribute the cleanup collection to the query that caused it
       gcByQuery(name) += (gcMillis() - g0) / 1e3
+      val (r1, w1) = procSelfIo(); val iw1 = iowaitJiffies()
+      val prev = ioByQuery(name)
+      // iowait jiffies are USER_HZ (=100) ticks, system-wide across
+      // all cpus — a named contention column, not a per-query cost
+      ioByQuery(name) = (prev._1 + (r1 - r0) / 1048576.0,
+        prev._2 + (w1 - w0) / 1048576.0, prev._3 + (iw1 - iw0) / 100.0)
       dt
     }
 
@@ -197,6 +230,38 @@ object Bench {
     val results = names.map { n =>
       val reps = Seq(pass1(n), pass2(n), run(n)).filter(_ >= 0)
       n -> (if (reps.isEmpty) -1.0 else reps.sorted.apply(reps.size / 2))
+    }
+
+    // Re-run-on-outlier (round-16, VERDICT r15 item 1b): any query
+    // whose warm median exceeds 3× its COMMITTED 3-run local median
+    // (tools/bench_medians.tsv — regenerated from the committed
+    // docs/BENCH_r15_run*.json whenever those are refreshed) re-runs
+    // once, in-process, after a settle. BOTH numbers land in the
+    // artifact (`reruns`): a transient spike (disk/neighbor
+    // contention) shows a rerun back inside the band; a genuine plan
+    // regression shows the rerun confirming the outlier. The headline
+    // `value`/`queries` keep the original medians — the rerun column
+    // is evidence, not a replacement. The 1 s floor keeps sub-second
+    // noise (a 0.1 s query reading 0.4 s) from triggering reruns.
+    // The committed medians were measured at sf0.1 (the driver's bench
+    // SF) — at any other SF the comparison is meaningless, so the
+    // policy only engages there.
+    val committedMedians: Map[String, Double] =
+      try {
+        val f = java.nio.file.Paths.get("tools/bench_medians.tsv")
+        if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(f)) Map.empty
+        else java.nio.file.Files.readAllLines(f).asScala
+          .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+          .map { l => val p = l.trim.split("\t"); p(0) -> p(1).toDouble }
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    val reruns: Seq[(String, Double, Double)] = results.flatMap { case (n, med) =>
+      committedMedians.get(n) match {
+        case Some(base) if med >= 0 && med > 3.0 * base && med > 1.0 =>
+          settle()
+          Some((n, med, run(n)))
+        case _ => None
+      }
     }
 
     // Serve-only rows: build each standing model/index ONCE (untimed),
@@ -302,6 +367,15 @@ object Bench {
     val sqs = serveResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val gqs = names.map(n => "\"" + n + "\":" + (math.round(gcByQuery(n) * 1000) / 1000.0))
       .mkString("{", ",", "}")
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    // full map: name -> [disk_read_mb, disk_write_mb, iowait_sec]
+    val ioqs = names.map { n =>
+      val (r, w, iw) = ioByQuery(n)
+      "\"" + n + "\":[" + r3(r) + "," + r3(w) + "," + r3(iw) + "]"
+    }.mkString("{", ",", "}")
+    val rerunsJson = reruns.map { case (n, med, re) =>
+      "\"" + n + "\":{\"median\":" + med + ",\"rerun\":" + re + "}"
+    }.mkString("{", ",", "}")
     val tiq = trainInQuery.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val recipeFamilySec = results
@@ -319,6 +393,7 @@ object Bench {
         s""""cold_total_sec":$cold,"cold_queries":$cqs,""" +
         s""""serve_queries":$sqs,"train_in_query":$tiq,""" +
         s""""gc_queries":$gqs,"gc_sec_total":$gcTotal,""" +
+        s""""io_queries":$ioqs,"reruns":$rerunsJson,""" +
         serveError.map(e => s""""serve_error":${OracleJson.quote(e)},""").getOrElse("") +
         s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
         s""""high_load_at_start":$highLoad,"quiesce_waited":$quiesceWaited,""" +
@@ -346,11 +421,20 @@ object Bench {
     val gcCompact = gcCompactKeys
       .map(n => "\"" + n + "\":" + (math.round(gcByQuery(n) * 1000) / 1000.0))
       .mkString("{", ",", "}")
+    // Compact I/O columns: the recipe family + the top-5 disk readers
+    // — the DISK_ONLY users whose contention signature item 1 hunts.
+    val ioCompactKeys = (recipeFamily.filter(results.toMap.contains) ++
+      names.sortBy(n => -(ioByQuery(n)._1 + ioByQuery(n)._2)).take(5)).distinct
+    val ioCompact = ioCompactKeys.map { n =>
+      val (r, w, iw) = ioByQuery(n)
+      "\"" + n + "\":[" + r3(r) + "," + r3(w) + "," + r3(iw) + "]"
+    }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,""" +
         s""""n_queries":${results.size},"cold_total_sec":$cold,""" +
         s""""recipe_family_sec":$recipeFamilySec,""" +
         s""""gc_sec_total":$gcTotal,"gc_queries":$gcCompact,""" +
+        s""""io_queries":$ioCompact,"reruns":$rerunsJson,""" +
         s""""load_before":$loadBefore,"load_after":$loadAfter,""" +
         s""""high_load_at_start":$highLoad,"quiesce_waited":$quiesceWaited,""" +
         s""""jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,""" +

@@ -14,6 +14,21 @@ import org.apache.spark.sql.SparkSession
   *     cmd/server/httphandlers.go:144).
   */
 object GraftSession {
+  /** Storage level for persisted TEXT-SIZED frames (corpus survivors,
+    * shingle/token arrays, feature frames). Default DISK_ONLY — the
+    * round-15 GC audit moved these off the heap because their
+    * deserialized copies dominated old-gen in a long many-query JVM.
+    * Env-tunable (round-16, VERDICT r15 item 1c) so the DISK-I/O-vs-GC
+    * trade is measurable without a rebuild:
+    * SPARK_GRAFT_TEXT_PERSIST=MEMORY_AND_DISK_SER keeps the frames as
+    * serialized in-memory bytes (compact, low-GC) and spills only on
+    * pressure — the candidate middle ground if the driver box's disk
+    * is the contended resource. Accepts any StorageLevel name. */
+  val textFrameLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_TEXT_PERSIST", "DISK_ONLY")
+        .trim.toUpperCase)
+
   def local(
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       appName: String = "graft"): SparkSession = {

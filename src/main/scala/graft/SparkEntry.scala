@@ -34,7 +34,8 @@ object SparkEntry {
     QueryModule(Evaluation.queries, Evaluation.oracles),
     QueryModule(Decorrelated.queries, Decorrelated.oracles),
     QueryModule(AuditOps.queries, AuditOps.oracles),
-    QueryModule(CorpusStats.queries, CorpusStats.oracles))
+    QueryModule(CorpusStats.queries, CorpusStats.oracles),
+    QueryModule(StreamingShapes.queries, StreamingShapes.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

@@ -151,7 +151,7 @@ object Classifier {
     // frame; at MEMORY level its deserialized feature arrays were resident
     // heap for the whole loop — the q102 GC-pressure signature.
     val feats = featurize(docs(s, dir), "doc_id", "text")
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     try {
       val w = train(feats)
       predict(feats, "doc_id", w).orderBy(col("doc_id"))

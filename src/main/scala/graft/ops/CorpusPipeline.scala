@@ -130,11 +130,11 @@ object CorpusPipeline {
     val gated = docs.filter(
       qualityGate(col(textCol), cfg.base) &&
         !TextAnalysis.repetitiveFlag(col(textCol), cfg.maxDup3Frac, cfg.maxTopTokFrac))
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
       cfg.decontamN, cfg.decontamMinShared)
     val ex = exactStage(decon, idCol, textCol, cfg.base.exactByFingerprint)
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     // minhashDedupCapped is EAGER (it checkpoints its tiny pair list
     // and frees its own intermediates), so by the time it returns the
     // caches above have served every multi-reference consumer. The
@@ -206,22 +206,22 @@ object CorpusPipeline {
         !TextAnalysis.repetitiveFlag(col(textCol), b.maxDup3Frac, b.maxTopTokFrac))
     val gated =
       (if (cfg.piiGate) gated0.filter(!CurationOps.hasPii(col(textCol))) else gated0)
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(graft.GraftSession.textFrameLevel)
     // decon is referenced twice (gram side of the fuzzy scan + the
     // anti-join left side) — persist, as trainingRecipe does for the
     // same shape, or the exact-decontamination stage executes twice.
     val decon = TextAnalysis.decontaminate(gated, benchmark, idCol, textCol,
-      b.decontamN, b.decontamMinShared).persist(StorageLevel.DISK_ONLY)
+      b.decontamN, b.decontamMinShared).persist(graft.GraftSession.textFrameLevel)
     val defuzz = decon.join(
         broadcast(CurationOps.fuzzyContaminatedIds(decon, benchmark, idCol, textCol,
           cfg.fuzzyN, cfg.fuzzyMinFrac)),
         Seq(idCol), "left_anti")
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     val debp = CurationOps.dropBoilerplateHeavy(defuzz, idCol, textCol,
       CurationOps.boilerplateGramSet(defuzz, idCol, textCol, cfg.bpN, cfg.bpMinDocs),
       cfg.bpN, cfg.bpMaxFrac)
     val ex = exactStage(debp, idCol, textCol, b.base.exactByFingerprint)
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       b.base.numHashes, b.base.bandSize, b.base.minJaccard, b.base.maxBucket)
     val keep0 = graft.PlanCapture.checkpoint(
@@ -258,7 +258,7 @@ object CorpusPipeline {
     // full text — at MEMORY level this frame was the q59 GC-pressure
     // suspect (same class as the q69/q70 fixes).
     val ex = exactStage(gated, idCol, textCol, cfg.exactByFingerprint)
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     val pairs = Dedup.minhashDedupCapped(ex, idCol, textCol,
       cfg.numHashes, cfg.bandSize, cfg.minJaccard, cfg.maxBucket)
     val keep = graft.PlanCapture.checkpoint(

@@ -554,7 +554,7 @@ object Dedup {
   def minhashDedupFast(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol))
-      .persist(StorageLevel.DISK_ONLY) // text-sized: shingle arrays (r15 GC audit)
+      .persist(graft.GraftSession.textFrameLevel) // text-sized: shingle arrays (r15 GC audit)
     materializeAndFree(
       jaccardForCandidates(sets, lshCandidates(lshBandsFastFromArrays(sets, numHashes, bandSize)),
         minJaccard), sets)
@@ -573,7 +573,7 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol))
-      .persist(StorageLevel.DISK_ONLY) // text-sized: shingle arrays (r15 GC audit)
+      .persist(graft.GraftSession.textFrameLevel) // text-sized: shingle arrays (r15 GC audit)
     materializeAndFree(
       jaccardForCandidates(sets, lshCandidates(lshBandsFromArrays(sets, numHashes, bandSize)),
         minJaccard), sets)
@@ -590,7 +590,7 @@ object Dedup {
       numHashes: Int = 8, bandSize: Int = 2, minJaccard: Double = 0.5,
       maxBucket: Int = 10000): DataFrame = {
     val sets = docShingleArrays(wordBigrams(docs, idCol, textCol))
-      .persist(StorageLevel.DISK_ONLY) // text-sized: shingle arrays (r15 GC audit)
+      .persist(graft.GraftSession.textFrameLevel) // text-sized: shingle arrays (r15 GC audit)
     materializeAndFree(
       jaccardForCandidates(sets,
         lshCandidatesCapped(lshBandsFromArraysKeyed(sets, numHashes, bandSize), maxBucket,
@@ -1112,9 +1112,9 @@ object Dedup {
     // index join (which selects b/key/id) and gives the within-delta
     // capped candidate path sorted-neighborhood semantics.
     val dSets = docShingleArrays(wordBigrams(delta, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     val dBands = lshBandsFromArraysKeyed(dSets, numHashes, bandSize)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(graft.GraftSession.textFrameLevel)
     // With a PROVIDED index (production), the base corpus is scanned
     // only for verification, pruned to candidate ids. Without one
     // (the gate form), shingle the base ONCE and derive both the
@@ -1122,7 +1122,7 @@ object Dedup {
     // re-shingling for verification doubled this operator's cost.
     val derivedBSets = if (baseIndex.isEmpty)
       Some(docShingleArrays(wordBigrams(base, idCol, textCol))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        .persist(graft.GraftSession.textFrameLevel))
     else None
     val bIdx = baseIndex.getOrElse(
       lshBandsFromArrays(derivedBSets.get, numHashes, bandSize))

@@ -254,6 +254,18 @@ object Multimodal {
     }
   }
 
+  /** n digital-silence WAV clips (all-zero PCM) — the degenerate
+    * fingerprint family every clip of which hashes identically, i.e.
+    * the low-entropy regime `Dedup.audioNearDupsCapped` exists for
+    * (round-16 MicroBench row, VERDICT r15 item 6). `samples` defaults
+    * to two full fingerprint windows (65·2). */
+  def synthesizeSilenceCorpus(spark: org.apache.spark.sql.SparkSession,
+      n: Int, samples: Int = 130): Dataset[MediaRow] = {
+    import spark.implicits._
+    val payload = wavFromSamples(8000, new Array[Int](samples))
+    spark.range(n.toLong).as[Long].map(id => MediaRow(id, "audio", payload))
+  }
+
   case class SampleStats(media_id: Long, sample_rate: Int, channels: Int,
     n_samples: Long, sum_s: Long, sum_sq: Long, peak: Long)
 
@@ -917,7 +929,11 @@ object Multimodal {
                 val rem = if (pr == 0) 0L else br.bits(pr)
                 if (!br.ok) return null
                 val u = (q.toLong << pr) | rem
-                smp(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // zigzag decode
+                val v = (u >>> 1) ^ -(u & 1L) // zigzag decode
+                // q up to 2^20 with pr up to 30 can exceed 32 bits;
+                // a truncating .toInt would accept a crafted stream
+                if (v < Int.MinValue || v > Int.MaxValue) return null
+                smp(idx) = v.toInt
                 idx += 1; t += 1
               }
             }
@@ -1351,9 +1367,14 @@ object Multimodal {
         if (size == 1L && i + 16 <= end) {
           val hi = rBe32(p, i + 8).toLong & 0xffffffffL
           val lo = rBe32(p, i + 12).toLong & 0xffffffffL
-          size = if (hi == 0) lo else Long.MaxValue
+          // hi != 0 means a box >4 GiB — impossible inside an Int-indexed
+          // payload; reject rather than saturate (Long.MaxValue would
+          // overflow the `i + size` bound below and walk backwards)
+          if (hi != 0) { bad = true; return }
+          size = lo
         }
-        if (size < hdr || i + size > end) { bad = true; return }
+        // subtraction form: `i + size` overflows Long for huge sizes
+        if (size < hdr || size > (end - i).toLong) { bad = true; return }
         val t = new String(p, i + 4, 4, "US-ASCII")
         t match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" =>

@@ -1476,7 +1476,7 @@ object TextAnalysis {
     // cache is released: the round-5 form re-tokenized the corpus four
     // times (c12 agg, c1 agg, vocab count, scoring join), which is the
     // term that dominates at 100×.
-    val cached = arrDf.persist(StorageLevel.DISK_ONLY) // text-sized token arrays (r15 GC audit)
+    val cached = arrDf.persist(graft.GraftSession.textFrameLevel) // text-sized token arrays (r15 GC audit)
     val c12 = graft.PlanCapture.checkpoint(
       bgOf(cached).groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12")), "bigram-c12")

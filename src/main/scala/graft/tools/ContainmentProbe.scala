@@ -43,7 +43,15 @@ object ContainmentProbe {
     // fixed cap's scale-4 line kept 0 pairs). SPARK_GRAFT_MAX_DF still
     // pins a fixed cap for reproducing the degenerate behavior.
     val maxDfEnv = sys.env.get("SPARK_GRAFT_MAX_DF").map(_.toLong)
-    val dfFrac = 0.16
+    // Round-16 (VERDICT r15 item 2): dfFrac is sweepable — at 0.16 the
+    // cap pruned only 17% of candidates at 16× and its extra plan
+    // stages (df count + filter + separate denominator sizes) cost
+    // more than the pruning saved; the sweep finds where the cap
+    // BINDS. Timing is min-of-reps (the repo's host-drift
+    // methodology), and each line carries candidates-verified/sec so
+    // the efficiency claim no longer rides on a single wall clock.
+    val dfFrac = sys.env.get("SPARK_GRAFT_DF_FRAC").map(_.toDouble).getOrElse(0.16)
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.toInt).getOrElse(3)
     val t = 0.5
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       "containment-probe")
@@ -103,12 +111,23 @@ object ContainmentProbe {
 
       val candExact = candidates(sets, sets)
       val candCapped = candidates(keptSets, sets)
-      val t0 = System.nanoTime()
-      val exact = pairsOf(Dedup.prefixFilterContainment(sets, t))
-      val tExact = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val capped = pairsOf(Dedup.prefixFilterContainmentCapped(sets, t, maxDf))
-      val tCapped = (System.nanoTime() - t1) / 1e9
+      // min-of-reps, alternating forms so neither side systematically
+      // inherits a noisy-neighbor window the other missed
+      var exact = Set.empty[(Long, Long)]
+      var capped = Set.empty[(Long, Long)]
+      val tEx = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val tCp = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        exact = pairsOf(Dedup.prefixFilterContainment(sets, t))
+        tEx += (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        capped = pairsOf(Dedup.prefixFilterContainmentCapped(sets, t, maxDf))
+        tCp += (System.nanoTime() - t1) / 1e9
+      }
+      val tExact = tEx.min
+      val tCapped = tCp.min
+      def fmt(xs: Seq[Double]) = xs.map(x => "%.2f".format(x)).mkString("[", ",", "]")
 
       println(s"""{"metric":"containment_probe","scale":$m,""" +
         s""""docs":${400 * m},"max_df":$maxDf,""" +
@@ -117,7 +136,10 @@ object ContainmentProbe {
         s""""pairs_exact":${exact.size},"pairs_capped":${capped.size},""" +
         s""""lost":${(exact -- capped).size},"extra":${(capped -- exact).size},""" +
         s""""sec_exact":${"%.2f".format(tExact)},""" +
-        s""""sec_capped":${"%.2f".format(tCapped)}}""")
+        s""""sec_capped":${"%.2f".format(tCapped)},""" +
+        s""""sec_exact_reps":${fmt(tEx.toSeq)},"sec_capped_reps":${fmt(tCp.toSeq)},""" +
+        s""""cand_per_sec_exact":${math.round(candExact / math.max(tExact, 1e-9))},""" +
+        s""""cand_per_sec_capped":${math.round(candCapped / math.max(tCapped, 1e-9))}}""")
       sets.unpersist(); keptSets.unpersist(); corpus.unpersist()
     }
     spark.stop()

@@ -119,6 +119,22 @@ object MicroBench {
       sets.unpersist(); bands.unpersist()
     }
 
+    locally {
+      // Round-16 (VERDICT r15 item 6): the capped Hamming LOW-ENTROPY
+      // path's timing row. A planted 1k-clip digital-silence family —
+      // every fingerprint identical, so each of the 4 band buckets
+      // holds the whole family — is quadratic for the uncapped
+      // per-bucket pair transform (499,500 pairs) and linear for the
+      // capped chain (999 consecutive pairs keeping the family
+      // connected for dedupCorpus).
+      val clips = graft.ops.Multimodal
+        .synthesizeSilenceCorpus(spark, 1000).persist()
+      clips.count()
+      time("audio_silence_uncapped")(Dedup.audioNearDups(clips).count())
+      time("audio_silence_capped256")(Dedup.audioNearDupsCapped(clips).count())
+      clips.unpersist()
+    }
+
     // q59 stage decomposition
     import graft.ops.CorpusPipeline
     val cfg = CorpusPipeline.Config()

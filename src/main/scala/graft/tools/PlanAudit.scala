@@ -64,15 +64,20 @@ object PlanAudit {
   val baselinePath = "tools/plan_baseline.tsv"
 
   private def readBaseline(): Map[String, Counts] = {
-    val f = new java.io.File(baselinePath)
-    if (!f.exists) Map.empty
-    else scala.io.Source.fromFile(f).getLines()
-      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-      .map { l =>
-        val p = l.trim.split("\t")
-        p(0) -> Counts(p(1).toInt, p(2).toInt, p(3).toInt, p(4).toInt,
-          p(5).toInt, p(6).toInt, p(7).toInt)
-      }.toMap
+    val f = java.nio.file.Paths.get(baselinePath)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f).asScala
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .map { l =>
+          val p = l.trim.split("\t")
+          require(p.length >= 8,
+            s"malformed $baselinePath line (need 8 tab-separated fields, got ${p.length}): $l")
+          p(0) -> Counts(p(1).toInt, p(2).toInt, p(3).toInt, p(4).toInt,
+            p(5).toInt, p(6).toInt, p(7).toInt)
+        }.toMap
+    }
   }
 
   def main(args: Array[String]): Unit = {
