@@ -20,20 +20,39 @@ import graft.Tables
   * mirror that unrolls the same 24 iterations as CTEs.
   *
   * Scale shape (the MLlib linear-model pattern): the featurized corpus
-  * — (id, sparse feature array, label), built MAP-SIDE from the token
-  * array with a portable md5 bucket hash — is computed once and
-  * cached; each iteration broadcasts the (D+1)-entry weight map into a
-  * map-side score/error pass and reduces one gradient vector of D+1
-  * integers (explode → map-side-combined groupBy on the bucket id —
-  * the only shuffle, 65 rows out). Driver state is the weight vector,
-  * never data. At 100 TB the per-iteration cost is one corpus scan of
-  * the cached features; D scales to 2^20 buckets without changing the
-  * plan (the weight map stays a broadcast).
+  * — (id, DENSE count vector c[0..D], label), built MAP-SIDE from the
+  * token array with a portable md5 bucket hash — is computed once and
+  * cached; each iteration evaluates one map-side score/error pass and
+  * reduces ONE gradient row of D+1 integer sums (a grouping-free
+  * HashAggregate with map-side partials — no explode, no keyed
+  * shuffle; the exchange moves one 65-column row per partition).
+  * Driver state is the weight vector, never data. At 100 TB the
+  * per-iteration cost is one corpus scan of the cached features; D
+  * scales to 2^10s of buckets without changing the plan (the weight
+  * vector stays an array literal reference).
   *
-  * Determinism contract: per-doc scores sum BIGINTs in the doc's own
-  * feature-array order (a per-row `aggregate`, no float partials);
-  * cross-doc gradient sums are BIGINT sums (order-free); the only
-  * float touchpoints are `floor(S/4.0)` (hard sigmoid) and
+  * Round-16 optimization (guide §1.2 step 2 + §4): the original sparse
+  * form paid three per-iteration taxes that dominate a 24-iteration
+  * loop — (a) the per-doc score was an `aggregate` HOF over a
+  * struct-array with an `element_at` MAP lookup per element
+  * (interpreted), (b) the gradient exploded every (doc, bucket) pair
+  * into rows and hash-aggregated them by bucket id (a keyed exchange
+  * per iteration), and (c) the weight map rode into the plan as a
+  * `typedlit(Map)` whose per-iteration VALUES changed the optimized
+  * plan, defeating plan/codegen reuse. The dense form keeps every
+  * arithmetic step identical (BIGINT sums are order-free, and absent
+  * buckets contribute exactly 0 to both score and gradient) while the
+  * iteration plan is two stages of fixed shape: weights enter as an
+  * ArrayType literal (codegen references the ArrayData object instead
+  * of inlining 65 constants, so all 24 iterations reuse one compiled
+  * class), and the gradient is D+1 codegen'd `sum(err * c[j])`
+  * aggregates. Measured on the q102 gate at sf0.1: see
+  * OPTIMIZATION_r16.md (plans/r16/q102_quality_probe_{before,after}).
+  *
+  * Determinism contract: per-doc scores and gradients are exact BIGINT
+  * sums (integer addition is associative and commutative, so neither
+  * array order nor partition order matters); the only float
+  * touchpoints are `floor(S/4.0)` (hard sigmoid) and
   * `floor(G/(256.0·n))` (the learning-rate step), both correctly
   * rounded IEEE ops with identical results in Spark and DuckDB.
   */
@@ -62,67 +81,96 @@ object Classifier {
   private def bucketOf(tok: Column): Column =
     conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % D
 
-  /** Featurized corpus: (id, feats: array<struct<j:int,c:bigint>>,
-    * label) — map-only, one pass, no shuffle. Feature order within the
-    * array is first-occurrence order (array_distinct), fixed per row,
-    * so per-doc weight sums are deterministic. */
+  /** Featurized corpus: (id, c: array<bigint> of length D+1 — dense
+    * per-bucket token counts with the bias pseudo-count B at index D —
+    * label). Map-only, one pass, no shuffle; absent buckets hold 0, so
+    * integer dots/sums over `c` equal the sparse form's sums exactly. */
   def featurize(docsDf: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), WS)
     docsDf
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), toks.as("_toks"))
       .withColumn("_bs", transform(col("_toks"), t => bucketOf(t)))
+      // Dense counts via ONE aggregate fold over the bucket array. All
+      // lambda bodies touch only their lambda variables — the
+      // CollapseProject pitfall (round-16 measured): a single-use
+      // projection alias gets INLINED into downstream lambda bodies
+      // and re-evaluated per element (an earlier map_from_entries +
+      // per-index element_at draft re-ran the whole sparse build 65×
+      // per row: featurize 2.5 s → 12 s). Here the token-bucket array
+      // sits in ARGUMENT position of the fold — evaluated once per row
+      // no matter what the optimizer inlines.
       .select(
         col(idCol),
         concat(
-          transform(array_distinct(col("_bs")), b =>
-            struct(b.as("j"),
-              size(filter(col("_bs"), z => z === b)).cast("long").as("c"))),
-          array(struct(lit(D).as("j"), lit(B).cast("long").as("c")))).as("feats"),
+          aggregate(col("_bs"), array_repeat(lit(0L), D),
+            (acc, b) => transform(acc, (v, i) => when(i === b, v + 1L).otherwise(v))),
+          array(lit(B).cast("long"))).as("c"),
         when(size(col("_toks")) >= LABEL_MIN_TOKENS, lit(1)).otherwise(lit(0))
           .as("label"))
   }
 
-  private def scoreCol(w: Map[Int, Long]): Column = {
-    val wlit = typedlit(w)
-    aggregate(col("feats"), lit(0L),
-      (acc, f) => acc + coalesce(element_at(wlit, f("j")), lit(0L)) * f("c"))
-  }
+  /** Integer dot of the dense count vector with a weight vector carried
+    * as an ARRAY literal. ArrayType literals enter generated code as a
+    * referenced ArrayData object (never inlined element constants), so
+    * the analyzed plan — and the compiled codegen class — is identical
+    * across iterations; zip_with/aggregate evaluate as expression
+    * fallback, which at D+1 = 65 elements is noise next to a stable
+    * plan. Exact BIGINT arithmetic, any order. */
+  private def scoreCol(w: IndexedSeq[Long]): Column =
+    aggregate(zip_with(col("c"), typedlit(w), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
 
   /** Hard-sigmoid link in 1e-6 units: clamp(0.5 + z/4, 0, 1). */
   private def pCol(s: Column): Column =
     least(lit(1000000L), greatest(lit(0L),
       lit(500000L) + floor(s / lit(4.0)).cast("long")))
 
+  private def toVec(w: Map[Int, Long]): IndexedSeq[Long] =
+    (0 to D).map(j => w.getOrElse(j, 0L))
+
   /** Train the probe: T full-batch GD iterations; returns the weight
     * vector (bucket → 1e-6 fixed-point weight). `feats` should be the
     * cached output of [[featurize]]. */
   def train(feats: DataFrame): Map[Int, Long] = {
     val n = feats.count()
-    var w = Map[Int, Long](D -> 0L)
+    var w: IndexedSeq[Long] = IndexedSeq.fill(D + 1)(0L)
     for (it <- 1 to T) {
       val err = (pCol(scoreCol(w)) - lit(1000000L) * col("label")).as("_e")
+      // posexplode, NOT D+1 per-column sums over the projected _e: an
+      // Aggregate directly over the projection lets CollapseProject
+      // inline the score expression into every aggregate — D+1
+      // re-evaluations per row (the dup3Frac pitfall, at the aggregate
+      // layer). The TWO-STEP select matters just as much: a generator
+      // in the same select as `err` analyzes to Project(err) ABOVE the
+      // Generate — err re-evaluated per EXPLODED row (65×/doc,
+      // measured 1.3 s/iteration) — whereas computing _e in its own
+      // projection first pins it BELOW the Generate (once per doc;
+      // CollapseProject cannot merge across Generate). Exploded rows
+      // are two longs each and partial-aggregate map-side to D+1 rows
+      // per partition before the one exchange.
       val gradDf = feats
-        .select(err, explode(col("feats")).as("f"))
-        .groupBy(col("f.j").as("j"))
-        .agg(sum(col("_e") * col("f.c")).as("g"))
+        .select(err, col("c"))
+        .select(col("_e"), posexplode(col("c")))
+        .groupBy(col("pos"))
+        .agg(sum(col("_e") * col("col")).as("g"))
       // the training work ends in a driver collect and never reaches
       // the final predict lineage — surface one representative
       // iteration's plan to the audit (all T share the shape)
       if (it == 1) graft.PlanCapture.record(gradDf, "gd-iteration")
-      val grad = gradDf.collect()
-        .map(r => r.getInt(0) -> r.getLong(1))
-      w = grad.foldLeft(w) { case (acc, (j, g)) =>
-        acc.updated(j, acc.getOrElse(j, 0L) - math.floor(g / (LR_DEN * 1.0 * n)).toLong)
+      val grad = gradDf.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = IndexedSeq.tabulate(D + 1) { j =>
+        val g = grad.getOrElse(j, 0L)
+        w(j) - math.floor(g / (LR_DEN * 1.0 * n)).toLong
       }
     }
-    w
+    (0 to D).map(j => j -> w(j)).toMap
   }
 
   /** Score a corpus with a trained weight map — map-only (the shape
     * that runs over the full 100 TB once the probe is trained). */
   def predict(feats: DataFrame, idCol: String, w: Map[Int, Long]): DataFrame = {
-    val s = scoreCol(w)
+    val s = scoreCol(toVec(w))
     feats.select(
       col(idCol),
       s.as("score_fx"),
@@ -147,9 +195,12 @@ object Classifier {
     * included, transitively), not just the final scores. Converges to
     * ~0.97 train accuracy on this corpus (majority class is 0.554). */
   def qualityProbeGate(s: SparkSession, dir: String): DataFrame = {
-    // DISK_ONLY (r15, VERDICT r14 item 1): 24 GD iterations re-scan this
-    // frame; at MEMORY level its deserialized feature arrays were resident
-    // heap for the whole loop — the q102 GC-pressure signature.
+    // Partitioning: the feature frame is a map of the documents scan,
+    // so its partition count already tracks input size
+    // (maxPartitionBytes) — no repartition needed at any scale.
+    // DISK_ONLY (r15, VERDICT r14 item 1): at MEMORY level the
+    // deserialized arrays were resident heap for the whole loop — the
+    // q102 GC-pressure signature (dense longs shrink it, same rule).
     val feats = featurize(docs(s, dir), "doc_id", "text")
       .persist(graft.GraftSession.textFrameLevel)
     try {

@@ -777,12 +777,17 @@ object Dedup {
     val buckets = bands.groupBy(col("b"), col("key"))
       .agg(sort_array(collect_list(struct(col("id"), col("hl")))).as("ms"))
       .filter(size(col("ms")) >= 2)
+    // Hamming test BEFORE the struct build (round-16, guide §1.2 step
+    // 2 — per-task work): most bucket co-occupants fail the distance
+    // test, and the previous form allocated a 3-field struct per
+    // CANDIDATE before filtering; testing bit_count first means only
+    // OUTPUT pairs ever construct a struct. Same pairs, same order.
     val pairsCol = expr(
       s"""flatten(transform(ms, (x, i) ->
-            filter(transform(slice(ms, i + 2, size(ms) - i - 1),
-                     y -> struct(x.id AS id_a, y.id AS id_b,
-                                 bit_count(x.hl ^ y.hl) AS hamming)),
-                   p -> p.hamming <= $maxHamming)))""")
+            transform(filter(slice(ms, i + 2, size(ms) - i - 1),
+                      y -> bit_count(x.hl ^ y.hl) <= $maxHamming),
+                    y -> struct(x.id AS id_a, y.id AS id_b,
+                                bit_count(x.hl ^ y.hl) AS hamming))))""")
     buckets.select(explode(pairsCol).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
@@ -898,13 +903,14 @@ object Dedup {
     // Under the cap: all pairs, Hamming-filtered before exploding
     // (id_a/id_b normalized — fingerprint order is not id order).
     // Above it: consecutive-in-fingerprint-order pairs, same filter.
+    // distance test before the struct build — see hammingNearDupsPacked
     val fullPairs = expr(
       s"""flatten(transform(ms, (x, i) ->
-            filter(transform(slice(ms, i + 2, size(ms) - i - 1),
-                     y -> struct(least(x.id, y.id) AS id_a,
-                                 greatest(x.id, y.id) AS id_b,
-                                 bit_count(x.hl ^ y.hl) AS hamming)),
-                   p -> p.hamming <= $maxHamming)))""")
+            transform(filter(slice(ms, i + 2, size(ms) - i - 1),
+                      y -> bit_count(x.hl ^ y.hl) <= $maxHamming),
+                    y -> struct(least(x.id, y.id) AS id_a,
+                                greatest(x.id, y.id) AS id_b,
+                                bit_count(x.hl ^ y.hl) AS hamming))))""")
     val chainPairs = expr(
       s"""filter(transform(slice(ms, 1, size(ms) - 1), (x, i) ->
                struct(least(x.id, element_at(ms, i + 2).id) AS id_a,

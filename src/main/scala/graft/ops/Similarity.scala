@@ -56,16 +56,39 @@ object Similarity {
   /** Assignment against PROVIDED centroids — the incremental form: new
     * vectors join the standing index without touching (or moving) the
     * corpus that built it. Map-only against the broadcast centroid
-    * frame. */
+    * frame.
+    *
+    * Round-16 shape (guide §2.4 — remove shuffles outright): the
+    * previous form exploded a corpus × centroids grid (each row
+    * carrying the FULL corpus vector) and ranked it with a
+    * row_number window partitioned by id — an Exchange + Sort of
+    * nClusters× the corpus payload, per assignment. The centroid set
+    * is model-sized by construction, so the top-nAssign selection now
+    * runs PER ROW against ONE broadcast array of (c_id, cv, cn)
+    * structs: transform computes each centroid's cosine (the same
+    * codegen'd DotProduct expression — interpreted under the HOF it
+    * yields bit-identical doubles), and
+    * `reverse(array_sort(struct(csim, −c_id)))` reproduces the window
+    * ordering EXACTLY — (csim desc, c_id asc) with NaN first and
+    * +0.0 before −0.0, matching row_number over (csim.desc, c_id) —
+    * before slicing nAssign winners. Zero exchanges: the only join is
+    * a single-row broadcast (the model), and the corpus never moves.
+    * Output rows and values are identical (q56's oracle gates the
+    * assignment values; q35/q74/q77/q97/q182/q184 compose it). */
   def ivfAssignTo(emb: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, nAssign: Int = 1): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
-    n.join(broadcast(centroids))
-      .withColumn("csim", cosine(col(vecCol), col("cv"), col("norm"), col("cn")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= nAssign)
-      .select(col(idCol), col("c_id").as("cluster_id"), col(vecCol), col("norm"))
+    val carr = centroids.agg(
+      collect_list(struct(col("c_id"), col("cv"), col("cn"))).as("_cents"))
+    n.crossJoin(broadcast(carr))
+      .select(col(idCol), col(vecCol), col("norm"),
+        explode(slice(reverse(array_sort(transform(col("_cents"), c =>
+          struct(
+            cosine(col(vecCol), c.getField("cv"), col("norm"),
+              c.getField("cn")).as("csim"),
+            (-c.getField("c_id")).as("_negid"),
+            c.getField("c_id").as("c_id"))))), 1, nAssign)).as("_t"))
+      .select(col(idCol), col("_t.c_id").as("cluster_id"), col(vecCol), col("norm"))
   }
 
   /** IVF index: deterministic seed centroids (every `seedStep`-th
@@ -514,8 +537,8 @@ object Similarity {
     // candidate frame is (queries × probed fraction)-sized and prunes
     // the codes scan via its join — at production scale this is the
     // per-query file-pruned read of a cluster-bucketed codes table.
-    val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStepPq)
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStepPq, dim)
     val nrm = normalized(emb, idCol, vecCol).persist()
     val q = nrm.filter(queryPred).select(col("id").as("q_id"), col("ve").as("qe"))
     val tab = q.crossJoin(broadcast(cb))
@@ -628,8 +651,16 @@ object Similarity {
     * actually hold per executor. Encode = one corpus scan per Lloyd
     * pass + one for final codes. */
   def pqModel(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, seedStep: Int = 7): (DataFrame, DataFrame) = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+      m: Int = 8, seedStep: Int = 7): (DataFrame, DataFrame) =
+    pqModel(emb, idCol, vecCol, m, seedStep,
+      emb.select(size(col(vecCol))).first().getInt(0))
+
+  /** pqModel with the vector width supplied by the caller — skips the
+    * probe job when the caller already knows `dim` (ivfPqTopK and the
+    * index writer probe it once and share; round-16, guide §1.2 —
+    * don't pay a scheduling round for a constant). */
+  private[ops] def pqModel(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, seedStep: Int, dim: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val nrm = normalized(emb, idCol, vecCol)
@@ -674,13 +705,25 @@ object Similarity {
   def writeIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
       outDir: String, seedStepIvf: Int = 37, nAssign: Int = 2,
       m: Int = 8, seedStepPq: Int = 7): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val assigned = ivfAssign(emb, idCol, vecCol, seedStepIvf, nAssign).persist()
-    assigned.filter(col(idCol) === col("cluster_id"))
-      .select(col("cluster_id").as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
-      .write.mode("overwrite").parquet(s"$outDir/centroids")
-    val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStepPq)
-    cb.write.mode("overwrite").parquet(s"$outDir/codebooks")
     val clusters = assigned.select(col(idCol).as("id"), col("cluster_id"))
+    // Independent jobs OVERLAP (guide §2.6: actions are only sequential
+    // because the driver calls them sequentially): the centroids write
+    // and the PQ training touch disjoint inputs, as do the three table
+    // writes after it — later jobs' tasks back-fill executors freed by
+    // the current job's tail instead of idling behind it. Output bytes
+    // are identical to the sequential form; only the wall clock
+    // changes.
+    val centroidsW = Future {
+      assigned.filter(col(idCol) === col("cluster_id"))
+        .select(col("cluster_id").as("c_id"), col(vecCol).as("cv"), col("norm").as("cn"))
+        .write.mode("overwrite").parquet(s"$outDir/centroids")
+    }
+    val (cb, codes) = pqModel(emb, idCol, vecCol, m, seedStepPq)
+    Await.result(centroidsW, Duration.Inf)
     // repartition ON the hive key before the partitioned write: without
     // it every task writes a sliver into every cluster dir — up to
     // tasks × clusters tiny files, the small-file explosion that kills
@@ -688,12 +731,19 @@ object Similarity {
     // cluster's rows land in one task → one right-sized file per
     // cluster (at real scale Spark splits oversized tasks by
     // maxRecordsPerFile, keeping files bounded both ways).
-    codes.join(clusters, Seq("id"))
-      .repartition(col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/codes")
-    normalized(emb, idCol, vecCol).join(clusters, Seq("id"))
-      .repartition(col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/vectors")
+    val writes = Seq(
+      Future { cb.write.mode("overwrite").parquet(s"$outDir/codebooks") },
+      Future {
+        codes.join(clusters, Seq("id"))
+          .repartition(col("cluster_id"))
+          .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/codes")
+      },
+      Future {
+        normalized(emb, idCol, vecCol).join(clusters, Seq("id"))
+          .repartition(col("cluster_id"))
+          .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$outDir/vectors")
+      })
+    writes.foreach(Await.result(_, Duration.Inf))
     assigned.unpersist()
     ()
   }
@@ -733,16 +783,27 @@ object Similarity {
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
       newEmb: DataFrame, idCol: String, vecCol: String,
       nAssign: Int = 2): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebooks")
     val assigned = ivfAssignTo(newEmb, cents, idCol, vecCol, nAssign).persist()
     val clusters = assigned.select(col(idCol).as("id"), col("cluster_id"))
-    pqEncode(newEmb, idCol, vecCol, cb).join(clusters, Seq("id"))
-      .repartition(col("cluster_id"))
-      .write.mode("append").partitionBy("cluster_id").parquet(s"$indexDir/codes")
-    normalized(newEmb, idCol, vecCol).join(clusters, Seq("id"))
-      .repartition(col("cluster_id"))
-      .write.mode("append").partitionBy("cluster_id").parquet(s"$indexDir/vectors")
+    // The two per-crawl appends are independent — overlap them
+    // (guide §2.6), same bytes as the sequential form.
+    val appends = Seq(
+      Future {
+        pqEncode(newEmb, idCol, vecCol, cb).join(clusters, Seq("id"))
+          .repartition(col("cluster_id"))
+          .write.mode("append").partitionBy("cluster_id").parquet(s"$indexDir/codes")
+      },
+      Future {
+        normalized(newEmb, idCol, vecCol).join(clusters, Seq("id"))
+          .repartition(col("cluster_id"))
+          .write.mode("append").partitionBy("cluster_id").parquet(s"$indexDir/vectors")
+      })
+    appends.foreach(Await.result(_, Duration.Inf))
     assigned.unpersist()
     ()
   }

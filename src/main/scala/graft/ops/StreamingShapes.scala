@@ -53,6 +53,28 @@ object StreamingShapes {
     srcDir.toString
   }
 
+  /** Scale the STREAM's shuffle/state-store partition count to the
+    * source, for the duration of `body` (round-16, guide §2: streaming
+    * plans get no AQE coalescing, so the session's fixed
+    * shuffle.partitions — sized for batch parallelism — becomes the
+    * state-store count no matter how small the replay is: 32 stores ×
+    * (delta file + snapshot + commit) per micro-batch for a 5k-row
+    * corpus was pure file-I/O overhead in the q232/q233 gates). One
+    * partition per ~128 MB input split, floor 2, capped at the
+    * session's own setting so a production-sized source keeps its full
+    * configured width — derived from data, not a local constant. The
+    * session value is restored before any downstream batch work. */
+  private def withStreamShufflePartitions[A](s: SparkSession, dir: String)(
+      body: => A): A = {
+    val srcBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val sess = s.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(2L,
+      math.min(sess.toLong, srcBytes / (128L << 20) + 1L)).toInt
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", sess)
+  }
+
   /** Run `pipe` (a streaming frame over the documents file source) to
     * completion with AvailableNow, landing survivors under a fresh
     * per-run temp dir, and return the landed frame. The constant
@@ -62,16 +84,18 @@ object StreamingShapes {
   private def landAvailableNow(s: SparkSession, dir: String, tag: String)(
       pipe: DataFrame => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
-    val src = s.readStream.schema(docs(s, dir).schema)
-      .parquet(stageSourceDir(tmp, dir))
-      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
-    val q = pipe(src).writeStream.format("parquet")
-      .option("path", s"$tmp/docs")
-      .option("checkpointLocation", s"$tmp/cp")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamShufflePartitions(s, dir) {
+      val src = s.readStream.schema(docs(s, dir).schema)
+        .parquet(stageSourceDir(tmp, dir))
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      val q = pipe(src).writeStream.format("parquet")
+        .option("path", s"$tmp/docs")
+        .option("checkpointLocation", s"$tmp/cp")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     s.read.parquet(s"$tmp/docs")
   }
 
@@ -137,10 +161,12 @@ object StreamingShapes {
     * verdict from the accumulated partials alone. */
   def streamReleaseGate(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q234").toString
-    val src = s.readStream.schema(docs(s, dir).schema)
-      .parquet(stageSourceDir(tmp, dir))
-    val q = CorpusStream.releaseGateStream(src, s"$tmp/stats", s"$tmp/cp")
-    try { q.processAllAvailable() } finally q.stop()
+    withStreamShufflePartitions(s, dir) {
+      val src = s.readStream.schema(docs(s, dir).schema)
+        .parquet(stageSourceDir(tmp, dir))
+      val q = CorpusStream.releaseGateStream(src, s"$tmp/stats", s"$tmp/cp")
+      try { q.processAllAvailable() } finally q.stop()
+    }
     CorpusStream.releaseGateFromPartials(s, s"$tmp/stats")
   }
 

@@ -290,16 +290,32 @@ object TextAnalysis {
     * any static frame (spec'd). */
   def decontaminateStreaming(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3, minShared: Long = 3): DataFrame = {
+    // Round-16 (guide §1.2 step 2): the single array_intersect against
+    // the bench gram STRINGS rebuilt a vocabulary-sized hash set per
+    // corpus row (ArrayIntersect re-hashes its argument every eval) —
+    // measured as the dominant cost of the q233 streaming gate. The
+    // broadcast row now also carries the bench grams' xxhash64 values
+    // SORTED, and each row binary-searches its own gram hashes first
+    // (SortedLongContainsAny — O(|doc| log |bench|) long compares, no
+    // per-row set build). A hash miss is definitive (true match ⇒ hash
+    // match ⇒ intersect = 0 < minShared for any minShared ≥ 1); only
+    // hash-hit rows (contamination-sized + rare collisions) run the
+    // exact string intersect, so the survivor set is IDENTICAL.
     val benchSet = ngramSets(benchmark, idCol, textCol, n)
-      .agg(collect_set(col("gram")).as("_bench_gs"))
+      .agg(collect_set(col("gram")).as("_bench_gs"),
+        sort_array(collect_set(xxhash64(col("gram")))).as("_bench_h"))
     val ts = split(trim(col(textCol)), "\\s+")
     val gs = when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - (n - 1)),
         i => array_join(slice(ts, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+    val gsd = array_distinct(gs)
     corpus.crossJoin(broadcast(benchSet))
-      .filter(size(array_intersect(array_distinct(gs), col("_bench_gs"))) < minShared)
-      .drop("_bench_gs")
+      .filter(
+        !graft.functions.SetExpressions.sortedContainsAny(
+          col("_bench_h"), transform(gsd, g => xxhash64(g))) ||
+        size(array_intersect(gsd, col("_bench_gs"))) < minShared)
+      .drop("_bench_gs", "_bench_h")
   }
 
   /** Duplicate word-3-gram fraction of a text column — a pure
@@ -567,17 +583,25 @@ object TextAnalysis {
     // makes appends replay-idempotent (dynamic partition overwrite
     // replaces exactly the replayed batch's subtree — see
     // [[appendToInvertedIndex]]).
-    toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("bkt", termBucket(col("term")))
-      .withColumn("batch", lit("base"))
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("batch", "bkt")
-      .parquet(s"$outDir/postings")
+    // The postings write and the doclens/stats chain are independent —
+    // overlap them (guide §2.6; same bytes as the sequential form).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val postingsW = Future {
+      toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("bkt", termBucket(col("term")))
+        .withColumn("batch", lit("base"))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("batch", "bkt")
+        .parquet(s"$outDir/postings")
+    }
     val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     dl.withColumn("batch", lit("base"))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$outDir/doclens")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$outDir/stats")
+    Await.result(postingsW, Duration.Inf)
   }
 
   /** Incremental inverted-index maintenance — the text-side twin of
@@ -681,13 +705,21 @@ object TextAnalysis {
           s"$indexDir/doclens/batch=$batchId"), true)
       }
     }
-    posting
-      .withColumn("bkt", termBucket(col("term")))
-      .withColumn("batch", lit(batchId))
-      .repartition(col("bkt"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "bkt").parquet(s"$indexDir/postings")
+    // postings append is independent of the doclens→stats chain —
+    // overlap them (guide §2.6; the stats rewrite below still waits on
+    // its own doclens write, which is a real dependency)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val postingsW = Future {
+      posting
+        .withColumn("bkt", termBucket(col("term")))
+        .withColumn("batch", lit(batchId))
+        .repartition(col("bkt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "bkt").parquet(s"$indexDir/postings")
+    }
     toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
@@ -706,6 +738,7 @@ object TextAnalysis {
         java.util.Arrays.asList(org.apache.spark.sql.Row(m.getLong(0), m.getLong(1))),
         schema)
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+    Await.result(postingsW, Duration.Inf)
   }
 
   /** Compact an inverted index into a fresh directory — the text twin

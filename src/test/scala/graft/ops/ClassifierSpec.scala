@@ -10,20 +10,21 @@ import org.apache.spark.sql.functions._
 class ClassifierSpec extends SparkSpec {
   import spark.implicits._
 
-  test("featurize: counts sum to n_tokens, bias carries pseudo-count B") {
+  test("featurize: dense counts sum to n_tokens, bias slot carries B") {
     val df = Seq((1L, "w w z"), (2L, "  "), (3L, "q")).toDF("doc_id", "text")
     val feats = Classifier.featurize(df, "doc_id", "text")
       .select(col("doc_id"),
-        aggregate(filter(col("feats"), f => f("j") =!= Classifier.D),
-          lit(0L), (a, f) => a + f("c")).as("ntok"),
-        element_at(col("feats"), -1).getField("j").as("bj"),
-        element_at(col("feats"), -1).getField("c").as("bc"),
+        size(col("c")).as("width"),
+        aggregate(slice(col("c"), 1, Classifier.D), lit(0L), (a, x) => a + x)
+          .as("ntok"),
+        element_at(col("c"), -1).as("bc"),
         col("label"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4))))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))))
       .toMap
     assert(!feats.contains(2L), "blank docs are excluded")
-    assert(feats(1L) == ((3L, Classifier.D, Classifier.B.toLong, 0)))
-    assert(feats(3L) == ((1L, Classifier.D, Classifier.B.toLong, 0)))
+    assert(feats(1L) == ((Classifier.D + 1, 3L, Classifier.B.toLong, 0)))
+    assert(feats(3L) == ((Classifier.D + 1, 1L, Classifier.B.toLong, 0)))
   }
 
   test("trained probe beats the majority class on the corpus") {
