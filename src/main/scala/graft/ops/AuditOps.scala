@@ -54,8 +54,20 @@ object AuditOps {
           array_min(transform(col("shs"), sh =>
             md5(concat(lit(s"$i|"), sh))))): _*)),
       "mh-calib-sets")
+    // Band keys from the STORED signatures (round-16, guide §1.2 step
+    // 2): lshBandsFromArrays re-derives every per-component array_min
+    // — 8 more interpreted md5 passes over every shingle of every doc
+    // — when `sets` already carries the identical sigs. Same key
+    // construction (md5 of the band's two sigs in hash order), so the
+    // candidate set is byte-identical.
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        md5(concat(element_at(col("sigs"), b * 2 + 1),
+          element_at(col("sigs"), b * 2 + 2))).as("key"))
+    }
     val cand = Dedup.lshCandidatesBucketDropped(
-      Dedup.lshBandsFromArrays(sets.select(col("id"), col("shs")), 8, 2),
+      sets.select(col("id"), explode(array(bandCols: _*)).as("_bk"))
+        .select(col("id"), col("_bk.b").as("b"), col("_bk.key").as("key")),
       bucketCap)
     cand
       .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"),

@@ -669,6 +669,13 @@ object Similarity {
       .select(col("s"), col("id").as("code"), col("sv").as("cw"))
     val e0 = assignCodes(sub, cb0)
     // Lloyd step: per-(s, code, component) fixed-point mean.
+    // (Round-16 note: a draft carried sv THROUGH the argmin aggregate
+    // via first(sv) to drop this join-back — but an ArrayType column
+    // in the aggregation buffer knocks the n·k grid aggregate out of
+    // HashAggregate into object/sort-based aggregation, and the PQ
+    // family measured 25–60% SLOWER. The (id, s)-keyed join of two
+    // already-co-partitioned frames is the cheaper shape at every
+    // scale; reverted deliberately — see OPTIMIZATION_r16.md.)
     val comp = e0.join(sub, Seq("id", "s"))
       .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
       .groupBy(col("s"), col("code"), col("i"))
